@@ -1,0 +1,369 @@
+"""Projection / filter / scalar-function operators (SURVEY.md §2b).
+
+Generalizes the reference's only relational ops — ``filter`` on language
+(``main.scala:42``) and string ``split``/``startsWith`` (``main.scala:45``)
+— into the full scalar surface. Everything is built-in Catalyst
+expressions: no UDFs, fully codegen'd, predicate-pushdown friendly
+(filters here reach the parquet scan as ``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.queries import register
+
+
+@register(
+    "scan_projection",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+    tags=("scan", "projection"),
+)
+def scan_projection(spark, sf_dir):
+    """Column-pruned parquet scan (ReadSchema shows only 3 columns)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@register(
+    "filter_comparison",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_returnflag <> 'A'
+    """,
+    tags=("filter",),
+)
+def filter_comparison(spark, sf_dir):
+    """Comparison + boolean-AND predicates, pushed to the parquet scan.
+
+    Reference analog: ``stream.filter(_.getLang() == "en")``
+    (``main.scala:42``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 1000 AND 50000
+          AND o_orderstatus LIKE 'F%'
+    """,
+    tags=("filter",),
+)
+def filter_in_between_like(spark, sf_dir):
+    """IN-list, BETWEEN, and LIKE predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderstatus").like("F%")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_null_logic",
+    oracle="""
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_filled
+        FROM customer
+        WHERE c_acctbal IS NOT NULL
+    """,
+    tags=("filter", "null"),
+)
+def filter_null_logic(spark, sf_dir):
+    """NULL tests + nullif/coalesce (fixtures are null-free, so nulls
+    are synthesized with nullif — same trick on the oracle side)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.filter(F.col("c_acctbal").isNotNull()).select(
+        "c_custkey",
+        seg.alias("seg_or_null"),
+        seg.isNull().alias("is_building"),
+        F.coalesce(seg, F.lit("DEFAULT")).alias("seg_filled"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_name)                                AS name_lower,
+               upper(p_brand)                               AS brand_upper,
+               trim(concat(' ', p_type, ' '))               AS type_trim,
+               substring(p_name, 1, 8)                      AS name_prefix,
+               concat(p_brand, ':', p_type)                 AS brand_type,
+               length(p_name)                               AS name_len,
+               starts_with(p_type, 'STANDARD')              AS is_standard,
+               contains(p_name, 'a')                        AS has_a,
+               regexp_extract(p_type, '([A-Z]+)$', 1)       AS type_last_word,
+               regexp_replace(p_name, '[aeiou]', '_', 'g')  AS name_devoweled,
+               split_part(p_type, ' ', 1)                   AS type_first_token
+        FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def string_functions(spark, sf_dir):
+    """String function battery (reference analog: split + startsWith,
+    ``main.scala:45``)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_name").contains("a").alias("has_a"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_token"),
+    )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)                               AS order_year,
+               month(o_orderdate)                              AS order_month,
+               dayofmonth(o_orderdate)                         AS order_day,
+               CAST(date_trunc('month', o_orderdate) AS DATE)  AS month_start,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY     AS due_date_ts,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31')
+                                                               AS days_to_eoy,
+               CAST(o_orderdate AS DATE)                       AS order_date,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')      AS order_ts_str
+        FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def datetime_functions(spark, sf_dir):
+    """Date/time function battery over ``o_orderdate``."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d.cast("date"), 30).cast("timestamp_ntz").alias("due_date_ts"),
+        F.datediff(F.lit("2024-12-31").cast("date"), d.cast("date")).alias(
+            "days_to_eoy"
+        ),
+        d.cast("date").alias("order_date"),
+        F.date_format(d, "yyyy-MM-dd HH:mm:ss").alias("order_ts_str"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount)                  AS net_price,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax)    AS gross_price,
+               CAST(floor(l_extendedprice) AS BIGINT)              AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT)               AS price_ceil,
+               abs(l_discount - 0.05)                              AS disc_dev,
+               round(sqrt(l_quantity), 6)                          AS qty_sqrt,
+               round(pow(l_quantity, 2), 6)                        AS qty_sq,
+               round(ln(l_extendedprice), 6)                       AS price_ln,
+               round(exp(l_discount), 6)                           AS disc_exp,
+               CAST(l_quantity AS BIGINT) % 7                      AS qty_mod
+        FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def math_functions(spark, sf_dir):
+    """Math battery incl. the TPC-H ``price*(1-disc)`` idiom.
+
+    Cross-engine float discipline: per-row arithmetic stays RAW double
+    (IEEE ops are bit-identical in any engine); rounding is only applied
+    to transcendentals (libm may differ by 1 ulp — round(...,6) absorbs
+    it). Spark ``log`` is natural log, DuckDB ``log`` is log10 — the
+    oracle uses ``ln``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * (1 - F.col("l_discount"))).alias("net_price"),
+        (price * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "gross_price"
+        ),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "conditional_case",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END                    AS bal_band,
+               greatest(c_acctbal, 0.0)                AS bal_clamped,
+               least(round(c_acctbal, 0), 9000.0)      AS bal_capped,
+               coalesce(nullif(c_name, ''), 'unknown') AS name_filled
+        FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def conditional_case(spark, sf_dir):
+    """CASE WHEN / greatest / least / coalesce / nullif."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high").alias(
+            "bal_band"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.round(bal, 0), F.lit(9000.0)).alias("bal_capped"),
+        F.coalesce(F.nullif(F.col("c_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_filled"
+        ),
+    )
+
+
+@register(
+    "cast_coercion",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14, 2)) AS VARCHAR) AS price_dec_str,
+               CAST(o_orderkey AS VARCHAR)                            AS key_str,
+               CAST(floor(o_totalprice) AS BIGINT)                    AS price_long,
+               CAST(o_orderstatus = 'F' AS INTEGER)                   AS is_final_int,
+               CAST(o_orderdate AS DATE)                              AS order_date
+        FROM orders
+    """,
+    tags=("scalar", "cast"),
+)
+def cast_coercion(spark, sf_dir):
+    """Casts incl. decimal; decimals are re-cast to string so both
+    engines hash the same canonical text (SURVEY §7 float discipline).
+
+    Spark CAST(double AS BIGINT) truncates toward zero; DuckDB rounds —
+    the oracle pins Spark's semantics with floor() (prices > 0).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias(
+            "price_dec_str"
+        ),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_long"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final_int"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "json_functions",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k')              AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_functions(spark, sf_dir):
+    """JSON extraction from the ``events.props`` payload column
+    (``get_json_object`` / ``from_json`` surface)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' '))                       AS n_tokens,
+               list_contains(string_split(text, ' '), 'spark')    AS has_spark,
+               list_sort(list_distinct(string_split(text, ' ')))  AS vocab_sorted,
+               string_split(text, ' ')[1:3]                       AS first3,
+               list_sort(list_transform(list_filter(string_split(text, ' '),
+                         t -> length(t) > 4), t -> upper(t)))     AS long_toks_upper
+        FROM documents
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def array_functions(spark, sf_dir):
+    """Array + higher-order functions over tokenized text.
+
+    Reference analog: ``getText.split(" ").filter(_.startsWith("#"))``
+    (``main.scala:45``) — same split/filter shape, but as Catalyst
+    higher-order expressions instead of a JVM closure.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab_sorted"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.sort_array(
+            F.transform(
+                F.filter(toks, lambda t: F.length(t) > 4), lambda t: F.upper(t)
+            )
+        ).alias("long_toks_upper"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+        SELECT event_id,
+               (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})['type'][1]
+                                                                    AS type_from_map,
+               len(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}))
+                                                                    AS n_keys
+        FROM events
+    """,
+    tags=("scalar", "map"),
+)
+def map_functions(spark, sf_dir):
+    """Map construction + element_at/map_keys (scalar projections only —
+    raw map values don't hash identically across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

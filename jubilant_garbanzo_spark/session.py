@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference app hard-codes ``local[*]`` and Spark defaults
+(``main.scala:25``). Here the session is tuned for the engine's target:
+large clusters reading ~100 TB. Every knob below is also correct (or
+harmless) on the ``local[32]`` test box:
+
+- **AQE on** (coalesce partitions + skew-join splitting): at 100 TB the
+  skew story is AQE, not hand-salting every key (SURVEY.md §4.2).
+- **shuffle.partitions** sized from env (32 locally; a cluster deploy
+  would set ~2-3× total cores).
+- **UTC session timezone** so event-time windows and the DuckDB oracle
+  agree byte-for-byte (SURVEY.md §7 "hard parts" (e)).
+- **nanosAsLong**: the driver's ``events.ts`` column is ns-precision
+  parquet which Spark 4 refuses to read natively; the catalog casts the
+  long back to a µs timestamp losslessly (integer division).
+- **Arrow** enabled for any Pandas-UDF path (vectorized batches, not
+  per-row pickling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (SQLConf) settings that must hold on ANY session the engine
+#: uses — including a session handed to us by an external driver.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming state: bounded late data; see streaming/windows.py.
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (idempotent).
+
+    The verification driver constructs its own SparkSession; every public
+    entry point of this engine funnels through here so behavior does not
+    depend on who built the session.
+    """
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this build — leave the session default.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "jubilant-garbanzo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure_runtime(spark)
