@@ -1,1 +1,307 @@
-"""Placeholder — populated in this round."""
+"""Aggregation operators (SURVEY.md §2b "Aggregation").
+
+Generalizes the reference's two aggregations — ``reduceByKeyAndWindow``
+(``main.scala:47``) and ``rdd.count()`` (``main.scala:53``) — to the
+full groupBy/distinct/rollup/cube/stats surface. Every aggregate here
+is a Catalyst two-phase HashAggregate (partial per input partition,
+final after one shuffle); the exact-cents discipline keeps double sums
+reproducible across any partial-aggregation tree (functions/money.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table, register_views
+from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
+from jubilant_garbanzo_spark.queries import register
+
+
+@register(
+    "agg_groupby_basic",
+    oracle=f"""
+        SELECT event_type,
+               count(*)                                 AS n_events,
+               count(DISTINCT user_id)                  AS n_users,
+               {exact_sum_sql("value", 6)}              AS sum_value,
+               {exact_sum_sql("value", 6)} / count(*)   AS avg_value,
+               min(value)                               AS min_value,
+               max(value)                               AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_groupby_basic(spark, sf_dir):
+    """count/sum/avg/min/max + count-distinct per group (R5/R9
+    generalized to batch)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum(F.col("value"), 6).alias("sum_value"),
+        (exact_sum(F.col("value"), 6) / F.count("*")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark, sf_dir):
+    """DISTINCT = groupBy-no-agg; partial dedup before the shuffle."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # approximate by construction → driver rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate. At 100 TB this replaces exact
+    count-distinct (which must shuffle every distinct value); rsd=0.01
+    keeps the sketch a few KB per group. Tested for bounded relative
+    error vs exact in tests/test_aggregates.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+        SELECT coalesce(r_name, 'ALL')  AS region,
+               coalesce(n_name, 'ALL')  AS nation,
+               count(*)                 AS n_customers,
+               {exact_sum_sql("c_acctbal")} AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy region→nation→grand-total."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum(F.col("c_acctbal")).alias("total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*)                         AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all 2^2 grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+               count(*) AS n_customers,
+               CAST(GROUPING(c_mktsegment) AS INTEGER) AS is_seg_total
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL entry point (SURVEY §3.3) —
+    engine registers catalog views so SQL and DataFrame paths are
+    interchangeable."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               count(*) AS n_customers,
+               CAST(GROUPING(c_mktsegment) AS INT) AS is_seg_total
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT l_partkey, count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(*) >= 5
+    """,
+    tags=("agg", "having"),
+)
+def agg_having(spark, sf_dir):
+    """HAVING = post-aggregation filter (Catalyst pushes nothing here —
+    the predicate depends on the aggregate itself)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") >= 5)
+    )
+
+
+@register(
+    "agg_statistics",
+    oracle="""
+        SELECT o_orderstatus,
+               round(stddev_samp(o_totalprice), 4) AS price_stddev,
+               round(var_samp(o_totalprice), 2)    AS price_var,
+               round(var_pop(o_totalprice), 2)     AS price_var_pop,
+               round(corr(o_totalprice, o_custkey), 6)       AS price_cust_corr,
+               round(covar_samp(o_totalprice, o_custkey), 2) AS price_cust_covar
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def agg_statistics(spark, sf_dir):
+    """Sample/population variance, stddev, correlation, covariance.
+    Engine accumulation orders differ → round absorbs the 1e-12 noise
+    (values are far from decimal ties)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("price_var"),
+        F.round(F.var_pop("o_totalprice"), 2).alias("price_var_pop"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
+            "price_cust_covar"
+        ),
+    )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    oracle="""
+        WITH mu AS (
+            SELECT event_type, avg(value) AS m FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(avg(pow(value - m, 3))
+                     / pow(avg(pow(value - m, 2)), 1.5), 5) AS skew,
+               round(avg(pow(value - m, 4))
+                     / pow(avg(pow(value - m, 2)), 2) - 3, 5) AS kurt
+        FROM events e JOIN mu ON e.event_type = mu.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skewness_kurtosis(spark, sf_dir):
+    """Skewness/kurtosis. Spark uses POPULATION moments (g1, excess
+    g2); DuckDB's built-ins use sample-corrected formulas — so the
+    oracle recomputes Spark's definition from raw central moments
+    instead of calling DuckDB's skewness()/kurtosis()."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.skewness("value"), 5).alias("skew"),
+        F.round(F.kurtosis("value"), 5).alias("kurt"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+               round(median(l_quantity), 4)                   AS med_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: linear interpolation at rank p·(n−1))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # sketch-based → rows-only; accuracy tested in pytest
+    tags=("agg", "approx", "percentile"),
+)
+def agg_percentile_approx(spark, sf_dir):
+    """percentile_approx (GK sketch): the 100 TB path for quantiles —
+    fixed-size state per group vs full sort for exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+    )
+
+
+@register(
+    "agg_collect_list_set",
+    oracle="""
+        SELECT o_custkey,
+               list(o_orderkey ORDER BY o_orderkey)  AS order_keys,
+               list_sort(list_distinct(list(o_orderstatus))) AS statuses
+        FROM orders
+        WHERE o_custkey < 30
+        GROUP BY o_custkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_list_set(spark, sf_dir):
+    """collect_list/collect_set with explicit sort discipline (Spark
+    collection order is partition-dependent → always sort_array before
+    comparing or emitting downstream)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+    )

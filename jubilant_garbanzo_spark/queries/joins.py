@@ -1,1 +1,326 @@
-"""Placeholder — populated in this round."""
+"""Join flavors over the star schema (SURVEY.md §2b "Joins").
+
+The reference has zero joins; this is the mission-mandated relational
+surface. Physical strategy notes per query: Catalyst picks
+broadcast-hash for every dimension join here (region/nation/supplier
+are O(10²) rows at ANY scale factor — see catalog.BROADCAST_DIMS);
+fact-fact joins shuffle on the join key and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
+from jubilant_garbanzo_spark.operators.asof import asof_join
+from jubilant_garbanzo_spark.queries import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 100000
+    """,
+    tags=("join",),
+)
+def join_inner(spark, sf_dir):
+    """Inner equi-join orders⋈customer; customer side broadcast at the
+    driver's sf (Catalyst auto, below autoBroadcastJoinThreshold)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               count(o.o_orderkey)                  AS n_orders,
+               coalesce(CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT))
+                             AS BIGINT), 0) / 100.0 AS total_spend
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer join keeps customers with zero orders (count=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum(cents), F.lit(0)) / 100.0).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+        FROM (SELECT * FROM lineitem WHERE l_quantity > 45) l
+        RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join: orders with no high-quantity lines get NULL
+    lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH cn AS (
+            SELECT c_nationkey AS nk, count(*) AS n_debt_customers
+            FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey
+        ), sn AS (
+            SELECT s_nationkey AS nk, count(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+               cn.n_debt_customers, sn.n_suppliers
+        FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join of two per-nation aggregates — nulls on both
+    sides where a nation has only customers-in-debt or only suppliers."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = (
+        c.filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_debt_customers"))
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full_outer").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        "n_debt_customers",
+        "n_suppliers",
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "semi"),
+)
+def join_left_semi(spark, sf_dir):
+    """Left-semi = EXISTS: customers with ≥1 urgent order. Semi joins
+    never duplicate the left side and ship only the join key — at scale
+    this beats inner-join+distinct by the width of the right row."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_left_anti(spark, sf_dir):
+    """Left-anti = NOT EXISTS: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product of the two tiny dims (5×25 at every sf —
+    cross joins are only ever sane when one side is broadcast-tiny)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+        FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate BETWEEN o.o_orderdate
+                              AND o.o_orderdate + INTERVAL 60 DAY
+    """,
+    tags=("join", "range"),
+)
+def join_theta_range(spark, sf_dir):
+    """Equi + range predicate: ships within 60 days of order. The equi
+    key keeps this a hash join (range applied as post-filter) — at
+    scale, NEVER express this as a pure theta join (nested-loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp_ntz")),
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, ts AS click_ts, event_id AS click_event_id
+            FROM events WHERE event_type = 'click'
+        ), dedup_clicks AS (
+            SELECT user_id, click_ts,
+                   max(click_event_id) AS click_event_id
+            FROM clicks GROUP BY user_id, click_ts
+        )
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f')       AS purchase_ts,
+               strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+               c.click_event_id
+        FROM purchases p
+        ASOF LEFT JOIN dedup_clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_purchases(spark, sf_dir):
+    """As-of join: each purchase ↔ the user's latest click at-or-before
+    it (operators/asof.py union-sort formulation; single shuffle).
+    Oracle: DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_value_cols=["click_ts", "click_event_id"],
+        tie_break="click_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_click_ts"
+        ),
+        "click_event_id",
+    )
+
+
+@register(
+    "join_self_pairs",
+    oracle="""
+        SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.o_orderstatus <> b.o_orderstatus
+        GROUP BY a.o_custkey
+    """,
+    tags=("join", "self"),
+)
+def join_self_pairs(spark, sf_dir):
+    """Self-join with aliases: per customer, pairs of their orders in
+    different statuses."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_broadcast_star",
+    oracle=f"""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def join_broadcast_star(spark, sf_dir):
+    """Star join with EXPLICIT broadcast of every dimension: the fact
+    table never shuffles for the joins (map-side hash joins), only for
+    the final small aggregate. This is the canonical 100 TB pattern —
+    the plan must show BroadcastHashJoin × 3 and exactly one exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            exact_sum(revenue, 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
