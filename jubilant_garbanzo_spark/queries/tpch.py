@@ -19,6 +19,8 @@ from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
 from jubilant_garbanzo_spark.queries import register
 
 
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
 _Q1_ORACLE = f"""
     SELECT l_returnflag, l_linestatus,
            {exact_sum_sql("l_quantity")}                          AS sum_qty,
@@ -65,4 +67,270 @@ def tpch_q1(spark, sf_dir):
             (exact_sum(F.col("l_discount"), 4) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+               CAST(o.o_orderdate AS DATE) AS order_date
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (adapted: no o_shippriority column): top-10 unshipped
+    orders by revenue for one market segment.
+
+    Scale shape: customer filter first (selectivity ~1/5), then two
+    hash joins; customer side broadcasts under AQE at bench scale. The
+    final top-10 is TakeOrderedAndProject, never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5: local-supplier revenue per nation in one region.
+
+    Six-table join; supplier/nation/region broadcast (BROADCAST_DIMS),
+    the customer⋈orders⋈lineitem chain shuffles on its keys. The
+    c_nationkey = s_nationkey "local" predicate is applied post-join
+    (it correlates the two broadcast sides).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT {exact_sum_sql("l_extendedprice * l_discount", 4)} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "agg"),
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6: pure filter+aggregate — the predicate-pushdown
+    benchmark. All four predicates reach the parquet scan
+    (PushedFilters); zero joins; the aggregate is a single scalar so
+    the shuffle carries one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned-item revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT)) > 150 * 100
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               o.o_totalprice,
+               {exact_sum_sql("l.l_quantity")} AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18: customers with any order totalling > 150 units.
+
+    The IN-subquery becomes a left-semi join on the pre-aggregated
+    order keys — the aggregate runs once, and only qualifying orderkeys
+    (a tiny set) flow into the semi join; at scale that set broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100.0).cast("bigint")).alias("q"))
+        .filter(F.col("q") > 150 * 100)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi", "agg"),
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (adapted: commitdate→orderdate comparison): priority
+    counts for orders with at least one late-shipping line. The
+    correlated EXISTS is a left-semi join with a non-equi conjunct."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
     )
