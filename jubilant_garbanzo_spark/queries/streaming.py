@@ -104,3 +104,228 @@ def trending_topk(spark, sf_dir):
     return counts.orderBy(
         F.desc("cnt"), F.asc("window_start"), F.asc("event_type")
     ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Real Structured Streaming queries (bounded by availableNow; memory sink).
+# Each runs the actual streaming engine — state store, incremental
+# windows — and is oracle-checked against batch SQL over the same rows.
+# ---------------------------------------------------------------------------
+
+from jubilant_garbanzo_spark.streaming.runner import (  # noqa: E402
+    read_events_stream,
+    run_available_now,
+    run_foreach_batch,
+)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS cnt,
+               CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg"),
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1 h event-time windows on a LIVE streaming query
+    (readStream → window agg → availableNow → memory sink). Complete
+    output mode keeps every window so the result equals batch SQL."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            (
+                F.sum(F.round(F.col("value") * 1000000.0).cast("bigint"))
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+    )
+    out = run_available_now(agg, output_mode="complete", name_prefix="tumbling")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=_SLIDING_ORACLE,
+    tags=("streaming", "window-agg"),
+)
+def stream_sliding_window(spark, sf_dir):
+    """R5's true form (``reduceByKeyAndWindow(_+_, Seconds(10))``,
+    ``main.scala:47``) as LIVE streaming: 10 s windows sliding 5 s in
+    event time — strictly stronger than the reference, which windows by
+    arrival batch and silently miscounts late data."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "10 seconds", "5 seconds").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    out = run_available_now(agg, output_mode="complete", name_prefix="sliding")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S.%f')          AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session-window"),
+)
+def stream_session_window(spark, sf_dir):
+    """Dynamic-gap session windows (30 min inactivity) per user on the
+    live streaming engine; oracle is the classic gaps-and-islands SQL.
+    Session end = last event + gap (Spark's definition)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = run_available_now(agg, output_mode="complete", name_prefix="session")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+        SELECT event_type, count(*) AS n_unique
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dedup: the stream unioned with itself (every event
+    duplicated) then ``dropDuplicates(event_id)`` — counts must equal
+    the plain batch counts, proving the state-store dedup dropped all
+    duplicates."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_available_now(agg, output_mode="complete", name_prefix="dedup")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_purchases,
+               CAST(sum(CAST(round(e.value * 1000000.0) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark, sf_dir):
+    """Stream ⋈ static dimension: purchases enriched with the customer
+    dim (broadcast — the static side is re-read per micro-batch, so at
+    scale it must be broadcast-sized or a slowly-changing cached dim)."""
+    s = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    joined = s.join(c, s.user_id == c.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_purchases"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("bigint")) / 1000000.0
+        ).alias("total_value"),
+    )
+    return run_available_now(agg, output_mode="complete", name_prefix="sjoin")
+
+
+@register(
+    "stream_foreachbatch",
+    oracle="""
+        SELECT event_type, count(*) AS cnt
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreachbatch(spark, sf_dir):
+    """foreachBatch custom sink (the Structured Streaming twin of the
+    reference's ``foreachRDD`` console printer, ``main.scala:51-55``):
+    per-batch partial counts are merged driver-side into a final total,
+    which must equal the batch GROUP BY regardless of how availableNow
+    split the micro-batches."""
+    totals: dict[str, int] = {}
+
+    def merge_batch(batch_df, batch_id):
+        for row in batch_df.groupBy("event_type").count().collect():
+            totals[row["event_type"]] = totals.get(row["event_type"], 0) + row["count"]
+
+    s = read_events_stream(spark, sf_dir)
+    run_foreach_batch(s, merge_batch, name_prefix="feb")
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(totals.items())], "event_type string, cnt long"
+    )
+
+
+@register(
+    "stream_watermark_append",
+    oracle=None,  # append-mode emission depends on watermark advance → rows-only
+    tags=("streaming", "watermark"),
+)
+def stream_watermark_append(spark, sf_dir):
+    """Append-mode windowed counts with a 1 h watermark: only windows
+    the watermark has passed are emitted (the tail stays in state).
+    This is the late-data-drop semantics the reference lacks entirely
+    (processing-time windows, SURVEY §2a). Rows-only check; exact
+    late-row behavior is unit-tested in tests/test_streaming.py."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_available_now(agg, output_mode="append", name_prefix="wm")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+    )

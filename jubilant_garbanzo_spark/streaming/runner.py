@@ -1,0 +1,107 @@
+"""Streaming source + bounded-run harness.
+
+``trigger(availableNow=True)`` runs the SAME streaming query the
+production path would run continuously (``trigger(processingTime=
+"5 seconds")`` like the reference's 5 s batches, ``main.scala:27``),
+but terminates when the source is drained — which is what makes
+streaming results oracle-checkable against batch SQL (SURVEY §5.2.3).
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jubilant_garbanzo_spark.session import configure_runtime
+
+#: Raw parquet schema for the events table under nanosAsLong (ts is a
+#: ns-epoch long on disk; FIXTURES.md).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_query_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events parquet.
+
+    In production this is the kafka/rate source (reference: the
+    twitter4j receiver, ``main.scala:41``); a file source with an
+    explicit schema exercises the identical downstream graph. ``ts``
+    is normalized exactly like the batch catalog (ns → µs, NTZ), and
+    NOTE: the event-time column must stay TimestampType for
+    watermarks, so streaming uses ``timestamp`` (UTC session) rather
+    than ntz.
+    """
+    configure_runtime(spark)
+    # The file source wants a directory; pathGlobFilter selects just the
+    # events table out of the shared sf dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    name_prefix: str = "stream_result",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    Returns the sink table as a (batch) DataFrame. The memory sink is
+    the test/driver surface; production writes swap in parquet/kafka
+    sinks with the same query graph (reference analog: the console
+    ``foreachRDD`` printer, ``main.scala:51-55``).
+    """
+    spark = df.sparkSession
+    name = f"{name_prefix}_{next(_query_counter)}"
+    checkpoint = tempfile.mkdtemp(prefix=f"jg_ckpt_{name}_")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    name_prefix: str = "stream_feb",
+) -> None:
+    """Run a streaming DataFrame through ``foreachBatch`` to drain.
+
+    ``batch_fn(batch_df, batch_id)`` is the per-micro-batch escape
+    hatch — the Structured Streaming twin of the reference's
+    ``foreachRDD`` (``main.scala:51``).
+    """
+    name = f"{name_prefix}_{next(_query_counter)}"
+    checkpoint = tempfile.mkdtemp(prefix=f"jg_ckpt_{name}_")
+    query = (
+        df.writeStream.foreachBatch(batch_fn)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

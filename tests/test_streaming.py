@@ -1,0 +1,105 @@
+"""Streaming semantics unit tests: watermark late-data drop, session
+merge — behaviors the DuckDB oracle can't express (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jubilant_garbanzo_spark.streaming.runner import run_available_now
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row behind the watermark must be dropped, not re-counted —
+    the late-data semantics the reference lacks (SURVEY §2a: its
+    processing-time windows silently miscount).
+
+    Spark subtlety this test pins down (observed on 4.1.2): late-event
+    filtering uses the PREVIOUS batch's watermark
+    (``watermarkForLateEvents``) while state eviction uses the current
+    one — so a late row is only guaranteed dropped once the advancing
+    event is ≥2 micro-batches old. Hence the spacer batch below.
+    """
+    import datetime as dt
+
+    path = str(tmp_path / "stream_src")
+    t = lambda m, s: dt.datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+
+    batches = [
+        [(t(0, 10), "a"), (t(0, 20), "a")],  # window 10:00 gets 2 rows
+        [(t(10, 0), "a")],  # advances watermark to 10:09
+        [(t(11, 0), "a")],  # spacer: 10:09 becomes the late-event bar
+        [(t(0, 30), "a"), (t(20, 0), "a")],  # late row → must be dropped
+    ]
+    for rows_ in batches:
+        _write_batch(spark, path, rows_)
+        time.sleep(1.1)  # file source orders batches by mod time
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_available_now(agg, output_mode="append", name_prefix="late").select(
+        F.date_format("w.start", "HH:mm").alias("w0"), "cnt"
+    )
+    rows = {r["w0"]: r["cnt"] for r in out.collect()}
+    # Window 10:00 finalized with 2 rows; the late 10:00:30 row was
+    # dropped. Window 10:20 is still open → absent in append mode.
+    assert rows.get("10:00") == 2
+    assert "10:20" not in rows
+
+
+def test_session_window_merges_across_batches(spark, tmp_path):
+    """Session state must merge events arriving in different
+    micro-batches into one session when within the gap."""
+    import datetime as dt
+
+    path = str(tmp_path / "sess_src")
+    t = lambda m, s: dt.datetime(2024, 1, 1, 12, m, s)  # noqa: E731
+    _write_batch(spark, path, [(t(0, 0), "u1"), (t(2, 0), "u1")])
+    time.sleep(1.1)
+    _write_batch(spark, path, [(t(4, 0), "u1"), (t(30, 0), "u1")])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "k"
+    ).agg(F.count("*").alias("cnt"))
+    out = run_available_now(agg, output_mode="complete", name_prefix="sess")
+    rows = sorted((r["cnt"]) for r in out.collect())
+    # One merged session of 3 events (00:00-04:00) + one singleton.
+    assert rows == [1, 3]
+
+
+def test_trending_counts_bounded_run(spark, sf_dir):
+    """The continuous demo's query graph, drained bounded: top event
+    type must match the batch flagship's top cell."""
+    from jubilant_garbanzo_spark.streaming.trending import trending_counts
+
+    counts = trending_counts(spark, sf_dir)
+    out = run_available_now(counts, output_mode="complete", name_prefix="trend")
+    assert out.count() > 0
+    assert set(out.columns) == {"w", "event_type", "cnt"}
