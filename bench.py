@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the ``noop`` datasource sink
+(df.write.format("noop")) so timing covers scan→shuffle→agg on the
+executors, not driver-side collect serialization. One warm-up query runs
+first so JVM/codegen startup is excluded from per-query numbers.
+
+Usage: python bench.py [--sf DIR] [--runs N] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jubilant_garbanzo_spark.queries import load_all  # noqa: E402
+from jubilant_garbanzo_spark.session import get_spark  # noqa: E402
+
+#: The headline set: the flagship, the TPC-H-style relational core, the
+#: heaviest join/agg/window shapes, and the LLM-pipeline ops that matter
+#: at 100 TB (dedup, ANN, token stats). Kept to ~1/5 of the registry so
+#: the driver's per-round bench stays fast while covering every engine
+#: subsystem.
+HEADLINE: tuple[str, ...] = (
+    "trending_topk",  # flagship: windowed top-K over events
+    "tpch_q1_pricing_summary",  # full-scan agg
+    "tpch_q3_shipping_priority",  # 3-way join + agg + topk
+    "tpch_q5_local_supplier_volume",  # 6-way star join
+    "tpch_q6_forecast_revenue",  # pushdown filter + sum
+    "tpch_q18_large_volume_customers",  # having + semi-style join
+    "join_broadcast_star",  # broadcast dims
+    "join_asof",  # window-function as-of join
+    "agg_rollup",  # multi-level agg
+    "window_topn_per_group",  # partitioned ranking
+    "dedup_exact_by_fingerprint",  # hash-groupBy dedup
+    "dedup_minhash_lsh",  # shingle→minhash→band join
+    "embed_cosine_topk",  # brute-force ANN baseline
+    "embed_ann_ivf",  # IVF-pruned ANN
+    "text_term_frequency",  # tokenize+explode+count
+    "stream_sliding_window",  # availableNow streaming twin
+)
+
+
+def run_one(spark, spec, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    specs = load_all()
+    names = args.names or [n for n in HEADLINE if n in specs]
+    spark = get_spark("bench")
+
+    # Warm-up: JVM classloading + codegen compile, excluded from timings.
+    specs["trending_topk"].fn(spark, args.sf).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = min(run_one(spark, specs[name], args.sf) for _ in range(args.runs))
+        timings[name] = round(best, 3)
+        print(f"# {name}: {best:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(args.sf.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all pure DataFrame/Catalyst expressions (no UDFs, fully
+codegen'd, horizontally scalable):
+
+- **exact**: hash-groupBy on the raw text (or md5 for wide rows);
+- **MinHash-LSH**: shingle → 32 seeded xxhash64 min-hashes → 8 bands
+  of 4 → candidate pairs via band-bucket join → exact-Jaccard verify;
+- **SimHash**: 64-bit sign-aggregated token hashes, near-dups =
+  small Hamming distance;
+- **n-gram Jaccard**: exact pairwise verification inside a blocking
+  key (used standalone for small blocks, or as the verify stage).
+
+Determinism: every hash is ``xxhash64`` with a constant string salt —
+no RNG anywhere (SURVEY §7 hard-part (c)).
+
+Scale design: LSH candidate generation shuffles on the band signature
+(a 1-in-(bands×buckets) partition of the corpus), never on all-pairs;
+the verify join only touches candidate pairs. At 100 TB the band
+buckets are the unit of parallelism and skew (a boilerplate-text
+bucket) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization — reproduces the reference's
+    ``getText.split(" ")`` (``main.scala:45``) exactly."""
+    return F.split(col, " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles; documents shorter than ``n`` tokens
+    fall back to their full text as a single shingle."""
+    toks = tokens(col)
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, win).otherwise(F.array(col)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "id",
+    shingle_col: str = "sh",
+    n_perm: int = N_PERM,
+) -> DataFrame:
+    """``(id, m0..m{n_perm-1})``: per-doc min of ``xxhash64(shingle,
+    salt_p)`` for each simulated permutation p (constant salts →
+    deterministic).
+
+    Shape matters at scale: explode the shingle set, compute the
+    ``n_perm`` hashes per (doc, shingle) row, then ``groupBy(id).min``
+    — Catalyst plans a partial (map-side) aggregate so the shuffle
+    carries one ``n_perm``-long row per doc per mapper, never the
+    shingles. This replaces a single giant nested-HOF expression
+    (32 × ``array_min(transform(...))``) that overflowed whole-stage
+    codegen and ran ~50× slower.
+    """
+    exploded = docs.select(id_col, F.explode(shingle_col).alias("s"))
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.xxhash64("s", F.lit(f"perm{p}")).alias(f"h{p}")
+            for p in range(n_perm)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(n_perm)]
+    )
+
+
+def band_keys(n_perm: int = N_PERM, n_bands: int = N_BANDS) -> Column:
+    """Array of band keys over minhash columns ``m0..m{n_perm-1}``:
+    band b's key concatenates its ``n_perm/n_bands`` row hashes
+    (collision within any band ⇒ candidate pair)."""
+    rows_per_band = n_perm // n_bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def exact_jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / union
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Pipeline: per-doc shingle set → minhash signature via partial-agg
+    (``minhash_signatures``) → explode band keys → self-join on band key
+    (candidates) → distinct pairs → exact-Jaccard verify against the
+    shingle sets. Only candidate pairs are ever materialized; the band
+    join shuffles 1 row per (doc, band), and AQE skew-split handles a
+    boilerplate-heavy bucket.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col)).alias("sh"),
+    )
+    sig = minhash_signatures(sh, "id", "sh")
+    banded = sig.select("id", F.explode(band_keys()).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_bits(text_col: Column, n_bits: int = 64) -> Column:
+    """SimHash as an ``n_bits``-char bitstring.
+
+    Per token, take bit i of ``xxhash64(token)`` as ±1; the fingerprint
+    bit is the sign of the per-position sum — one ``aggregate`` HOF with
+    an array accumulator, all JVM-side.
+    """
+    toks = tokens(text_col)
+    # n_bits is a Python constant, so the bit positions unroll at plan
+    # build time (shiftright needs a literal shift amount).
+    token_bits = lambda t: F.array(  # noqa: E731
+        *[
+            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
+            for i in range(n_bits)
+        ]
+    )
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda a, t: F.zip_with(a, token_bits(t), lambda x, y: x + y),
+    )
+    return F.concat_ws(
+        "", F.transform(acc, lambda x: F.when(x > 0, "1").otherwise("0"))
+    )
+
+
+def hamming_distance_bitstrings(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bitstrings."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs WITHIN a blocking key.
+
+    The blocking key bounds the quadratic term: candidates are
+    generated per block (shuffle on block key), which is the only sane
+    shape for exact pairwise similarity at scale.
+    """
+    sh = docs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    a = sh.select("blk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select("blk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

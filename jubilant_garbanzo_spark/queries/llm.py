@@ -1,1 +1,480 @@
-"""Placeholder — populated in this round."""
+"""LLM-data-pipeline queries over ``documents`` + ``embeddings``
+(SURVEY.md §2b, mission-mandated).
+
+Every operator from operators/{dedup,similarity,textops,multimodal}
+exposed as a driver-checkable query. Where cross-engine hashing is
+impossible (xxhash64 is Spark-only) the check is rows-only and the
+semantics are pinned by unit tests instead (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.operators import dedup as D
+from jubilant_garbanzo_spark.operators import multimodal as M
+from jubilant_garbanzo_spark.operators import similarity as S
+from jubilant_garbanzo_spark.operators import textops as TX
+from jubilant_garbanzo_spark.queries import register
+
+
+# -- deduplication -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT text, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY text
+        HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup as hash-groupBy: duplicate groups with the kept
+    (min) id — the canonical first pass of any corpus pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_exact_by_fingerprint",
+    oracle="""
+        SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def dedup_exact_by_fingerprint(spark, sf_dir):
+    """Exact dedup keyed on the md5 fingerprint instead of raw text —
+    what you shuffle at 100 TB (16 bytes/key instead of whole docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(TX.fingerprint_md5(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures are Spark-only → rows-only;
+    # recall vs exact Jaccard is unit-tested in tests/test_llm_ops.py
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs at J≥0.8 (32 perms, 8 bands × 4)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                        ELSE [text] END) AS sh
+            FROM documents
+        )
+        SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs (≥0.5) within ``source`` blocks —
+    blocking bounds the quadratic pair space."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based bits → rows-only; properties unit-tested
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprint per document + duplicate-bucket
+    counts (identical fingerprints ⇒ near-identical token bags)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", D.simhash_bits(F.col("text")).alias("simhash")
+    )
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy(F.desc("n_docs"), F.asc("keeper_doc_id"))
+    )
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' '))                    AS n_tokens,
+               length(text)                                    AS n_chars_measured,
+               n_chars                                         AS n_chars_declared,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6)        AS mean_token_len,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6)        AS uniq_ratio
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark, sf_dir):
+    """Per-document surface statistics (token/char counts, mean token
+    length, vocabulary uniqueness)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / F.size(toks), 6
+        ).alias("mean_token_len"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+@register(
+    "text_lang_filter",
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang IN ('en', 'es', 'de')
+        GROUP BY lang
+    """,
+    tags=("llm", "text", "filter"),
+)
+def text_lang_filter(spark, sf_dir):
+    """Language filter — reference R2 (``main.scala:42``) generalized
+    from a hardcoded 'en' to an allow-list, plus per-language volume."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "es", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('the', 'of', 'and'))) AS en_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('el', 'la', 'de')))   AS es_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('der', 'die', 'das'))) AS de_hits
+            FROM documents
+        )
+        SELECT doc_id, lang AS declared_lang,
+               CASE WHEN greatest(en_hits, es_hits, de_hits) = 0 THEN 'und'
+                    WHEN en_hits = greatest(en_hits, es_hits, de_hits) THEN 'en'
+                    WHEN es_hits = greatest(en_hits, es_hits, de_hits) THEN 'es'
+                    ELSE 'de' END AS predicted_lang
+        FROM scored
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-hit language-ID heuristic (deterministic, mirrored in
+    SQL; a real classifier plugs in at this seam via pandas_udf)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        TX.lang_id_heuristic(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               round((
+                 CAST(len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS INTEGER)
+               + CAST((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' '))) BETWEEN 3 AND 10 AS INTEGER)
+               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' '))
+               ) / 3.0, 6) AS quality
+        FROM documents
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Rule-based quality score (length band + mean-token-length band +
+    uniqueness), the Gopher-rule shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_token_count_regex",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                   AS regex_tokens
+        FROM documents
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def text_token_count_regex(spark, sf_dir):
+    """Whitespace vs regex pre-tokenizer counts (the BPE-ish splitter
+    every token-budget estimate starts from)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.regex_token_count(F.col("text")).alias("regex_tokens"),
+    )
+
+
+@register(
+    "text_term_frequency",
+    oracle="""
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY freq DESC, tok ASC
+        LIMIT 20
+    """,
+    tags=("llm", "text", "flagship-twin"),
+)
+def text_term_frequency(spark, sf_dir):
+    """Corpus term frequency top-20 — the batch twin of the reference's
+    entire pipeline (tokenize → count → top-K, ``main.scala:45-52``)
+    on real text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=None,  # rolling hash uses xxhash64 → rows-only; md5 covered
+    # by dedup_exact_by_fingerprint's oracle
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprints(spark, sf_dir):
+    """md5 + order-sensitive rolling-hash fingerprints per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("md5"),
+        TX.rolling_hash(F.col("text")).alias("rolling"),
+    )
+
+
+# -- embeddings --------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+@register(
+    "embed_cosine_topk",
+    oracle="""
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    tags=("llm", "embedding", "ann"),
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query — the exact
+    baseline every ANN variant is measured against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "embed_similarity_join",
+    oracle="""
+        SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.9
+    """,
+    tags=("llm", "embedding", "similarity-join"),
+)
+def embed_similarity_join(spark, sf_dir):
+    """Pairwise cosine ≥ 0.9 within label blocks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.similarity_join(e, threshold=0.9)
+
+
+@register(
+    "embed_norms",
+    oracle="""
+        SELECT label,
+               count(*) AS n_vecs,
+               round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))), 6)
+                   AS min_norm,
+               round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))), 6)
+                   AS max_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("llm", "embedding"),
+)
+def embed_norms(spark, sf_dir):
+    """Per-label vector-norm extremes (embedding hygiene check)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.min(S.norm(v)), 6).alias("min_norm"),
+        F.round(F.max(S.norm(v)), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "embed_ann_ivf",
+    oracle=None,  # approximate (probed buckets) → rows-only; recall vs
+    # brute force unit-tested in tests/test_llm_ops.py
+    tags=("llm", "embedding", "ann"),
+)
+def embed_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: probe the 2 nearest label-centroids, exact search
+    inside — the scale path (scan 2/10ths of the corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, _query_vec(spark, sf_dir), k=10, n_probe=2)
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text))            AS n_bytes,
+               md5(text)                             AS payload_md5,
+               substr(hex(encode(substr(text, 1, 4))), 1, 8) AS magic_hex
+        FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary column handling: payload size, content hash, and
+    magic-bytes prefix (the triage every media pipeline runs before
+    decode). Payload = utf-8 bytes of text (stand-in for image bytes)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.substring(F.hex(F.encode(F.substring("text", 1, 4), "utf-8")), 1, 8).alias(
+            "magic_hex"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text))          AS n_bytes,
+               octet_length(encode(text)) % 64 + 1 AS width,
+               octet_length(encode(text)) % 48 + 1 AS height,
+               octet_length(encode(text)) % 8 + 1  AS n_frames
+        FROM documents
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched ``mapInPandas`` decode plumbing with the
+    deterministic fake decoder (operators/multimodal.py); the oracle
+    mirrors the fake's arithmetic so the whole Python-worker round-trip
+    is value-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    meta = M.decode_metadata(payloads)
+    return meta.select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id, octet_length(encode(text)) % 8 + 1 AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, frame_idx FROM (
+            SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
+            FROM meta
+        )
+        WHERE frame_idx % 2 = 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: every 2nd synthetic frame index per
+    payload (explode + modulo filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return M.frame_sample(M.decode_metadata(payloads), every_nth=2)

@@ -1,0 +1,131 @@
+"""Semantic tests for LLM-pipeline ops the DuckDB oracle can't check
+(Spark-only xxhash64 signatures, approximate algorithms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.operators import dedup as D
+from jubilant_garbanzo_spark.operators import similarity as S
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH (32 perms, 8×4 bands) must find ≥90% of true J≥0.9 pairs
+    (theoretical candidate prob at J=0.9 is 1-(1-0.9^4)^8 ≈ 0.9996),
+    and every reported pair must satisfy its verified threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.9)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+
+    # Exact all-pairs ground truth (bounded: sf0.001 → 500 docs).
+    sh = docs.select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            D.exact_jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+    )
+    true_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+
+    assert true_pairs, "fixture should contain near-duplicate documents"
+    recall = len(lsh_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+    assert lsh_pairs <= true_pairs | lsh_pairs  # sanity: no malformed ids
+
+
+def test_minhash_no_false_positives_after_verify(spark, sf_dir):
+    """The verify stage makes LSH output exact above the threshold:
+    every reported jaccard must be ≥ the threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_simhash_identical_and_near_texts(spark):
+    """Identical texts → identical fingerprints; a one-token edit on a
+    long doc moves few bits; unrelated texts differ a lot."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    edited = " ".join(("tok{}".format(i) if i != 50 else "CHANGED") for i in range(100))
+    other = " ".join(f"zzz{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)], "id long, text string"
+    )
+    fp = df.select("id", D.simhash_bits(F.col("text")).alias("s"))
+    pairs = (
+        fp.alias("a")
+        .crossJoin(fp.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            D.hamming_distance_bitstrings(F.col("a.s"), F.col("b.s")).alias("d"),
+        )
+    )
+    d = {(r["ia"], r["ib"]): r["d"] for r in pairs.collect()}
+    assert d[(1, 2)] == 0
+    assert d[(1, 3)] <= 8, f"near-dup moved {d[(1,3)]} bits"
+    assert d[(1, 4)] >= 16, f"unrelated docs only {d[(1,4)]} bits apart"
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF probing 2/4 buckets must recover the exact top-10 when the
+    data actually clusters (the fixture embeddings are unclustered
+    random vectors, so recall there is meaningless — this constructs
+    4 well-separated clusters deterministically)."""
+    import math
+
+    dim = 16
+    rows = []
+    for cluster in range(4):
+        base = [math.sin(cluster * 37 + d) for d in range(dim)]
+        for m in range(50):
+            vec = [
+                base[d] + 0.05 * math.sin(m * 13 + d + cluster) for d in range(dim)
+            ]
+            rows.append((cluster * 50 + m, cluster, [float(x) for x in vec]))
+    e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    q = e.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {r["vec_id"] for r in S.brute_force_topk(e, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in S.ivf_topk(e, q, k=10, bucket_col="label", n_probe=2).collect()
+    }
+    assert len(exact & approx) >= 9, f"IVF recall {len(exact & approx)}/10"
+
+
+def test_asof_join_semantics(spark):
+    """as-of join edge cases: exact-timestamp match (<=), no prior row
+    (NULL), tie on right timestamps (max tie_break wins)."""
+    from jubilant_garbanzo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 100, 5)], "eid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 900), (100, 10, 901), (100, 15, 902)],
+        "k long, rt long, rid long",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="t",
+        right_ts="rt",
+        right_value_cols=["rid"],
+        tie_break="rid",
+    )
+    got = {r["eid"]: r["rid"] for r in out.collect()}
+    assert got[1] == 901  # equal ts included; tie → max rid
+    assert got[2] == 902  # latest prior
+    assert got[3] is None  # nothing at or before t=5
