@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         relational,
         setops,
+        sources,
         streaming,
         tpch,
         windows,

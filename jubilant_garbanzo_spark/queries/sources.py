@@ -1,0 +1,123 @@
+"""Source/sink roundtrip queries (SURVEY.md §2b "Scans / sources / sinks").
+
+Each query materializes a deterministic non-parquet export of a fixture
+table once per sf_dir (see :mod:`..sources.formats`), exercises the real
+read path (explicit schema, no inference), and reduces to an aggregate
+the DuckDB oracle can compute straight from the original parquet view —
+so a value-hash match proves the format roundtrip was lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
+from jubilant_garbanzo_spark.queries import register
+from jubilant_garbanzo_spark.sources import formats as FMT
+
+
+@register(
+    "scan_csv",
+    oracle="""
+        SELECT n_regionkey,
+               count(*) AS n_nations,
+               min(n_name) AS first_name,
+               max(n_name) AS last_name
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("source", "csv", "scan"),
+)
+def scan_csv(spark, sf_dir):
+    """CSV scan with explicit schema; agg proves a lossless roundtrip
+    (reference has no file sources at all — receiver only,
+    ``main.scala:41``)."""
+    path = FMT.export_csv(
+        spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    df = FMT.read_csv(spark, path, FMT.NATION_SCHEMA)
+    return df.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
+@register(
+    "scan_json",
+    oracle=f"""
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               {exact_sum_sql('c_acctbal')} AS total_acctbal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("source", "json", "scan"),
+)
+def scan_json(spark, sf_dir):
+    """JSON-lines scan with explicit schema; exact-cents sum proves the
+    double column survived the text roundtrip bit-for-bit."""
+    path = FMT.export_json(
+        spark,
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    df = FMT.read_json(spark, path, FMT.CUSTOMER_SCHEMA)
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        exact_sum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+        SELECT doc_id, strlen(text) AS n_bytes
+        FROM documents
+        WHERE doc_id % 50 = 0
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def source_binaryfile(spark, sf_dir):
+    """``binaryFile`` multimodal ingestion: one row per blob with the
+    raw bytes; doc_id recovered from the file name, byte length checked
+    against the source text's octet length."""
+    path = FMT.export_text_blobs(spark, sf_dir, modulus=50)
+    df = FMT.read_binary_files(spark, path)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               count(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("sink", "parquet", "partitioned"),
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Partitioned parquet sink + scan-back: daily event counts written
+    ``partitionBy(event_type)`` (the pruning-friendly layout, SURVEY
+    §4.2), then read back through the partition-discovery path."""
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    out = os.path.join(
+        FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "events_daily_pq"
+    )
+    FMT.write_parquet_partitioned(daily, out, ["event_type"])
+    back = spark.read.parquet(out)
+    return back.select("event_type", "day", "cnt")
