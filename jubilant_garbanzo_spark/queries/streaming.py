@@ -329,3 +329,40 @@ def stream_watermark_append(spark, sf_dir):
         "event_type",
         "cnt",
     )
+
+
+@register(
+    "stream_stateful_running_count",
+    oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def stream_stateful_running_count(spark, sf_dir):
+    """Arbitrary stateful op (``applyInPandasWithState``): per-user
+    running event counters in the state store, emitted each micro-batch
+    in update mode. After draining the bounded source, the LAST emission
+    per user must equal batch ``GROUP BY user_id`` — incremental state
+    converging to the batch answer is exactly the guarantee the
+    reference's ``reduceByKeyAndWindow`` (``main.scala:47``) never had
+    across restarts."""
+    from jubilant_garbanzo_spark.streaming.stateful import running_count_per_user
+
+    rows: dict[int, int] = {}
+
+    def keep_latest(batch_df, batch_id):
+        for r in batch_df.collect():
+            rows[r["user_id"]] = r["n_events"]  # later batches overwrite
+
+    s = read_events_stream(spark, sf_dir)
+    run_foreach_batch(
+        running_count_per_user(s),
+        keep_latest,
+        name_prefix="state",
+        output_mode="update",
+    )
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(rows.items())], "user_id long, n_events long"
+    )

@@ -88,6 +88,7 @@ def run_foreach_batch(
     df: DataFrame,
     batch_fn,
     name_prefix: str = "stream_feb",
+    output_mode: str = "append",
 ) -> None:
     """Run a streaming DataFrame through ``foreachBatch`` to drain.
 
@@ -100,8 +101,26 @@ def run_foreach_batch(
     query = (
         df.writeStream.foreachBatch(batch_fn)
         .queryName(name)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100
+) -> DataFrame:
+    """``rate`` source: (timestamp, value) rows generated at a fixed
+    rate — the load-generator twin of the reference's live receiver
+    (``main.scala:41``) for latency/throughput testing without an
+    external feed. In production the same slot is filled by the kafka
+    source (``format("kafka")``; not installable in this container, so
+    it is exercised only through this identical-API seam)."""
+    configure_runtime(spark)
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

@@ -1,0 +1,67 @@
+"""Arbitrary stateful streaming (SURVEY.md §2b "stateful arbitrary op").
+
+The reference's only state is what ``reduceByKeyAndWindow`` keeps
+internally (``main.scala:47``). Structured Streaming generalizes to
+user-defined per-key state via ``applyInPandasWithState``: the engine's
+example operator keeps one running counter per ``user_id`` and emits the
+cumulative count each micro-batch.
+
+Equivalence property (what the oracle checks): after draining a bounded
+source, the LAST emission per key equals the plain batch
+``groupBy(user_id).count()`` — state accumulated incrementally across
+micro-batches must converge to the batch answer.
+
+Scale: state lives in the executor-side state store partitioned by
+grouping key (RocksDB-backed in production config); a 1000-executor
+cluster shards users horizontally, and the Arrow batch transfer keeps
+the Python hop vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def _update_running_count(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into the persistent counter."""
+    (user_id,) = key
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
+
+def running_count_per_user(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame of cumulative per-user event counts.
+
+    ``events`` must be a streaming DataFrame with a ``user_id`` column.
+    Emits one (user_id, n_events) row per key per micro-batch in
+    ``update`` mode; no timeout (counters live for the query lifetime —
+    a production TTL would use ``GroupStateTimeout.EventTimeTimeout``).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_count,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -103,3 +103,29 @@ def test_trending_counts_bounded_run(spark, sf_dir):
     out = run_available_now(counts, output_mode="complete", name_prefix="trend")
     assert out.count() > 0
     assert set(out.columns) == {"w", "event_type", "cnt"}
+
+
+def test_rate_source_produces_rows(spark):
+    """The rate load-generator source feeds the same query graph as the
+    file/kafka sources; a short bounded drain must yield rows with the
+    (timestamp, value) contract schema."""
+    import time
+
+    from jubilant_garbanzo_spark.streaming.runner import read_rate_stream
+
+    stream = read_rate_stream(spark, rows_per_second=50)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and not spark.table("rate_smoke").count():
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table("rate_smoke")
+    assert out.columns == ["timestamp", "value"]
+    assert out.count() > 0
