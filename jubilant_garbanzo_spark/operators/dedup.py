@@ -39,15 +39,23 @@ def tokens(col: Column) -> Column:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-token shingles; documents shorter than ``n`` tokens
-    fall back to their full text as a single shingle."""
+    fall back to their full text as a single shingle.
+
+    Formulated as ``n`` row-level ``slice``s zipped elementwise: the
+    lambdas reference only their own arguments, so nothing row-scoped is
+    re-evaluated per element. (The naive ``transform(sequence(...),
+    i -> element_at(toks, i+j)...)`` embeds the ``split`` via outer
+    reference and re-runs it for every element — O(tokens²) per doc,
+    measured 30× slower at sf0.1.)
+    """
     toks = tokens(col)
-    win = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= n, win).otherwise(F.array(col)))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.slice(toks, 1, m)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(F.when(m >= 1, zipped).otherwise(F.array(col)))
 
 
 def minhash_signatures(
