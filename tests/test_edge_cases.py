@@ -1,0 +1,127 @@
+"""Edge cases the DuckDB oracle can't see (SURVEY §5.2.4): empty
+inputs, nulls, degenerate corpora, and order-independence properties.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jubilant_garbanzo_spark.functions.money import exact_sum
+from jubilant_garbanzo_spark.operators import dedup as D
+from jubilant_garbanzo_spark.operators import textops as TX
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_minhash_empty_corpus(spark):
+    out = D.minhash_lsh_pairs(docs_df(spark, []))
+    assert out.count() == 0
+
+
+def test_minhash_single_doc(spark):
+    out = D.minhash_lsh_pairs(docs_df(spark, [(1, "a b c d e")]))
+    assert out.count() == 0
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    """Identical texts have identical signatures — LSH must always
+    produce the pair, at any threshold."""
+    rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")]
+    out = D.minhash_lsh_pairs(docs_df(spark, rows), threshold=1.0).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_null_text_dropped_not_crashing(spark):
+    """Null text cannot be shingled; those docs drop out of the
+    signature table instead of poisoning the join."""
+    rows = [(1, None), (2, "a b c d"), (3, "a b c d")]
+    out = D.minhash_lsh_pairs(docs_df(spark, rows), threshold=1.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(2, 3)]
+
+
+def test_shingles_shorter_than_n_fall_back_to_full_text(spark):
+    row = (
+        docs_df(spark, [(1, "only two")])
+        .select(D.shingles(F.col("text")).alias("sh"))
+        .first()
+    )
+    assert row["sh"] == ["only two"]
+
+
+def test_dedup_exact_groups_nulls_together(spark):
+    rows = [(1, None), (2, None), (3, "x")]
+    out = (
+        docs_df(spark, rows)
+        .groupBy("text")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["text"] is None
+
+
+def test_quality_score_null_and_empty(spark):
+    out = (
+        docs_df(spark, [(1, None), (2, "")])
+        .select(TX.quality_score(F.col("text")).alias("q"))
+        .collect()
+    )
+    assert out[0]["q"] is None
+    # "" tokenizes to one empty token: defined, not NaN/error.
+    assert out[1]["q"] is not None
+
+
+def test_simhash_deterministic_and_64bit(spark):
+    out = (
+        docs_df(spark, [(1, "a b c"), (2, "a b c")])
+        .select(D.simhash_bits(F.col("text")).alias("s"))
+        .collect()
+    )
+    assert out[0]["s"] == out[1]["s"]
+    assert len(out[0]["s"]) == 64
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=200,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_exact_sum_is_partition_and_order_independent(spark, cents, seed):
+    """exact_sum must equal the Decimal ground truth under ANY row
+    order and partitioning — the property raw double sums lack, and
+    the reason every money aggregate in the engine uses it."""
+    import random
+
+    vals = [c / 100.0 for c in cents]
+    truth = float(sum(Decimal(c) for c in cents) / 100)
+    shuffled = vals[:]
+    random.Random(seed).shuffle(shuffled)
+    for n_parts in (1, 7):
+        df = spark.createDataFrame(
+            [(v,) for v in shuffled], "x double"
+        ).repartition(n_parts)
+        got = df.agg(exact_sum(F.col("x")).alias("s")).first()["s"]
+        assert got == pytest.approx(truth, abs=1e-9)
