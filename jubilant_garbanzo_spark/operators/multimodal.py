@@ -86,3 +86,97 @@ def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).filter(F.col("frame_idx") % every_nth == 0)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resample: nearest-neighbor
+    over the raw byte stream to exactly width*height output bytes."""
+    n, target = len(payload), width * height
+    if n == 0:
+        return b""
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def resize_payload(
+    payloads: DataFrame,
+    width: int = 8,
+    height: int = 6,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing via Arrow-batched ``mapInPandas``: every
+    non-empty payload becomes exactly ``width*height`` bytes (the
+    real kernel — PIL ``Image.resize`` — swaps in behind the
+    ``REAL_DECODERS_AVAILABLE`` gate with this exact signature)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("real resize kernel (PIL) not installed")
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf[bin_col].map(
+                        lambda b: _fake_resize(b, width, height)
+                    ),
+                }
+            )
+
+    return payloads.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        resize_batches, RESIZE_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(
+    payloads: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction plumbing: per-payload ``dim``-bucket byte
+    histogram, L1-normalized — the deterministic stand-in for an
+    embedding model forward pass (same mapInPandas batch shape and
+    ``array<double>`` output a real encoder would produce)."""
+    import numpy as np
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("real feature encoder not installed")
+        for pdf in batches:
+
+            def hist(b: bytes) -> list[float]:
+                if not b:
+                    return [0.0] * dim
+                counts = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) // (256 // dim),
+                    minlength=dim,
+                )[:dim]
+                return (counts / counts.sum()).round(6).tolist()
+
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "features": pdf[bin_col].map(hist)}
+            )
+
+    return payloads.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        feat_batches, FEATURE_SCHEMA
+    )

@@ -305,3 +305,61 @@ def agg_collect_list_set(spark, sf_dir):
         F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
         F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot: daily event-type count matrix. The pivot values are
+    DECLARED (not discovered) — an undeclared pivot needs an extra
+    distinct-scan job and yields nondeterministic column order, both
+    wrong at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+        SELECT o_orderpriority, 'max_price' AS metric,
+               round(max(o_totalprice), 2) AS value
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'n_orders' AS metric,
+               CAST(count(*) AS DOUBLE) AS value
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot (melt): wide per-priority aggregates to long
+    (priority, metric, value) rows — ``DataFrame.unpivot`` maps to a
+    single Generate, no shuffle beyond the aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["max_price", "n_orders"], "metric", "value"
+    )

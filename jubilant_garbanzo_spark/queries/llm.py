@@ -478,3 +478,74 @@ def multimodal_frame_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return M.frame_sample(M.decode_metadata(payloads), every_nth=2)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               8  AS width,
+               6  AS height,
+               CASE WHEN strlen(text) = 0 THEN 0 ELSE 48 END AS n_bytes,
+               substr(hex(encode(text)), 1, 2) AS first_byte_hex
+        FROM documents
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (mapInPandas): every payload resampled to
+    exactly 8x6=48 bytes; the oracle pins output size and the
+    nearest-neighbor anchor byte (out[0] == in[0])."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = M.resize_payload(payloads, width=8, height=6)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, 2).alias("first_byte_hex"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # byte-histogram features: no tractable SQL twin;
+    # numpy-reference equality is unit-tested in tests/test_llm_ops.py
+    tags=("llm", "multimodal", "pandas-udf", "embedding"),
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """Feature-extraction plumbing (mapInPandas → array<double>): the
+    L1-normalized 16-bucket byte histogram stand-in for an encoder
+    forward pass. Returned flattened (doc_id, bucket, weight) and
+    rounded so the rows-only check is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    feats = M.extract_features(payloads, dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "weight")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT b.vec_id AS dup_id, min(a.vec_id) AS keeper_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.99
+        GROUP BY b.vec_id
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: within label blocks, any vector
+    cosine-≥0.99 to a lower-id vector is a duplicate of that keeper —
+    the semantic-dedup pass that catches paraphrases exact/MinHash
+    dedup cannot."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.similarity_join(e, threshold=0.99)
+    return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("keeper_id")
+    )

@@ -367,3 +367,33 @@ def map_functions(spark, sf_dir):
         F.element_at(m, "type").alias("type_from_map"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """,
+    tags=("subquery", "correlated"),
+)
+def subquery_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery — customers above their nation's mean
+    balance. Catalyst decorrelates this into an aggregate + join
+    (RewriteCorrelatedScalarSubquery, SURVEY §4.2); expressed via the
+    SQL entry point to exercise parser → analyzer → decorrelation."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )

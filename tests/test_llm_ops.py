@@ -129,3 +129,41 @@ def test_asof_join_semantics(spark):
     assert got[1] == 901  # equal ts included; tie → max rid
     assert got[2] == 902  # latest prior
     assert got[3] is None  # nothing at or before t=5
+
+
+def test_resize_matches_python_reference(spark):
+    """Fake-resize through the full Arrow round-trip must equal the
+    same nearest-neighbor computed driver-side."""
+    from jubilant_garbanzo_spark.operators.multimodal import (
+        _fake_resize,
+        resize_payload,
+    )
+
+    rows = [(1, b"hello world"), (2, b""), (3, bytes(range(256)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: bytes(r["payload"]) for r in resize_payload(df, 8, 6).collect()}
+    for doc_id, payload in rows:
+        assert got[doc_id] == _fake_resize(payload, 8, 6)
+        assert len(got[doc_id]) == (48 if payload else 0)
+
+
+def test_feature_extract_matches_numpy_reference(spark):
+    """Histogram features through mapInPandas must equal the numpy
+    reference, L1-normalized to 1 for non-empty payloads."""
+    import numpy as np
+
+    from jubilant_garbanzo_spark.operators.multimodal import extract_features
+
+    rows = [(1, b"abcabc"), (2, b""), (3, bytes(range(256)) * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["features"] for r in extract_features(df, dim=16).collect()}
+    for doc_id, payload in rows:
+        if not payload:
+            assert got[doc_id] == [0.0] * 16
+            continue
+        counts = np.bincount(
+            np.frombuffer(payload, dtype=np.uint8) // 16, minlength=16
+        )[:16]
+        expect = (counts / counts.sum()).round(6).tolist()
+        assert got[doc_id] == expect
+        assert abs(sum(got[doc_id]) - 1.0) < 1e-4
