@@ -37,6 +37,7 @@ HEADLINE: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",  # pushdown filter + sum
     "tpch_q18_large_volume_customers",  # having + semi-style join
     "join_broadcast_star",  # broadcast dims
+    "join_bucketed_colocated",  # shuffle-free fact join (write amortized)
     "join_asof",  # window-function as-of join
     "agg_rollup",  # multi-level agg
     "window_topn_per_group",  # partitioned ranking

@@ -324,3 +324,34 @@ def join_broadcast_star(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketed", "scale"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Fact⋈fact join on pre-bucketed tables: both sides bucketed by
+    the order key into the same bucket count, so the sort-merge join
+    reads bucket i ⋈ bucket i with NO Exchange on either side (plan
+    asserted in tests/test_plans.py) — the write-time-shuffle trade
+    that makes repeated 100 TB fact joins affordable."""
+    from jubilant_garbanzo_spark.sources.bucketing import bucketed_fixture_pair
+
+    li, o = bucketed_fixture_pair(spark, sf_dir)
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).cast("bigint")
+            / 100.0
+        ).alias("sum_qty"),
+    )

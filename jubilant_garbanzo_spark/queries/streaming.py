@@ -366,3 +366,39 @@ def stream_stateful_running_count(spark, sf_dir):
     return spark.createDataFrame(
         [(k, v) for k, v in sorted(rows.items())], "user_id long, n_events long"
     )
+
+
+@register(
+    "stream_parquet_sink",
+    oracle="""
+        SELECT event_type, count(*) AS cnt
+        FROM events
+        WHERE value > 50
+        GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "parquet"),
+)
+def stream_parquet_sink(spark, sf_dir):
+    """File sink: a filtered stream appended to parquet (exactly-once
+    via the sink's transaction log + checkpoint), then read back as a
+    batch table — the durable-landing-zone pattern that replaces the
+    reference's console printer for production. Aggregating the
+    read-back copy must match batch SQL over the source."""
+    import os
+    import tempfile
+
+    from jubilant_garbanzo_spark.streaming.runner import read_events_stream
+
+    out = tempfile.mkdtemp(prefix="jg_stream_pq_")
+    s = read_events_stream(spark, sf_dir).filter(F.col("value") > 50)
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(out, "_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(s.schema).parquet(out)
+    return back.groupBy("event_type").agg(F.count("*").alias("cnt"))

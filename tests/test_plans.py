@@ -98,3 +98,26 @@ def test_minhash_signature_aggregates_partially(spark, sf_dir):
     carries 32 longs per doc, never shingle arrays."""
     df = q(spark, sf_dir, "dedup_minhash_lsh")
     assert has_partial_aggregate(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """With both sides bucketed by the join key, the sort-merge join
+    must read co-located buckets directly — zero Exchange nodes
+    upstream of the join (broadcast disabled to force SMJ)."""
+    from jubilant_garbanzo_spark.plans.inspect import formatted_plan
+    from jubilant_garbanzo_spark.sources.bucketing import bucketed_fixture_pair
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, o = bucketed_fixture_pair(spark, sf_dir)
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority", "l_quantity"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("SortMergeJoin")[0]
+        assert "Exchange" not in join_section, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
