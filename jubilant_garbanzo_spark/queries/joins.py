@@ -355,3 +355,32 @@ def join_bucketed_colocated(spark, sf_dir):
             / 100.0
         ).alias("sum_qty"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        SELECT e.event_type,
+               count(*) AS n,
+               count(DISTINCT c.c_mktsegment) AS n_segments
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salted"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): events⋈customer with the
+    hot-user pressure spread over 8 salt partitions. Result-identical
+    to the plain join (that IS the oracle check); the plan differs —
+    no single task ever owns a whole hot key."""
+    from jubilant_garbanzo_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    joined = salted_join(e, c.select("user_id", "c_mktsegment"), "user_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )

@@ -334,3 +334,179 @@ def tpch_q4(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+        JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey  = o.o_custkey
+        JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+          AND ns.n_nationkey <> nc.n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping, adapted): cross-border revenue per
+    (supplier nation, customer nation, ship year).
+
+    Scale shape: the two fact joins (lineitem⋈orders) shuffle on order
+    key; every dimension hop (supplier, nation×2, customer) broadcasts.
+    The nation inequality prunes BEFORE aggregation, map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (F.col("s_nk") < 3)
+            & (F.col("c_nk") < 3)
+            & (F.col("s_nk") != F.col("c_nk"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+        SELECT o.o_orderpriority,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count,
+               count(*) AS n_lines
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "join", "conditional"),
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping priority classes, adapted to order priority
+    — the fixture has no l_shipmode): conditional aggregation after a
+    date-pruned fact join. The ship-date range is pushed to the
+    lineitem scan; orders arrives via shuffle join on order key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT round(
+            100.0 * {exact_sum_sql(
+                "CASE WHEN p.p_type = 'PROMO' "
+                "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 4)}
+            / {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)},
+            6) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("tpch", "join", "conditional"),
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): promo share of one month's
+    revenue. One month of a date-partitioned fact = a handful of
+    partitions after pruning; part is dimension-sized → broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+        )
+        .agg(
+            F.round(
+                100.0 * exact_sum(promo, 4) / exact_sum(revenue, 4), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+        SELECT {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("tpch", "join", "filter"),
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    OR'd brand/size/quantity envelopes. Catalyst extracts the common
+    l_quantity bounds for scan-level pushdown and evaluates the
+    disjunction post-broadcast-join — the classic OR-predicate
+    planning test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(exact_sum(revenue, 4).alias("revenue"))
+    )

@@ -167,3 +167,22 @@ def test_feature_extract_matches_numpy_reference(spark):
         expect = (counts / counts.sum()).round(6).tolist()
         assert got[doc_id] == expect
         assert abs(sum(got[doc_id]) - 1.0) < 1e-4
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite: same rows, same schema,
+    for inner and left joins, including unmatched keys and a hot key."""
+    from jubilant_garbanzo_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(500)]  # hot key 1
+        + [(2, "x"), (3, "y"), (99, "no-match")],
+        "k long, payload string",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "b"), (3, "c"), (50, "unused")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how).orderBy("k", "payload").collect()
+        salted = salted_join(big, small, "k", how).orderBy("k", "payload").collect()
+        assert salted == plain, how

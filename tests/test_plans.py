@@ -121,3 +121,26 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """A filter on the partition column of a partitionBy-written table
+    must become a PartitionFilter (directories skipped at planning),
+    not a row-level Filter over a full scan."""
+    import os
+
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.sources.formats import EXPORT_ROOT
+
+    load_all()["sink_parquet_partitioned"].fn(spark, sf_dir).collect()
+    out = os.path.join(
+        EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "events_daily_pq"
+    )
+    df = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
