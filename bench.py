@@ -62,7 +62,10 @@ def main() -> int:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--runs", type=int, default=1)
+    # best-of-2 by default: one JIT/page-cache-warm pass per query costs
+    # ~30s total at sf0.1 and removes most run-to-run noise from the
+    # number the driver compares against BASELINE.
+    ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 

@@ -35,6 +35,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Streaming state: bounded late data; see streaming/windows.py.
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
+    # NOT set here: spark.sql.streaming.stateStore.providerClass →
+    # RocksDBStateStoreProvider. That is the right state backend at
+    # cluster scale (state ≫ heap, incremental checkpoints) but its
+    # per-partition instance startup dominates at test scale (measured
+    # +16 s on the sf0.001 sliding-window query). A cluster deploy
+    # flips it via --conf; every streaming op here works under both.
 }
 
 
