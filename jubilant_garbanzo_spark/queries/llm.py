@@ -549,3 +549,147 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").alias("keeper_id")
     )
+
+
+@register(
+    "text_chunking",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks), 1) + 1, 15)) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST((start - 1) / 15 AS BIGINT) AS chunk_id,
+               array_to_string(toks[start:least(start + 19, len(toks))], ' ')
+                   AS chunk_text,
+               least(start + 19, len(toks)) - start + 1 AS n_tokens
+        FROM s
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def text_chunking(spark, sf_dir):
+    """Fixed-size overlapping chunking (20-token windows, stride 15) —
+    the context-window prep step of every pretraining pipeline. Pure
+    narrow ops: split → sequence of starts → explode → slice; no
+    shuffle at all, so it scales with scan bandwidth."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    out = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(15))
+        ).alias("start"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("start"),
+        F.least(F.col("start") + 19, F.size("toks")) - F.col("start") + 1,
+    )
+    return out.select(
+        "doc_id",
+        ((F.col("start") - 1) / 15).cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        (F.least(F.col("start") + 19, F.size("toks")) - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+@register(
+    "text_train_holdout_split",
+    oracle="""
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1') THEN 'holdout' ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("llm", "text", "split"),
+)
+def text_train_holdout_split(spark, sf_dir):
+    """Deterministic hash-based train/holdout split (~12.5% holdout on
+    the first md5 nibble of the doc id): content-addressed, so the
+    assignment is stable under repartitioning, re-runs, AND engine
+    choice — the property a `rand()` split lacks."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nibble.isin("0", "1"), "holdout").otherwise("train").alias("split")
+    )
+    return d.groupBy(split).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
+                                DESC, tf.token ASC) AS rn
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf, rn AS rank
+        FROM scored WHERE rn <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF, top-3 terms per document.
+
+    Scale shape: TF is one partial+final agg on (doc, token); DF is a
+    second agg on token; the doc count joins in as a broadcast scalar;
+    ranking is a per-doc window. Note DuckDB ``log`` = log10 — both
+    sides use natural log explicitly (verify gotcha list)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.round("raw", 6).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
