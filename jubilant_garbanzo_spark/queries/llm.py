@@ -693,3 +693,36 @@ def text_tfidf_top_terms(spark, sf_dir):
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@register(
+    "text_prefix_token_trending",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT tok, count(*) AS freq
+        FROM tok WHERE tok LIKE 'a%'
+        GROUP BY tok
+        ORDER BY freq DESC, tok ASC
+        LIMIT 10
+    """,
+    tags=("llm", "text", "flagship-twin"),
+)
+def text_prefix_token_trending(spark, sf_dir):
+    """R3's literal shape (``getText.split(" ").filter(_.startsWith(
+    "#"))`` then count + top-10, ``main.scala:45-52``) on real text.
+    The corpus has no '#' tokens, so the marker prefix is 'a' — the
+    operator chain (split → explode → prefix filter → count → top-K)
+    is byte-identical to the reference's, including keeping
+    punctuation glued to tokens (SURVEY §2a tokenization parity)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").startswith("a"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(10)
+    )
