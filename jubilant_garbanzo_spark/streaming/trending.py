@@ -44,14 +44,19 @@ def print_top_k(batch_df: DataFrame, batch_id: int, k: int = 10) -> None:
     (``main.scala:51-55``) reproduced: header with total distinct
     entries, then the top-K rows."""
     top = (
-        batch_df.orderBy(F.desc("cnt"), F.asc("event_type"))
+        batch_df.select(
+            F.date_format(F.col("w.start"), "HH:mm:ss").alias("w_start"),
+            "event_type",
+            "cnt",
+        )
+        .orderBy(F.desc("cnt"), F.asc("w_start"), F.asc("event_type"))
         .limit(k)
         .collect()
     )
     total = batch_df.count()
-    print(f"\nTotal entries in window: {total} (batch {batch_id})")
+    print(f"\nTotal (window, type) cells: {total} (batch {batch_id})")
     for row in top:
-        print(f"  {row['event_type']}: {row['cnt']}")
+        print(f"  [{row['w_start']}] {row['event_type']}: {row['cnt']}")
 
 
 def run_console_demo(
