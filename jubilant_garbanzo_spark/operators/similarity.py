@@ -64,33 +64,121 @@ def brute_force_topk(
     )
 
 
+#: Random-hyperplane LSH geometry (sign-random-projection, Charikar
+#: STOC'02). 16 planes → 4 bands × 4 bits: a candidate pair must agree
+#: on all 4 bits of at least one band. P[bit agrees] = 1 - θ/π, so at
+#: cos 0.99 a pair is a candidate w.p. ≈ 0.999, at cos 0.9 ≈ 0.95.
+#: Scale knob: bucket count per band is 2^BITS_PER_BAND — at 100 TB
+#: raise BITS_PER_BAND (more, smaller buckets; add bands to keep
+#: recall), exactly like MinHash-LSH banding. The label-column blocking
+#: this replaces had O(10) fixed blocks → quadratic blow-up per block.
+N_PLANES = 16
+N_SIG_BANDS = 4
+BITS_PER_BAND = N_PLANES // N_SIG_BANDS
+
+
+def plane_component(p: int, j: int) -> int:
+    """Deterministic pseudo-random hyperplane component in [-1024, 1023]
+    — a plain integer LCG, reproducible in ANY engine's 64-bit integer
+    arithmetic (the DuckDB oracle re-derives the identical planes, so
+    signatures — and therefore candidate sets — match bit-for-bit)."""
+    return ((1103515245 * (p * 1009 + j) + 12345) % 2048) - 1024
+
+
+def hyperplane_band_keys(vec: Column, dim: int) -> Column:
+    """Array of ``N_SIG_BANDS`` integer band keys for a double vector.
+
+    Per plane p: bit = (Σ_j v[j]·r_pj ≥ 0), accumulated strictly
+    left-to-right (``aggregate`` folds sequentially) so the IEEE sum is
+    bit-identical to the oracle's unrolled ``0.0 + v[1]*r + ...``.
+    Band key packs BITS_PER_BAND bits into an int.
+    """
+    bits = []
+    for p in range(N_PLANES):
+        planes = F.array(
+            *[F.lit(float(plane_component(p, j))) for j in range(dim)]
+        )
+        dot_p = F.aggregate(
+            F.zip_with(vec, planes, lambda x, r: x * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0)))
+    keys = []
+    for band in range(N_SIG_BANDS):
+        key = F.lit(0)
+        for b in range(BITS_PER_BAND):
+            key = key * 2 + bits[band * BITS_PER_BAND + b]
+        keys.append(key)
+    return F.array(*keys)
+
+
+def hyperplane_band_sql(vec_expr: str, dim: int) -> list[str]:
+    """The DuckDB-SQL twin of :func:`hyperplane_band_keys`: one integer
+    expression per band, over a ``DOUBLE[]`` SQL expression. Addition is
+    unrolled left-to-right — the same IEEE order Spark's sequential
+    ``aggregate`` fold uses, so the sign tests agree exactly."""
+    bit_exprs = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"{vec_expr}[{j + 1}] * {float(plane_component(p, j))}"
+            for j in range(dim)
+        )
+        bit_exprs.append(f"(CASE WHEN 0.0 + {terms} >= 0 THEN 1 ELSE 0 END)")
+    band_exprs = []
+    for band in range(N_SIG_BANDS):
+        expr = "0"
+        for b in range(BITS_PER_BAND):
+            expr = f"({expr} * 2 + {bit_exprs[band * BITS_PER_BAND + b]})"
+        band_exprs.append(expr)
+    return band_exprs
+
+
 def similarity_join(
     embeddings: DataFrame,
-    block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dim: int = 64,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold inside a blocking key — the
-    candidate-bounded form of a similarity self-join (blocking plays
-    the role LSH bucketing plays in dedup.minhash_lsh_pairs)."""
+    """Pairs with cosine ≥ threshold among hyperplane-LSH candidates.
+
+    Candidates are pairs sharing at least one of the N_SIG_BANDS band
+    keys: explode (band_idx, key) → equi-join → distinct — the shuffle
+    is on (band, key), bucket size is bounded by the signature geometry
+    (tunable via BITS_PER_BAND), never by a fixed data column. The
+    exact cosine filter runs only on candidates. Replaces round-1
+    ``label`` blocking (VERDICT "What's wrong" #3: ~10 fixed blocks ⇒
+    quadratic blocks at 100 TB).
+    """
     e = embeddings.select(
-        F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     )
-    a = e.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = e.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    banded = e.select(
+        "id", F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    sim = cosine(F.col("v_a"), F.col("v_b"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        # Filter on the UNROUNDED score (the oracle's WHERE does too);
+        # round only the projected output column.
+        .filter(sim >= threshold)
         .select(
-            "blk",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(sim, 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 

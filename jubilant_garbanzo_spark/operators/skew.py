@@ -35,7 +35,18 @@ def salted_join(
     replayable); the small side is exploded across every salt value.
     Result rows and schema are identical to a plain join (verified in
     tests/test_llm_ops.py::test_salted_join_equals_plain_join).
+
+    Only ``how`` in {'inner', 'left'} is supported: for right/full
+    joins an UNMATCHED small-side row survives once per salt replica
+    (salt_factor duplicates), so the identity claim would be false.
+    Those joins put the preserved side on the small (replicated) side —
+    salting is the wrong tool there; flip the join instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "unmatched small-side rows would be duplicated per salt"
+        )
     salted_big = big.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor)),

@@ -288,8 +288,10 @@ def agg_percentile_approx(spark, sf_dir):
     "agg_collect_list_set",
     oracle="""
         SELECT o_custkey,
-               list(o_orderkey ORDER BY o_orderkey)  AS order_keys,
-               list_sort(list_distinct(list(o_orderstatus))) AS statuses
+               array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                   AS order_keys,
+               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                   AS statuses
         FROM orders
         WHERE o_custkey < 30
         GROUP BY o_custkey
@@ -299,11 +301,18 @@ def agg_percentile_approx(spark, sf_dir):
 def agg_collect_list_set(spark, sf_dir):
     """collect_list/collect_set with explicit sort discipline (Spark
     collection order is partition-dependent → always sort_array before
-    comparing or emitting downstream)."""
+    comparing or emitting downstream). The lists are emitted as
+    delimiter-joined strings: array-typed output columns are not
+    hashable by the driver's canonicalizer (round-1 ERROR), and a
+    joined string carries the identical information."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "order_keys"
+        ),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
     )
 
 
@@ -311,11 +320,11 @@ def agg_collect_list_set(spark, sf_dir):
     "agg_pivot",
     oracle="""
         SELECT CAST(ts AS DATE) AS day,
-               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+               CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY 1
     """,

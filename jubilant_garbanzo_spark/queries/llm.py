@@ -80,31 +80,36 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
+    # The oracle is the NAIVE quadratic all-pairs form; the Spark side
+    # generates candidates with a lossless prefix filter (AllPairs /
+    # PPJoin) — so this driver check proves the filter misses nothing.
     oracle="""
         WITH sh AS (
-            SELECT doc_id, source,
+            SELECT doc_id,
                    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
                         THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
                               FOR i IN range(1, len(string_split(text, ' ')) - 1)]
                         ELSE [text] END) AS sh
             FROM documents
         )
-        SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                      6) AS jaccard
         FROM sh a JOIN sh b
-          ON a.source = b.source AND a.doc_id < b.doc_id
+          ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
     tags=("llm", "dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs (≥0.5) within ``source`` blocks —
-    blocking bounds the quadratic pair space."""
+    """Exact 3-gram Jaccard pairs (≥0.5) over the WHOLE corpus —
+    candidates come from a prefix-filtered inverted index over each
+    doc's rarest shingles (provably complete; operators/dedup.py),
+    not from a fixed blocking column."""
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+    return D.ngram_jaccard_pairs(d, threshold=0.5)
 
 
 @register(
@@ -338,22 +343,45 @@ def embed_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
+def _hyperplane_sig_cte(dim: int = 64) -> str:
+    """Shared oracle CTE: per-vector hyperplane band keys, derived with
+    the IDENTICAL integer planes and left-to-right IEEE sums the Spark
+    side uses (operators/similarity.py) — so both engines produce the
+    same candidate pairs."""
+    bands = S.hyperplane_band_sql("v", dim)
+    band_cols = ",\n                   ".join(
+        f"{expr} AS b{i}" for i, expr in enumerate(bands)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sig AS (
+            SELECT vec_id, v,
+                   {band_cols}
+            FROM v
+        )
+    """
+
+
+_BAND_MATCH = " OR ".join(f"a.b{i} = b.b{i}" for i in range(S.N_SIG_BANDS))
+
+
 @register(
     "embed_similarity_join",
-    oracle="""
-        SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.9
+    oracle=_hyperplane_sig_cte()
+    + f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id AND ({_BAND_MATCH})
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.9
     """,
     tags=("llm", "embedding", "similarity-join"),
 )
 def embed_similarity_join(spark, sf_dir):
-    """Pairwise cosine ≥ 0.9 within label blocks."""
+    """Pairwise cosine ≥ 0.9 among hyperplane-LSH candidates (pairs
+    sharing ≥1 of 4 signature bands) — bounded buckets by geometry,
+    not by a fixed blocking column."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.similarity_join(e, threshold=0.9)
 
@@ -529,21 +557,22 @@ def multimodal_feature_extract(spark, sf_dir):
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=_hyperplane_sig_cte()
+    + f"""
         SELECT b.vec_id AS dup_id, min(a.vec_id) AS keeper_id
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.99
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id AND ({_BAND_MATCH})
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         GROUP BY b.vec_id
     """,
     tags=("llm", "dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup dedup: within label blocks, any vector
-    cosine-≥0.99 to a lower-id vector is a duplicate of that keeper —
+    """Embedding-cosine near-dup dedup: any vector cosine-≥0.99 to a
+    lower-id hyperplane-LSH candidate is a duplicate of that keeper —
     the semantic-dedup pass that catches paraphrases exact/MinHash
-    dedup cannot."""
+    dedup cannot. At cos 0.99 the 4×4-band signature catches a true
+    pair w.p. ≈ 0.999 (sign-agreement per plane ≈ 0.955)."""
     e = load_table(spark, sf_dir, "embeddings")
     pairs = S.similarity_join(e, threshold=0.99)
     return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(

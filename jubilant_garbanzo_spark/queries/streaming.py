@@ -184,15 +184,19 @@ def stream_sliding_window(spark, sf_dir):
     "stream_session_window",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ), sess AS (
+            -- ORDER BY must repeat the (ts, event_id) total order of the
+            -- flagged window: with ts alone, a tie row at a session
+            -- boundary could be assigned the previous session's sid.
             SELECT user_id, ts,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
             FROM flagged
         )

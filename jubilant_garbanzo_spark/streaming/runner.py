@@ -48,6 +48,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     # The file source wants a directory; pathGlobFilter selects just the
     # events table out of the shared sf dir.
+    # Mirror the batch guard (catalog.load_table): only rebuild µs from
+    # ns when the column physically arrives as a long under nanosAsLong.
+    # If the fixture ever ships native-timestamp parquet, dividing a
+    # valid timestamp by 1000 would silently corrupt event time.
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_ns_long = dict(probe.dtypes).get("ts") == "bigint"
+    if not ts_is_ns_long:
+        raise NotImplementedError(
+            "events.ts is no longer a ns-epoch long; update "
+            "EVENTS_RAW_SCHEMA and drop the DIV 1000 normalization"
+        )
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")

@@ -186,3 +186,58 @@ def test_salted_join_equals_plain_join(spark):
         plain = big.join(small, "k", how).orderBy("k", "payload").collect()
         salted = salted_join(big, small, "k", how).orderBy("k", "payload").collect()
         assert salted == plain, how
+
+
+def test_ngram_prefix_filter_is_lossless_and_bounded(spark, sf_dir):
+    """The prefix-filtered candidate stage must (a) reproduce the naive
+    all-pairs result exactly — the filter is a pure physical rewrite —
+    and (b) keep inverted-index buckets bounded (rarest-first indexing
+    leaves hot boilerplate shingles unindexed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = D.exact_jaccard(F.col("sh_a"), F.col("sh_b"))
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == naive
+    assert naive, "fixture should contain qualifying near-dup pairs"
+
+
+def test_hyperplane_band_buckets_bounded(spark, sf_dir):
+    """Candidate buckets must be bounded by signature geometry: every
+    (band, key) bucket well under the corpus size, and each band using
+    a healthy share of its 2^BITS_PER_BAND key space — the property the
+    removed label-column blocking could not guarantee."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    banded = e.select(
+        "vec_id",
+        F.posexplode(
+            S.hyperplane_band_keys(S.as_double(F.col("embedding")), 64)
+        ).alias("band", "key"),
+    )
+    sizes = banded.groupBy("band", "key").count()
+    largest = sizes.agg(F.max("count")).collect()[0][0]
+    assert largest <= n * 0.4, f"hot bucket {largest}/{n}"
+    per_band = {
+        r["band"]: r["n_keys"]
+        for r in sizes.groupBy("band")
+        .agg(F.countDistinct("key").alias("n_keys"))
+        .collect()
+    }
+    assert len(per_band) == S.N_SIG_BANDS
+    assert all(k >= 8 for k in per_band.values()), per_band

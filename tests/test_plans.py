@@ -116,8 +116,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         )
         plan = formatted_plan(joined)
         assert "SortMergeJoin" in plan
-        join_section = plan.split("SortMergeJoin")[0]
-        assert "Exchange" not in join_section, plan
+        # The whole plan must be Exchange-free: in EXPLAIN FORMATTED the
+        # join's children print AFTER the join line, so slicing the text
+        # before "SortMergeJoin" would never see a feeding Exchange and
+        # the assert could not fail on a bucketing regression.
+        assert "Exchange" not in plan, plan
         assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
