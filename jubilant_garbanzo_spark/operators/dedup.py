@@ -4,15 +4,17 @@ Four tiers, all pure DataFrame/Catalyst expressions (no UDFs, fully
 codegen'd, horizontally scalable):
 
 - **exact**: hash-groupBy on the raw text (or md5 for wide rows);
-- **MinHash-LSH**: shingle → 32 seeded xxhash64 min-hashes → 8 bands
-  of 4 → candidate pairs via band-bucket join → exact-Jaccard verify;
+- **MinHash-LSH**: shingle → 32 min-hashes from a 2-universal family
+  over the shingle's md5 halves → 8 bands of 4 → candidate pairs via
+  band-bucket join → exact-Jaccard verify;
 - **SimHash**: 64-bit sign-aggregated token hashes, near-dups =
   small Hamming distance;
-- **n-gram Jaccard**: exact pairwise verification inside a blocking
-  key (used standalone for small blocks, or as the verify stage).
+- **n-gram Jaccard**: EXACT all-pairs via a lossless prefix-filtered
+  inverted index (also the verify stage for the approximate tiers).
 
-Determinism: every hash is ``xxhash64`` with a constant string salt —
-no RNG anywhere (SURVEY §7 hard-part (c)).
+Determinism: every hash derives from md5 (cross-engine: the DuckDB
+oracle reproduces full signatures) or constant-salt ``xxhash64``
+(SimHash; Spark-only) — no RNG anywhere (SURVEY §7 hard-part (c)).
 
 Scale design: LSH candidate generation shuffles on the band signature
 (a 1-in-(bands×buckets) partition of the corpus), never on all-pairs;
@@ -58,15 +60,24 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(m >= 1, zipped).otherwise(F.array(col)))
 
 
+#: Modulus of the 2-universal permutation family: 2^31 − 1 (Mersenne
+#: prime). h1 < 2^60 and p·(h2 mod M) < 2^36, so the mixing arithmetic
+#: never overflows a signed 64-bit int in ANY engine.
+MINHASH_MODULUS = 2_147_483_647
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "id",
     shingle_col: str = "sh",
     n_perm: int = N_PERM,
 ) -> DataFrame:
-    """``(id, m0..m{n_perm-1})``: per-doc min of ``xxhash64(shingle,
-    salt_p)`` for each simulated permutation p (constant salts →
-    deterministic).
+    """``(id, m0..m{n_perm-1})``: per-doc min of a 2-universal hash
+    family ``(h1 + p·h2) mod M`` where h1/h2 are the two md5 halves of
+    the shingle (hex → int) — ONE md5 per shingle, ``n_perm`` integer
+    mixes. md5 + integer arithmetic exist identically in DuckDB, so
+    the ENTIRE LSH pipeline is oracle-checkable bit-for-bit (round 1
+    used Spark-only xxhash64 and could only be rows-only checked).
 
     Shape matters at scale: explode the shingle set, compute the
     ``n_perm`` hashes per (doc, shingle) row, then ``groupBy(id).min``
@@ -77,10 +88,16 @@ def minhash_signatures(
     codegen and ran ~50× slower.
     """
     exploded = docs.select(id_col, F.explode(shingle_col).alias("s"))
+    md5c = F.md5("s")
+    h1 = F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint")
+    h2m = F.pmod(
+        F.conv(F.substring(md5c, 17, 15), 16, 10).cast("bigint"),
+        F.lit(MINHASH_MODULUS),
+    )
     hashed = exploded.select(
         id_col,
         *[
-            F.xxhash64("s", F.lit(f"perm{p}")).alias(f"h{p}")
+            F.pmod(h1 + p * h2m, F.lit(MINHASH_MODULUS)).alias(f"h{p}")
             for p in range(n_perm)
         ],
     )
@@ -154,29 +171,50 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_bits(text_col: Column, n_bits: int = 64) -> Column:
-    """SimHash as an ``n_bits``-char bitstring.
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, simhash)``: 64-bit SimHash as a 64-char bitstring.
 
-    Per token, take bit i of ``xxhash64(token)`` as ±1; the fingerprint
-    bit is the sign of the per-position sum — one ``aggregate`` HOF with
-    an array accumulator, all JVM-side.
+    Per token, two 32-bit halves of its md5 supply the 64 ±1 votes;
+    fingerprint bit i is the sign of vote-sum i. Shaped like
+    :func:`minhash_signatures`: explode tokens → one md5 per token →
+    64 ``sum`` aggregates with map-side partial combine (the shuffle
+    carries 64 longs per doc per mapper, never tokens). md5 — not
+    Spark-only xxhash64 — so the DuckDB oracle re-derives identical
+    fingerprints (round 1 was rows-only here).
     """
-    toks = tokens(text_col)
-    # n_bits is a Python constant, so the bit positions unroll at plan
-    # build time (shiftright needs a literal shift amount).
-    token_bits = lambda t: F.array(  # noqa: E731
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    m = F.md5("t")
+    hashed = ex.select(
+        "id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("v1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("v2"),
+    )
+    sums = hashed.groupBy("id").agg(
         *[
-            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
-            for i in range(n_bits)
+            F.sum(
+                F.shiftright(F.col("v1") if i < 32 else F.col("v2"), i % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"s{i}")
+            for i in range(64)
         ]
     )
-    acc = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), n_bits),
-        lambda a, t: F.zip_with(a, token_bits(t), lambda x, y: x + y),
-    )
-    return F.concat_ws(
-        "", F.transform(acc, lambda x: F.when(x > 0, "1").otherwise("0"))
+    return sums.select(
+        "id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{i}") > 0, "1").otherwise("0")
+                for i in range(64)
+            ]
+        ).alias("simhash"),
     )
 
 

@@ -85,10 +85,15 @@ def fingerprint_md5(col: Column) -> Column:
 def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling hash over whitespace tokens: order-sensitive
     (anagram docs differ, unlike a bag-of-words hash). Computed with a
-    single ``aggregate`` HOF over per-token xxhash64 values."""
+    single ``aggregate`` HOF over per-token md5-derived ints — md5 (not
+    xxhash64) so the DuckDB oracle reproduces it exactly. acc < mod ≈
+    2^30 and acc·31 + h < 2^35: no 64-bit overflow in either engine."""
     toks = ws_tokens(col)
+    token_hash = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"), F.lit(mod)
+    )
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % mod,
+        lambda acc, t: (acc * base + token_hash(t)) % mod,
     )

@@ -66,14 +66,69 @@ def dedup_exact_by_fingerprint(spark, sf_dir):
     )
 
 
+def _minhash_lsh_oracle(threshold: float = 0.8) -> str:
+    """DuckDB twin of the ENTIRE MinHash-LSH pipeline: same shingles,
+    same md5-derived 2-universal hashes, same 8×4 banding, same exact-
+    Jaccard verify — signatures match Spark bit-for-bit (operators/
+    dedup.py:minhash_signatures)."""
+    m = D.MINHASH_MODULUS
+    sig_cols = ",\n                   ".join(
+        f"min((h1 + {p} * h2m) % {m}) AS m{p}" for p in range(D.N_PERM)
+    )
+    bands = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * D.ROWS_PER_BAND + r} = b.m{b * D.ROWS_PER_BAND + r}"
+            for r in range(D.ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(D.N_BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+        " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))"
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                        ELSE [text] END) AS sh
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM sh
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 17, 15))::BIGINT % {m} AS h2m
+            FROM ex
+        ), sig AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM h GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({bands})
+        )
+        SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b
+        WHERE {jac} >= {threshold}
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 signatures are Spark-only → rows-only;
-    # recall vs exact Jaccard is unit-tested in tests/test_llm_ops.py
+    oracle=_minhash_lsh_oracle(0.8),
     tags=("llm", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs at J≥0.8 (32 perms, 8 bands × 4)."""
+    """MinHash-LSH near-dup pairs at J≥0.8 (32 perms, 8 bands × 4).
+    Full-pipeline oracle: the DuckDB twin re-derives identical
+    signatures, candidates, and verified pairs."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
 
@@ -112,17 +167,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, threshold=0.5)
 
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of the full SimHash pipeline (operators/dedup.py:
+    simhash_fingerprints): same md5 halves, same bit votes, same sign
+    rule — fingerprints match Spark bit-for-bit."""
+    sum_cols = ",\n                   ".join(
+        f"sum((({'v1' if i < 32 else 'v2'} >> {i % 32}) & 1) * 2 - 1) AS s{i}"
+        for i in range(64)
+    )
+    bit_concat = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS v1,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS v2
+            FROM tok
+        ), s AS (
+            SELECT doc_id,
+                   {sum_cols}
+            FROM h GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, {bit_concat} AS simhash FROM s
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        FROM fp GROUP BY simhash
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based bits → rows-only; properties unit-tested
+    oracle=_simhash_oracle(),
     tags=("llm", "dedup", "simhash"),
 )
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document + duplicate-bucket
-    counts (identical fingerprints ⇒ near-identical token bags)."""
+    counts (identical fingerprints ⇒ near-identical token bags).
+    Full-pipeline oracle: DuckDB re-derives identical fingerprints."""
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", D.simhash_bits(F.col("text")).alias("simhash")
+    fp = D.simhash_fingerprints(d).select(
+        F.col("id").alias("doc_id"), "simhash"
     )
     return (
         fp.groupBy("simhash")
@@ -297,12 +384,22 @@ def text_term_frequency(spark, sf_dir):
 
 @register(
     "text_fingerprints",
-    oracle=None,  # rolling hash uses xxhash64 → rows-only; md5 covered
-    # by dedup_exact_by_fingerprint's oracle
+    # list_reduce has no init arg, but fold-from-0 ≡ reduce-from-first
+    # here: (0*31 + h1) = h1.
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS md5,
+               list_reduce(
+                   [('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007
+                    FOR t IN string_split(text, ' ')],
+                   (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling
+        FROM documents
+    """,
     tags=("llm", "text", "fingerprint"),
 )
 def text_fingerprints(spark, sf_dir):
-    """md5 + order-sensitive rolling-hash fingerprints per document."""
+    """md5 + order-sensitive rolling-hash fingerprints per document
+    (md5-derived token hashes → the rolling hash is oracle-checkable)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -420,10 +517,24 @@ def embed_norms(spark, sf_dir):
     tags=("llm", "embedding", "ann"),
 )
 def embed_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: probe the 2 nearest label-centroids, exact search
-    inside — the scale path (scan 2/10ths of the corpus)."""
+    """IVF-style ANN, build-once-probe-many: the index (bucket
+    assignments + centroids) is materialized ONCE, then BOTH query
+    vectors probe it — each probe scans 2/10ths of the corpus and its
+    plan reads the cached index (no centroid job; pinned by
+    tests/test_plans.py::test_ivf_probe_plan_reads_cached_index)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e, _query_vec(spark, sf_dir), k=10, n_probe=2)
+    assigned, centroids = S.build_ivf_index(e)
+    probes = []
+    for qid in (0, 1):
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        probes.append(
+            S.ivf_probe(assigned, centroids, q, k=10, n_probe=2).select(
+                F.lit(qid).alias("q_id"), "vec_id", "cos_sim"
+            )
+        )
+    return probes[0].unionAll(probes[1])
 
 
 # -- multimodal --------------------------------------------------------------

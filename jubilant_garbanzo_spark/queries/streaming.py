@@ -352,23 +352,36 @@ def stream_stateful_running_count(spark, sf_dir):
     converging to the batch answer is exactly the guarantee the
     reference's ``reduceByKeyAndWindow`` (``main.scala:47``) never had
     across restarts."""
+    import tempfile
+
+    from pyspark.sql import Window
+
     from jubilant_garbanzo_spark.streaming.stateful import running_count_per_user
 
-    rows: dict[int, int] = {}
+    # Per-batch updates land in a parquet sink tagged with batch_id —
+    # a DISTRIBUTED append, never a driver collect (round 1 collected
+    # every per-user row per micro-batch: a driver OOM at 100 TB of
+    # events). "Last emission per user" is then a window over the sink.
+    out = tempfile.mkdtemp(prefix="jg_state_sink_")
 
-    def keep_latest(batch_df, batch_id):
-        for r in batch_df.collect():
-            rows[r["user_id"]] = r["n_events"]  # later batches overwrite
+    def append_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
 
     s = read_events_stream(spark, sf_dir)
     run_foreach_batch(
         running_count_per_user(s),
-        keep_latest,
+        append_batch,
         name_prefix="state",
         output_mode="update",
     )
-    return spark.createDataFrame(
-        [(k, v) for k, v in sorted(rows.items())], "user_id long, n_events long"
+    back = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        back.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
     )
 
 

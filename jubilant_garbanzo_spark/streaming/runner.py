@@ -120,6 +120,30 @@ def run_foreach_batch(
     query.awaitTermination()
 
 
+def read_socket_lines(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """Live NETWORK stream of text lines — the closest built-in analog
+    of the reference's receiver-based ingestion
+    (``TwitterUtils.createStream``, ``main.scala:41``): a long-lived
+    TCP connection pushing records into micro-batches. One ``value``
+    string column per line.
+
+    The socket source is at-most-once (no replay) — fine for the
+    trending demo, NOT for production pipelines; the kafka source
+    (same ``readStream.format(...)`` seam, exactly-once with
+    checkpoints) replaces it there. Exercised end-to-end against an
+    in-process TCP server in tests/test_streaming.py.
+    """
+    configure_runtime(spark)
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+
+
 def read_rate_stream(
     spark: SparkSession, rows_per_second: int = 100
 ) -> DataFrame:

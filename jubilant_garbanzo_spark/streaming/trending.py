@@ -39,6 +39,20 @@ def trending_counts(
     )
 
 
+def hashtag_counts(lines: DataFrame) -> DataFrame:
+    """The reference's literal R2→R4+R9 over a LIVE line stream:
+    tokenize on single spaces (``main.scala:45``), keep ``#``-prefixed
+    tokens (``main.scala:46``), running count per tag — the same graph
+    ``text_prefix_token_trending`` proves in batch, here fed by a real
+    network source (``read_socket_lines``)."""
+    return (
+        lines.select(F.explode(F.split("value", " ")).alias("tag"))
+        .filter(F.col("tag").startswith("#"))
+        .groupBy("tag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def print_top_k(batch_df: DataFrame, batch_id: int, k: int = 10) -> None:
     """Per-trigger console output — the ``foreachRDD`` printer
     (``main.scala:51-55``) reproduced: header with total distinct

@@ -87,13 +87,12 @@ def test_quality_score_null_and_empty(spark):
 
 
 def test_simhash_deterministic_and_64bit(spark):
-    out = (
+    out = D.simhash_fingerprints(
         docs_df(spark, [(1, "a b c"), (2, "a b c")])
-        .select(D.simhash_bits(F.col("text")).alias("s"))
-        .collect()
-    )
-    assert out[0]["s"] == out[1]["s"]
-    assert len(out[0]["s"]) == 64
+    ).collect()
+    sigs = {r["id"]: r["simhash"] for r in out}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 64
 
 
 @settings(

@@ -59,7 +59,7 @@ def test_simhash_identical_and_near_texts(spark):
     df = spark.createDataFrame(
         [(1, base), (2, base), (3, edited), (4, other)], "id long, text string"
     )
-    fp = df.select("id", D.simhash_bits(F.col("text")).alias("s"))
+    fp = D.simhash_fingerprints(df, id_col="id").select("id", F.col("simhash").alias("s"))
     pairs = (
         fp.alias("a")
         .crossJoin(fp.alias("b"))

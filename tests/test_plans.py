@@ -147,3 +147,38 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan
+
+
+def test_ivf_probe_plan_reads_cached_index(spark, sf_dir):
+    """After build_ivf_index, a probe must read the MATERIALIZED index:
+    both the corpus-assignment and centroid inputs arrive via
+    InMemoryTableScan, and at runtime the cache is actually hit
+    (TableCacheQueryStage in the executed plan) — i.e. the centroid
+    build job runs once at build time, never per probe. (The cached
+    relation's printed recipe still shows its definition, so asserting
+    the absence of build-operator NAMES in plan text would be vacuous.)
+    """
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+    )
+    from jubilant_garbanzo_spark.plans.inspect import formatted_plan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(e)
+    try:
+        import pyspark.sql.functions as F
+
+        q = e.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        probe = ivf_probe(assigned, centroids, q)
+        plan = formatted_plan(probe)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        probe.collect()
+        executed = probe._jdf.queryExecution().executedPlan().toString()
+        assert "TableCacheQueryStage" in executed, executed
+    finally:
+        assigned.unpersist()
+        centroids.unpersist()

@@ -129,3 +129,65 @@ def test_rate_source_produces_rows(spark):
     out = spark.table("rate_smoke")
     assert out.columns == ["timestamp", "value"]
     assert out.count() > 0
+
+
+def test_socket_source_live_trending(spark):
+    """The reference's R1 'network stream' form (main.scala:41) proven
+    end-to-end: an in-process TCP server pushes tweet-like lines into
+    the socket source; the literal R2-R4+R9 graph (split, '#'-prefix
+    filter, running counts) must converge to the exact tag counts."""
+    import socket
+    import threading
+    import time
+
+    from jubilant_garbanzo_spark.streaming.runner import read_socket_lines
+    from jubilant_garbanzo_spark.streaming.trending import hashtag_counts
+
+    lines = [
+        "#spark makes #streams easy",
+        "#spark wins again",
+        "no hashtags in this one",
+        "#streams #spark",
+    ]
+    want = {"#spark": 3, "#streams": 2}
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        try:
+            conn, _ = srv.accept()
+            with conn:
+                conn.sendall(("\n".join(lines) + "\n").encode())
+                time.sleep(15)  # keep the pipe open while batches drain
+        except OSError:
+            pass  # query stopped first; fine
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    counts = hashtag_counts(read_socket_lines(spark, "127.0.0.1", port))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("socket_trend")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    got: dict = {}
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {
+                r["tag"]: r["cnt"] for r in spark.table("socket_trend").collect()
+            }
+            if got == want:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        srv.close()
+    assert got == want
