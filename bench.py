@@ -47,6 +47,11 @@ HEADLINE: tuple[str, ...] = (
     "embed_ann_ivf",  # IVF-pruned ANN
     "text_term_frequency",  # tokenize+explode+count
     "stream_sliding_window",  # availableNow streaming twin
+    # Round-2 additions (VERDICT: cover the heavy previously-unbenched
+    # queries so the cross-round comparison sees them).
+    "tpch_q7_nation_volume",  # 6-way join + disjunctive nation pair filter
+    "tpch_q19_disjunctive",  # OR-of-ANDs pushdown join
+    "text_tfidf_top_terms",  # two-level agg + broadcast scalar + window
 )
 
 
