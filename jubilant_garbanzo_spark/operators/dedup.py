@@ -171,6 +171,62 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id,
+    cluster_id)`` with cluster_id = min doc id in the component (the
+    canonical "keeper") — the step that turns pairwise near-dup hits
+    into dedup GROUPS (A≈B, B≈C ⇒ {A,B,C} even when A,C never paired).
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converged when no label
+    changes. The loop is driver-COORDINATED but every step is a
+    distributed join+agg (the standard Spark shape for iterative graph
+    algorithms — GraphX/GraphFrames do the same); rounds needed = graph
+    diameter, and near-dup components are shallow (pairs/cliques), so
+    convergence is fast. ``localCheckpoint`` truncates lineage each
+    round — without it the plan doubles per iteration and the job dies
+    on plan-compile time long before data size matters.
+
+    Raises if not converged within ``max_iters`` rather than returning
+    possibly-wrong labels (the DuckDB oracle computes the exact
+    transitive closure, so only the fixpoint matches it).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            labels.union(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} iterations"
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

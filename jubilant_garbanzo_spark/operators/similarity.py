@@ -182,6 +182,57 @@ def similarity_join(
     )
 
 
+def lsh_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH ANN: candidates = vectors sharing ≥1 signature
+    band with the query, ranked by exact cosine, top-k. The other
+    scale path next to IVF (`build_ivf_index`/`ivf_probe`): no
+    training/centroids at all, candidates arrive via an equi-join of
+    the banded corpus against the (broadcast) query bands — at 100 TB
+    this is an index lookup into 4 posting lists, not a scan.
+    Fully deterministic (integer-LCG planes) → DuckDB-oracle-checkable,
+    unlike centroid-probing IVF which is approximate-by-construction
+    relative to any simple SQL twin."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    banded = e.select(
+        "vec_id",
+        F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key"),
+    )
+    q = query.select("q_id", as_double(F.col("q_vec")).alias("qv"))
+    q_banded = F.broadcast(
+        q.select(
+            "q_id",
+            F.posexplode(hyperplane_band_keys(F.col("qv"), dim)).alias(
+                "band", "key"
+            ),
+        )
+    )
+    cand = (
+        banded.join(q_banded, ["band", "key"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    qb = F.broadcast(q)
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(qb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", sim.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     id_col: str = "vec_id",

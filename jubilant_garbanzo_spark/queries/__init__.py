@@ -126,6 +126,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         joins,
         llm,
+        pipeline,
         relational,
         setops,
         sources,

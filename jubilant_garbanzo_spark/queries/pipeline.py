@@ -1,0 +1,284 @@
+"""Training-data pipeline queries beyond the per-op basics in llm.py:
+the composite steps a 100 TB pretraining-corpus build actually runs —
+dedup clustering, sequence packing, decontamination, PII scrubbing,
+vocabulary/OOV budgeting, LSH-bucketed ANN.
+
+All deterministic (md5 / integer-LCG derived), so every query here is
+full-oracle-checkable against DuckDB — including the iterative
+connected-components one (recursive CTE on the oracle side).
+
+Reference parity note: the reference app (tweet-streamer/src/main/
+scala/main.scala, 64 lines) has no corpus tooling at all; these
+implement the mission's [EXT] training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.operators import dedup as D
+from jubilant_garbanzo_spark.operators import similarity as S
+from jubilant_garbanzo_spark.queries import register
+from jubilant_garbanzo_spark.queries.llm import (
+    _hyperplane_sig_cte,
+    _minhash_lsh_oracle,
+)
+
+#: Shared DuckDB shingle CTE (identical to operators/dedup.shingles).
+_SH_CTE = """
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                    ELSE [text] END) AS sh
+        FROM documents
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    # Exact transitive closure over the SAME LSH pairs the Spark side
+    # feeds into label propagation — the oracle checks the iterative
+    # algorithm reached the true fixpoint.
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_minhash_lsh_oracle(0.8)}) lsh
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "clustering", "iterative"),
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (min-label propagation,
+    operators/dedup.duplicate_clusters) over the MinHash-LSH pair graph
+    at J≥0.8 — turns pairwise hits into dedup groups with a canonical
+    keeper per group."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.8)
+    return D.duplicate_clusters(pairs)
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
+        FROM c
+    """,
+    tags=("llm", "text", "packing"),
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs (per source, in doc_id order) to
+    256-token training buckets by running token count — the sample-
+    packing step that keeps context windows dense. Pure window cumsum:
+    one shuffle on (source), integer arithmetic, engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split("text", " "))
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)"
+               " DIV 256").alias("pack_id"),
+    )
+
+
+@register(
+    "text_decontamination",
+    oracle=f"""
+        WITH sh AS (
+            {_SH_CTE}
+        ), split AS (
+            SELECT doc_id, sh,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1')
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM sh
+        ), ho AS (
+            SELECT doc_id, unnest(sh) AS s FROM split WHERE split = 'holdout'
+        ), tr AS (
+            SELECT doc_id, unnest(sh) AS s FROM split WHERE split = 'train'
+        )
+        SELECT ho.doc_id AS holdout_doc_id,
+               count(DISTINCT tr.doc_id) AS n_contaminating_train_docs,
+               min(tr.doc_id) AS first_train_doc_id
+        FROM ho JOIN tr ON ho.s = tr.s
+        GROUP BY ho.doc_id
+    """,
+    tags=("llm", "text", "decontamination"),
+)
+def text_decontamination(spark, sf_dir):
+    """Eval-set decontamination: holdout docs (same md5-nibble split as
+    ``text_train_holdout_split``) that share ≥1 3-gram shingle with any
+    train doc, with the count of contaminating train docs. The shuffle
+    is an equi-join on shingle (inverted-index shape); a skewed
+    boilerplate shingle is an AQE skew-join case, never a cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sh = d.select(
+        "doc_id",
+        nibble.isin("0", "1").alias("is_holdout"),
+        D.shingles(F.col("text")).alias("sh"),
+    )
+    ho = sh.filter("is_holdout").select(
+        F.col("doc_id").alias("holdout_doc_id"), F.explode("sh").alias("s")
+    )
+    tr = sh.filter(~F.col("is_holdout")).select(
+        F.col("doc_id").alias("train_doc_id"), F.explode("sh").alias("s")
+    )
+    return (
+        ho.join(tr, "s")
+        .groupBy("holdout_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_contaminating_train_docs"),
+            F.min("train_doc_id").alias("first_train_doc_id"),
+        )
+    )
+
+
+@register(
+    "embed_ann_lsh",
+    oracle=_hyperplane_sig_cte()
+    + """
+        , qsig AS (
+            SELECT * FROM sig WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.v, q.v), 6) AS cos_sim
+        FROM sig e, qsig q
+        WHERE e.vec_id <> 0
+          AND (e.b0 = q.b0 OR e.b1 = q.b1 OR e.b2 = q.b2 OR e.b3 = q.b3)
+        ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    tags=("llm", "embedding", "ann", "lsh"),
+)
+def embed_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (the no-training scale path next to IVF):
+    top-10 among vectors sharing ≥1 hyperplane band with the vec_id=0
+    query. Deterministic signatures ⇒ the DuckDB oracle reproduces the
+    exact candidate set AND ranking — a hash-checked ANN query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.lsh_topk(e, q, k=10)
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+        WITH scrubbed AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{4,}', '<NUM>', 'g') AS clean,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text, '[0-9]{4,}')) AS n_nums
+            FROM documents
+        )
+        SELECT doc_id, md5(clean) AS scrubbed_md5, n_emails, n_nums
+        FROM scrubbed
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact email addresses and ≥4-digit number runs
+    (ids/phones/SSNs) with typed placeholders + per-doc redaction
+    counts. Narrow per-row regex ops — scales with scan bandwidth; the
+    md5 of the scrubbed text makes the full output hash-checkable
+    without shipping document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num_re = r"[0-9]{4,}"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"), num_re, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(num_re), 0)).alias("n_nums"),
+    )
+
+
+@register(
+    "text_vocab_oov",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ), vocab AS (
+            SELECT t FROM tok GROUP BY t
+            ORDER BY count(*) DESC, t ASC
+            LIMIT 100
+        )
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS oov_ratio
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t
+        GROUP BY tok.doc_id
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def text_vocab_oov(spark, sf_dir):
+    """Vocabulary budgeting: build the top-100 token vocabulary (freq
+    desc, token asc — a total order both engines agree on), then score
+    each doc's out-of-vocabulary ratio. The vocab is tiny by
+    construction → broadcast join against the exploded token stream;
+    the token frequency agg is the flagship's partial-agg shape."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = F.broadcast(
+        tok.groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(100)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(vocab, "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )

@@ -95,6 +95,39 @@ def source_binaryfile(spark, sf_dir):
 
 
 @register(
+    "source_orc",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               min(o_orderkey) AS first_key,
+               max(o_orderkey) AS last_key
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("source", "orc", "scan"),
+)
+def source_orc(spark, sf_dir):
+    """ORC roundtrip: write a projection of ``orders`` to ORC (Spark's
+    other first-class columnar format — predicate pushdown and column
+    pruning work like parquet), read it back with an explicit schema,
+    and aggregate; a value-hash match against the parquet-backed oracle
+    proves losslessness."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = os.path.join(
+        FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_orc"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.schema(o.schema).orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+
+
+@register(
     "sink_parquet_partitioned",
     oracle="""
         SELECT event_type,

@@ -241,3 +241,17 @@ def test_hyperplane_band_buckets_bounded(spark, sf_dir):
     }
     assert len(per_band) == S.N_SIG_BANDS
     assert all(k >= 8 for k in per_band.values()), per_band
+
+
+def test_duplicate_clusters_transitive_merge(spark):
+    """A-B and B-C pairs must merge into one cluster labeled by the min
+    id, even though A and C never paired; disjoint pairs stay separate;
+    non-paired docs don't appear."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
