@@ -236,6 +236,43 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "text_robust_scale",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT source,
+                   quantile_disc(n_tokens, 0.5)  AS med,
+                   quantile_disc(n_tokens, 0.25) AS q1,
+                   quantile_disc(n_tokens, 0.75) AS q3
+            FROM t GROUP BY source
+        )
+        SELECT t.doc_id, t.source, t.n_tokens,
+               (t.n_tokens - s.med) / greatest(s.q3 - s.q1, 1) AS scaled
+        FROM t JOIN s USING (source)
+    """,
+    tags=("llm", "text", "pandas-udf", "group-stats"),
+)
+def text_robust_scale(spark, sf_dir):
+    """Per-source robust scaling of document token counts through the
+    ``applyInPandas`` seam (operators/groupstats.py) — whole-group
+    Python with Arrow batches, yet still value-hash oracle-checkable
+    because the statistics are discrete quantiles that numpy
+    (inverted_cdf) and DuckDB (quantile_disc) compute identically."""
+    from jubilant_garbanzo_spark.operators.groupstats import (
+        robust_scale_by_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return robust_scale_by_group(t, "source", "n_tokens")
+
+
+@register(
     "text_vocab_oov",
     oracle="""
         WITH tok AS (

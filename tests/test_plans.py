@@ -182,3 +182,19 @@ def test_ivf_probe_plan_reads_cached_index(spark, sf_dir):
     finally:
         assigned.unpersist()
         centroids.unpersist()
+
+
+def test_candidate_joins_are_equi_joins(spark, sf_dir):
+    """The re-blocked similarity/dedup candidate stages must plan as
+    equi-joins (hash/sort-merge on band key or shingle) — never a
+    cartesian/nested-loop pair enumeration. The only tolerated
+    nested-loop is broadcasting a 1-row query vector."""
+    from jubilant_garbanzo_spark.plans.inspect import join_strategies
+
+    for name in ("dedup_ngram_jaccard", "embed_similarity_join",
+                 "dedup_minhash_lsh", "text_decontamination"):
+        df = SPECS[name].fn(spark, sf_dir)
+        strategies = join_strategies(df)
+        assert strategies, name
+        assert "CartesianProduct" not in strategies, (name, strategies)
+        assert "BroadcastNestedLoopJoin" not in strategies, (name, strategies)
