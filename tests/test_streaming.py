@@ -237,3 +237,51 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     drain()
     n3 = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(sink)).count()
     assert n3 == 2 * n, (n, n3)
+
+
+def test_processing_time_cadence_sustained(spark):
+    """BASELINE constraint 1 (the only perf number the reference
+    implies): the trending pipeline must SUSTAIN its processing-time
+    trigger cadence — batches must not queue up ever-growing input.
+    Runs the rate source at 200 rows/s through the trending-shaped agg
+    with a 1 s trigger and checks the stream kept up: multiple triggers
+    fired, and late batches didn't balloon past a few trigger-intervals
+    of input."""
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from jubilant_garbanzo_spark.streaming.runner import read_rate_stream
+
+    rate = 200
+    stream = read_rate_stream(spark, rows_per_second=rate)
+    agg = (
+        stream.withWatermark("timestamp", "5 seconds")
+        .groupBy(
+            F.window("timestamp", "2 seconds", "1 second").alias("w"),
+            (F.col("value") % 5).alias("k"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cadence_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="jg_cadence_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(15)
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 5, f"only {len(batches)} non-empty triggers in 15s"
+    # Falling behind shows up as ever-larger batches; steady state is
+    # ~rate*1s rows. Allow generous slack for a loaded CI box.
+    tail = batches[-3:]
+    assert all(b["numInputRows"] <= rate * 5 for b in tail), [
+        b["numInputRows"] for b in tail
+    ]
