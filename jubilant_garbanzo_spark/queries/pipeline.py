@@ -273,6 +273,69 @@ def text_robust_scale(spark, sf_dir):
 
 
 @register(
+    "join_cogroup_customer_orders",
+    oracle="""
+        SELECT c.c_custkey,
+               round(c.c_acctbal, 2) AS acctbal,
+               count(o.o_orderkey) AS n_orders,
+               (CAST(sum(CAST(round(coalesce(o.o_totalprice, 0) * 100.0)
+                              AS BIGINT)) AS BIGINT) / 100.0) AS total_spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey < 500
+        GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    tags=("join", "cogroup", "pandas-udf"),
+)
+def join_cogroup_customer_orders(spark, sf_dir):
+    """``cogroup(...).applyInPandas`` — the two-sided Pandas seam
+    (pairs each customer group with its orders group in one Python
+    call; the shape for pandas-native per-key merges like merge_asof
+    or model scoring over feature+label frames). Money is summed with
+    the exact-cents idiom INSIDE pandas (int64 cents), mirroring
+    functions/money.py, so the result is partition-order-independent
+    and hash-matches the SQL twin."""
+    import pandas as pd  # noqa: F401  (pandas ships with the pyarrow seam)
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(key, cpdf, opdf):
+        import numpy as np
+        import pandas as pd
+
+        if cpdf.empty:  # order for a customer outside the filter window
+            return pd.DataFrame(
+                columns=["c_custkey", "acctbal", "n_orders", "total_spend"]
+            )
+        cents = (
+            np.round(opdf["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+            if len(opdf)
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "acctbal": [round(float(cpdf["c_acctbal"].iloc[0]), 2)],
+                "n_orders": [len(opdf)],
+                "total_spend": [cents.sum() / 100.0],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, acctbal double, n_orders long, total_spend double",
+        )
+    )
+
+
+@register(
     "text_vocab_oov",
     oracle="""
         WITH tok AS (
