@@ -510,3 +510,239 @@ def tpch_q19(spark, sf_dir):
         .filter(cond)
         .agg(exact_sum(revenue, 4).alias("revenue"))
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+        WITH flat AS (
+            SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o    ON l.l_orderkey = o.o_orderkey
+            JOIN customer c  ON o.o_custkey  = c.c_custkey
+            JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+            JOIN region r    ON cn.n_regionkey = r.r_regionkey
+            JOIN part p      ON l.l_partkey  = p.p_partkey
+            JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+            JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                    AND TIMESTAMP '1996-12-31 00:00:00'
+        )
+        SELECT o_year,
+               {exact_sum_sql("CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END", 4)}
+                   / {exact_sum_sql("rev", 4)} AS mkt_share
+        FROM flat
+        GROUP BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share, adapted to fixture values:
+    region ASIA, type ECONOMY, supplier nation NATION_3): the widest
+    join tree in the set — 7 joins, 5 of them broadcast dims. The
+    share is a ratio of two exact-cents sums, so the division is
+    engine- and partitioning-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    cn = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["n_nationkey"])
+        .join(F.broadcast(r), cn["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+        F.lit(0.0)
+    )
+    return flat.groupBy("o_year").agg(
+        (exact_sum(nation_rev, 4) / exact_sum(F.col("rev"), 4)).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution; the priority
+    filter stands in for the original's comment NOT LIKE): LEFT join
+    with a filter ON THE JOIN (not a WHERE — that would drop
+    order-less customers), two stacked aggregations."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o["o_custkey"] == c["c_custkey"])
+            & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)}
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue): the revenue CTE
+    replaces the original's CREATE VIEW; the max is a broadcast scalar.
+    Because revenues are exact-cents sums, the max-equality filter is
+    deterministic — no float-tie flakiness between engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+        WITH pavg AS (
+            SELECT l_partkey,
+                   sum(l_quantity) / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {exact_sum_sql("l.l_extendedprice")} / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+        JOIN pavg  ON pavg.l_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.2 * pavg.avg_qty
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-part average is decorrelated into a groupBy + join — the plan
+    Catalyst produces for the subquery form anyway, written explicitly
+    so both engines share it. sum/count (not avg()) keeps the average
+    bit-exact: quantities are integral doubles, so the sum is exact
+    regardless of partial-agg order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pavg, li["l_partkey"] == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (exact_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+        WITH pos AS (
+            SELECT (CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT))
+                         AS BIGINT) / 100.0) / count(*) AS avg_bal
+            FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey BETWEEN 1 AND 7
+        )
+        SELECT c.c_nationkey AS cntrycode,
+               count(*) AS numcust,
+               (CAST(sum(CAST(round(c.c_acctbal * 100.0) AS BIGINT))
+                     AS BIGINT) / 100.0) AS totacctbal
+        FROM customer c, pos
+        WHERE c.c_nationkey BETWEEN 1 AND 7
+          AND c.c_acctbal > pos.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+    """,
+    tags=("tpch", "join", "anti", "subquery"),
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity, adapted: nationkey stands
+    in for the fixture's missing phone country code): above-average-
+    balance customers in 7 nations with NO orders. Anti-join for NOT
+    EXISTS; the average is a broadcast scalar over exact-cents sums."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").between(1, 7)
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (exact_sum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            exact_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
