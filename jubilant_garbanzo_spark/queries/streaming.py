@@ -283,6 +283,59 @@ def stream_static_join(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+        SELECT a.user_id,
+               a.event_id AS click_id,
+               b.event_id AS purchase_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click'
+         AND b.event_type = 'purchase'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark, sf_dir):
+    """STREAM ⋈ STREAM inner join with an event-time interval bound:
+    clicks matched to same-user purchases within the next 30 minutes.
+    Both sides carry watermarks, and the time constraint lives in the
+    JOIN CONDITION — that pair is what lets the state store evict rows
+    older than (watermark − interval), keeping state bounded on an
+    unbounded stream (the property a naive cache-both-sides join
+    lacks). Draining with availableNow must reproduce the exact batch
+    join — every match emitted once, none lost at batch boundaries."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(joined, output_mode="append", name_prefix="ssjoin")
+
+
+@register(
     "stream_foreachbatch",
     oracle="""
         SELECT event_type, count(*) AS cnt
