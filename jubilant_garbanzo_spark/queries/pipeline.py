@@ -336,6 +336,48 @@ def join_cogroup_customer_orders(spark, sf_dir):
 
 
 @register(
+    "text_normalize_pandas_udf",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS norm_md5,
+               length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS norm_len
+        FROM documents
+    """,
+    tags=("llm", "text", "pandas-udf", "scalar"),
+)
+def text_normalize_pandas_udf(spark, sf_dir):
+    """Scalar ``@pandas_udf`` seam: vectorized text normalization
+    (lowercase, collapse runs of spaces, trim) through an Arrow-batched
+    Series→Series UDF — the LAST of the four Python seams (next to
+    mapInPandas, applyInPandas, applyInPandasWithState). The SAME
+    normalization is expressible with built-ins (and the oracle uses
+    exactly those semantics), which is the engine's point: the seam
+    exists for when Python genuinely adds something (a tokenizer, a
+    model), and its output is still hash-checked."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # No annotations: under `from __future__ import annotations` the
+    # hints are strings pandas_udf can't resolve; the return type is
+    # declared explicitly instead.
+    @pandas_udf("string")
+    def normalize(s):
+        return (
+            s.str.lower().str.replace(r" +", " ", regex=True).str.strip()
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+@register(
     "text_vocab_oov",
     oracle="""
         WITH tok AS (

@@ -84,7 +84,11 @@ def test_q1_stays_in_codegen(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume"],
+    [
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q8_market_share",
+    ],
 )
 def test_tpch_joins_have_no_cartesian(spark, sf_dir, name):
     """Multi-way TPC-H joins must never degrade to nested-loop/cartesian."""
