@@ -29,7 +29,8 @@ from jubilant_garbanzo_spark.queries import register
                rank()         OVER w AS rnk,
                dense_rank()   OVER w AS drnk,
                ntile(4)       OVER w AS quartile,
-               percent_rank() OVER w AS pct_rank
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cdist
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -37,7 +38,8 @@ from jubilant_garbanzo_spark.queries import register
     tags=("window", "ranking"),
 )
 def window_ranking(spark, sf_dir):
-    """row_number/rank/dense_rank/ntile/percent_rank per status."""
+    """row_number/rank/dense_rank/ntile/percent_rank/cume_dist per
+    status — the full ranking + distribution window family."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
@@ -50,6 +52,7 @@ def window_ranking(spark, sf_dir):
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 
