@@ -12,9 +12,10 @@ codegen'd, horizontally scalable):
 - **n-gram Jaccard**: EXACT all-pairs via a lossless prefix-filtered
   inverted index (also the verify stage for the approximate tiers).
 
-Determinism: every hash derives from md5 (cross-engine: the DuckDB
-oracle reproduces full signatures) or constant-salt ``xxhash64``
-(SimHash; Spark-only) — no RNG anywhere (SURVEY §7 hard-part (c)).
+Determinism: every hash derives from md5, so each tier's DuckDB
+oracle reproduces the full signatures bit-for-bit (MinHash minima,
+SimHash bit votes) — no RNG and no engine-private hash anywhere
+(SURVEY §7 hard-part (c)).
 
 Scale design: LSH candidate generation shuffles on the band signature
 (a 1-in-(bands×buckets) partition of the corpus), never on all-pairs;
@@ -320,6 +321,8 @@ def ngram_jaccard_pairs(
     window per doc, candidate equi-join on shingle, verify join on id —
     all linear in data or candidates, never all-pairs.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     sh = docs.select(
@@ -330,14 +333,18 @@ def ngram_jaccard_pairs(
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # Rarest-first total order (df asc, shingle asc — ties broken
     # deterministically); prefix length = sz - ceil(t*sz) + 1.
+    # ceil(t*sz) in EXACT integer arithmetic: t as a rational num/den,
+    # ceil(sz*num/den) = (sz*num + den - 1) div den. Double arithmetic
+    # here can overshoot (0.55*20 → 11.000000000000002 → ceil 12),
+    # silently shortening the prefix and dropping qualifying pairs.
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    ceil_t_sz = F.expr(f"CAST((sz * {num} + {den} - 1) DIV {den} AS INT)")
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
     prefix = (
         ex.join(freq, "s")
         .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
         .select("id", "s")
     )
     cand = (

@@ -59,60 +59,50 @@ def register(
 #: proven green in a prior round's CORRECTNESS_r{N}.json don't need the
 #: slot again, so each round this list rotates the not-yet-driver-verified
 #: queries (plus any whose implementation/oracle changed this round) into
-#: the window. Round 2: the 50 = flagship + TPC-H + windows + relational
-#: scalars + setops + sources + remaining text ops + the two repaired agg
-#: oracles + the upgraded minhash oracle + two changed streaming queries.
+#: the window. Round 3: the two round-2 repairs (tpch_q12 BIGINT-cast
+#: oracle, array_functions array→string serialization), every query not
+#: yet green in CORRECTNESS_r01/r02 (round-2 additions: pipeline
+#: composites, remaining streaming, TPC-H q8/q13/q15/q17/q22, rows-only
+#: ops), and the queries added this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "trending_topk",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
+    # round-2 driver failures, repaired this round
     "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frames",
-    "window_range_frame",
-    "window_topn_per_group",
-    "scan_projection",
-    "filter_comparison",
-    "filter_in_between_like",
-    "filter_null_logic",
-    "string_functions",
-    "datetime_functions",
-    "math_functions",
-    "conditional_case",
-    "cast_coercion",
-    "json_functions",
     "array_functions",
-    "map_functions",
-    "subquery_correlated_scalar",
-    "sort_multikey_nulls",
-    "limit_topk",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    "scan_csv",
-    "scan_json",
-    "source_binaryfile",
-    "sink_parquet_partitioned",
-    "text_train_holdout_split",
-    "text_tfidf_top_terms",
-    "text_prefix_token_trending",
-    "agg_pivot",
-    "agg_collect_list_set",
-    "dedup_minhash_lsh",
-    "stream_session_window",
-    "stream_stateful_running_count",
+    # TPC-H additions from round 2, not yet in a driver window
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # round-2 pipeline composites
+    "dedup_cluster_cc",
+    "text_pack_sequences",
+    "text_decontamination",
+    "embed_ann_lsh",
+    "text_pii_scrub",
+    "text_robust_scale",
+    "join_cogroup_customer_orders",
+    "text_normalize_pandas_udf",
+    "text_vocab_oov",
+    "source_orc",
+    # dedup/text oracles upgraded in round 2, never driver-checked
+    "dedup_simhash",
+    "text_fingerprints",
+    "sliding_window_counts",
+    # streaming batch-twin oracles
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_foreachbatch",
+    "stream_watermark_append",
+    "stream_parquet_sink",
+    # approximate / env-gated ops (rows-only by design)
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "embed_ann_ivf",
+    "multimodal_feature_extract",
 )
 
 

@@ -312,10 +312,13 @@ def json_functions(spark, sf_dir):
         SELECT doc_id,
                len(string_split(text, ' '))                       AS n_tokens,
                list_contains(string_split(text, ' '), 'spark')    AS has_spark,
-               list_sort(list_distinct(string_split(text, ' ')))  AS vocab_sorted,
-               string_split(text, ' ')[1:3]                       AS first3,
-               list_sort(list_transform(list_filter(string_split(text, ' '),
-                         t -> length(t) > 4), t -> upper(t)))     AS long_toks_upper
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                                                                  AS vocab_sorted,
+               array_to_string(string_split(text, ' ')[1:3], ',') AS first3,
+               array_to_string(list_sort(list_transform(list_filter(
+                         string_split(text, ' '),
+                         t -> length(t) > 4), t -> upper(t))), ',')
+                                                                  AS long_toks_upper
         FROM documents
     """,
     tags=("scalar", "array", "higher-order"),
@@ -326,6 +329,11 @@ def array_functions(spark, sf_dir):
     Reference analog: ``getText.split(" ").filter(_.startsWith("#"))``
     (``main.scala:45``) — same split/filter shape, but as Catalyst
     higher-order expressions instead of a JVM closure.
+
+    Array-typed outputs are emitted as comma-joined strings: the
+    driver's canonicalizer sorts result frames and numpy arrays are
+    unhashable, so raw array columns error out (round-2 lesson from
+    ``agg_collect_list_set``).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -333,12 +341,18 @@ def array_functions(spark, sf_dir):
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab_sorted"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(
-            F.transform(
-                F.filter(toks, lambda t: F.length(t) > 4), lambda t: F.upper(t)
-            )
+        F.concat_ws(",", F.sort_array(F.array_distinct(toks))).alias(
+            "vocab_sorted"
+        ),
+        F.concat_ws(",", F.slice(toks, 1, 3)).alias("first3"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.transform(
+                    F.filter(toks, lambda t: F.length(t) > 4),
+                    lambda t: F.upper(t),
+                )
+            ),
         ).alias("long_toks_upper"),
     )
 

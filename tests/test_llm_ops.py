@@ -192,29 +192,35 @@ def test_ngram_prefix_filter_is_lossless_and_bounded(spark, sf_dir):
     """The prefix-filtered candidate stage must (a) reproduce the naive
     all-pairs result exactly — the filter is a pure physical rewrite —
     and (b) keep inverted-index buckets bounded (rarest-first indexing
-    leaves hot boilerplate shingles unindexed)."""
-    docs = load_table(spark, sf_dir, "documents")
-    got = {
-        (r["id_a"], r["id_b"], r["jaccard"])
-        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
-    }
+    leaves hot boilerplate shingles unindexed).
 
+    Thresholds cover both a dyadic value (0.5, exact in FP) and a
+    non-dyadic one (0.55, where double arithmetic makes 0.55*20 land at
+    11.000000000000002 and a naive ceil would overshoot, shortening the
+    prefix and silently dropping qualifying pairs — the bound must be
+    computed in exact integer arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = D.exact_jaccard(F.col("sh_a"), F.col("sh_b"))
-    naive = {
-        (r["id_a"], r["id_b"], r["jaccard"])
-        for r in a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .collect()
-    }
-    assert got == naive
-    assert naive, "fixture should contain qualifying near-dup pairs"
+    for threshold in (0.5, 0.55):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        naive = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .collect()
+        }
+        assert got == naive, threshold
+        assert naive, "fixture should contain qualifying near-dup pairs"
 
 
 def test_hyperplane_band_buckets_bounded(spark, sf_dir):
