@@ -67,10 +67,12 @@ def main() -> int:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    # best-of-2 by default: one JIT/page-cache-warm pass per query costs
-    # ~30s total at sf0.1 and removes most run-to-run noise from the
-    # number the driver compares against BASELINE.
-    ap.add_argument("--runs", type=int, default=2)
+    # median-of-3 by default: round-3 showed best-of-2 leaves ±0.3-0.5s
+    # box noise per query, large enough to fake ±30% "regressions" on
+    # untouched sub-second queries across rounds (VERDICT r3 "What's
+    # wrong" #3). The median of three post-warm-up runs is stable to
+    # ~±0.1s; the extra pass costs ~20s at sf0.1.
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -84,10 +86,17 @@ def main() -> int:
     ).save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        best = min(run_one(spark, specs[name], args.sf) for _ in range(args.runs))
-        timings[name] = round(best, 3)
-        print(f"# {name}: {best:.2f}s", file=sys.stderr)
+        runs = sorted(run_one(spark, specs[name], args.sf) for _ in range(args.runs))
+        med = runs[len(runs) // 2] if args.runs % 2 else sum(
+            runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]
+        ) / 2
+        timings[name] = round(med, 3)
+        # Per-query noise band (max-min across runs): a cross-round
+        # delta smaller than this band is box noise, not a regression.
+        spreads[name] = round(runs[-1] - runs[0], 3)
+        print(f"# {name}: {med:.2f}s (spread {spreads[name]:.2f}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(args.sf.rstrip("/")).replace("sf", "")
@@ -98,6 +107,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noise_band": spreads,
+                "method": f"median-of-{args.runs}",
                 "sf": float(sf) if sf else None,
             }
         )

@@ -337,9 +337,18 @@ def ngram_jaccard_pairs(
     # ceil(sz*num/den) = (sz*num + den - 1) div den. Double arithmetic
     # here can overshoot (0.55*20 → 11.000000000000002 → ceil 12),
     # silently shortening the prefix and dropping qualifying pairs.
+    # The SAME snapped rational drives BOTH the prefix bound and the
+    # verify filter below, so the operator's threshold semantics is
+    # exactly "jaccard ≥ num/den" end to end (num/den == threshold
+    # bit-for-bit for every threshold with a small decimal/binary
+    # representation, e.g. 0.5, 0.8, 0.3). sz is INT (F.size) —
+    # promote to BIGINT before the multiply so sz*num can't wrap in
+    # 32-bit arithmetic under non-ANSI Spark.
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
-    ceil_t_sz = F.expr(f"CAST((sz * {num} + {den} - 1) DIV {den} AS INT)")
+    ceil_t_sz = F.expr(
+        f"CAST((CAST(sz AS BIGINT) * {num} + {den} - 1) DIV {den} AS INT)"
+    )
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
     prefix = (
         ex.join(freq, "s")
@@ -356,12 +365,17 @@ def ngram_jaccard_pairs(
     )
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = exact_jaccard(F.col("sh_a"), F.col("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        # Unrounded threshold test (matches the oracle WHERE); round
-        # only the output projection.
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        # Verify with the SAME rational as the prefix bound, as an
+        # exact integer cross-multiplication (inter/union ≥ num/den ⇔
+        # inter·den ≥ num·union) — no float rounding on the threshold
+        # test; round only the output projection.
+        .filter(
+            inter.cast("bigint") * F.lit(den) >= F.lit(num) * union.cast("bigint")
+        )
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )

@@ -125,6 +125,12 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    head = {n: QUERIES[n] for n in DRIVER_PRIORITY if n in QUERIES}
+    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    if unknown:
+        # A typo here would silently drop the query from the driver's
+        # 50-entry verification window — the exact failure the rotation
+        # exists to prevent. Fail loudly instead.
+        raise KeyError(f"DRIVER_PRIORITY names not in registry: {unknown}")
+    head = {n: QUERIES[n] for n in DRIVER_PRIORITY}
     tail = {n: s for n, s in QUERIES.items() if n not in head}
     return {**head, **tail}

@@ -716,16 +716,22 @@ def tpch_q17(spark, sf_dir):
         WHERE c.c_nationkey BETWEEN 1 AND 7
           AND c.c_acctbal > pos.avg_bal
           AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '2001-01-01 00:00:00')
         GROUP BY c.c_nationkey
     """,
     tags=("tpch", "join", "anti", "subquery"),
 )
 def tpch_q22(spark, sf_dir):
     """TPC-H Q22 (global sales opportunity, adapted: nationkey stands
-    in for the fixture's missing phone country code): above-average-
-    balance customers in 7 nations with NO orders. Anti-join for NOT
-    EXISTS; the average is a broadcast scalar over exact-cents sums."""
+    in for the fixture's missing phone country code, and "no orders"
+    becomes "no orders since 2001-01-01" — every fixture customer has
+    ≥1 lifetime order, which made the literal form vacuously empty at
+    every SF; the dormant-customer variant keeps the NOT EXISTS
+    anti-join shape AND produces rows, so the driver hash actually
+    exercises the query body). Anti-join for NOT EXISTS; the average
+    is a broadcast scalar over exact-cents sums."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").between(1, 7)
     )
@@ -735,7 +741,9 @@ def tpch_q22(spark, sf_dir):
             (exact_sum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
         )
     )
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
