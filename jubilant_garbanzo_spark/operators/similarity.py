@@ -341,3 +341,52 @@ def ivf_topk(
     approximate by construction)."""
     assigned, centroids = build_ivf_index(embeddings, id_col, vec_col, bucket_col)
     return ivf_probe(assigned, centroids, query, k=k, n_probe=n_probe)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batch k-NN join: the top-``k`` cosine neighbors of EACH
+    query vector (columns ``q_id``, ``q_vec``), not just one.
+
+    Scale shape: the query batch is broadcast (a k-NN batch is
+    dimension-table-sized — thousands of probes against billions of
+    corpus vectors), so the corpus is scanned ONCE for all queries with
+    no shuffle of the big side; per-query ranking is a window with an
+    early rank cutoff (planned as running top-k per group — O(k) state
+    per query, WindowGroupLimit at execution). For query batches too
+    big to broadcast, switch to the LSH/IVF bucketed paths
+    (ann_lsh_topk / ivf_topk) — same contract, pruned candidate sets.
+
+    Ordering discipline: ranks are assigned over the ROUNDED cosine
+    (6 dp) with the neighbor id as tie-break, so the rank boundary is
+    identical on any engine regardless of last-ULP float-sum drift.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+    q = F.broadcast(
+        queries.select("q_id", as_double(F.col("q_vec")).alias("qv")).select(
+            "q_id", "qv", norm(F.col("qv")).alias("qnrm")
+        )
+    )
+    raw = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(raw, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )

@@ -59,50 +59,27 @@ def register(
 #: proven green in a prior round's CORRECTNESS_r{N}.json don't need the
 #: slot again, so each round this list rotates the not-yet-driver-verified
 #: queries (plus any whose implementation/oracle changed this round) into
-#: the window. Round 3: the two round-2 repairs (tpch_q12 BIGINT-cast
-#: oracle, array_functions array→string serialization), every query not
-#: yet green in CORRECTNESS_r01/r02 (round-2 additions: pipeline
-#: composites, remaining streaming, TPC-H q8/q13/q15/q17/q22, rows-only
-#: ops), and the queries added this round.
+#: the window. Round 4 (VERDICT r3 "What's wrong" #1): the four queries
+#: modified AFTER their last driver-green row (round-2 LSH re-blocking ×3,
+#: round-3/4 ngram prefix-bound changes), the two queries whose bodies
+#: changed this round (q22 de-vacuoused, ngram verify filter), and the
+#: six new sampling/quality/profiling queries.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-2 driver failures, repaired this round
-    "tpch_q12_priority_shipping",
-    "array_functions",
-    # TPC-H additions from round 2, not yet in a driver window
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
+    # modified after their last driver-green row — refresh the evidence
+    "dedup_ngram_jaccard",
+    "embed_similarity_join",
+    "embed_cosine_topk",
+    "dedup_embedding_cosine",
     "tpch_q22_global_sales_opportunity",
-    # round-2 pipeline composites
-    "dedup_cluster_cc",
-    "text_pack_sequences",
-    "text_decontamination",
-    "embed_ann_lsh",
-    "text_pii_scrub",
-    "text_robust_scale",
-    "join_cogroup_customer_orders",
-    "text_normalize_pandas_udf",
-    "text_vocab_oov",
-    "source_orc",
-    # dedup/text oracles upgraded in round 2, never driver-checked
-    "dedup_simhash",
-    "text_fingerprints",
-    "sliding_window_counts",
-    # streaming batch-twin oracles
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_foreachbatch",
-    "stream_watermark_append",
-    "stream_parquet_sink",
-    # approximate / env-gated ops (rows-only by design)
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "embed_ann_ivf",
-    "multimodal_feature_extract",
+    # new in round 4
+    "sample_stratified_hash",
+    "sample_reservoir_per_group",
+    "quality_repetition_filter",
+    "anomaly_zscore_outliers",
+    "profile_table_stats",
+    "profile_length_histogram",
+    "source_xml",
+    "embed_knn_join",
 )
 
 
@@ -117,6 +94,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         llm,
         pipeline,
+        quality,
         relational,
         setops,
         sources,

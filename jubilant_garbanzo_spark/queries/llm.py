@@ -866,3 +866,40 @@ def text_prefix_token_trending(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(10)
     )
+
+
+@register(
+    "embed_knn_join",
+    oracle="""
+        SELECT q_id, vec_id, rank, cos_sim
+        FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                e.vec_id ASC) AS rank,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings e
+            JOIN embeddings q
+              ON q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id
+        )
+        WHERE rank <= 3
+    """,
+    tags=("llm", "embedding", "ann", "knn-join"),
+)
+def embed_knn_join(spark, sf_dir):
+    """Exact batch k-NN join: top-3 cosine neighbors for EACH of the
+    deterministic query vectors (vec_id % 50 = 0) in one corpus scan —
+    the multi-probe retrieval shape (RAG lookups, eval-set neighbor
+    audits) that single-query top-k doesn't cover. Queries broadcast;
+    per-query ranking via running top-k window (operators/similarity.py
+    knn_join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.knn_join(e, q, k=3)

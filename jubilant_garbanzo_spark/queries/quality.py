@@ -1,0 +1,405 @@
+"""Corpus sampling, profiling, and data-quality queries — the
+pipeline-hygiene operators a 100 TB training-data build runs between
+ingestion and dedup: deterministic (reproducible) sampling, repetition
+quality filtering (the Gopher repetition rules, Rae et al. 2021 —
+public literature), statistical outlier screens, and table/column
+profiling.
+
+Everything here is deterministic by construction (md5-derived buckets,
+exact integer ratios, exact-cents moments), so every query is
+full-oracle-checkable against DuckDB with STRICT float equality.
+
+Reference parity note: the reference app (tweet-streamer/src/main/
+scala/main.scala, 64 lines) has no sampling/profiling tooling; these
+implement the mission's [EXT] training-pipeline surface.
+
+Determinism over `rand()`: Spark's `sample()`/`rand(seed)` are
+partitioning-dependent (a repartition changes which rows draw which
+uniforms), which breaks both reproducibility at 100 TB and any
+cross-engine oracle. Hash-threshold sampling (keep iff
+md5(key) mod 100 < rate) is the industry-standard fix: stable under
+any partitioning, any cluster size, any engine — and it samples the
+SAME keys on every run, which is exactly what a train/eval pipeline
+needs for consistency across reprocessing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.queries import register
+
+#: Per-stratum keep rates (percent) for the stratified sample: keep a
+#: document iff its md5 bucket (0-99) falls below its language's rate.
+_STRATA_RATES = {"en": 50, "de": 25}
+_DEFAULT_RATE = 10
+
+
+def _bucket_spark(col):
+    """md5-derived uniform bucket in [0, 100) — Spark side."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+def _bucket_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_bucket_spark` (proven exact idiom)."""
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {_bucket_sql('doc_id')} AS bucket
+        FROM documents
+        WHERE {_bucket_sql('doc_id')} <
+              CASE lang WHEN 'en' THEN {_STRATA_RATES['en']}
+                        WHEN 'de' THEN {_STRATA_RATES['de']}
+                        ELSE {_DEFAULT_RATE} END
+    """,
+    tags=("llm", "sampling", "stratified"),
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sample: per-language keep rates via an
+    md5 hash threshold on the document key (see module docstring for
+    why not ``sample()``/``rand()``).
+
+    Scale shape: narrow scan + per-row filter — zero shuffle, fully
+    pushdown-friendly (only doc_id/lang read), and the rate CASE is a
+    broadcastable constant expression. At 100 TB this is a map-only
+    job whose output size is exactly the blended rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_spark(F.col("doc_id"))
+    rate = (
+        F.when(F.col("lang") == "en", _STRATA_RATES["en"])
+        .when(F.col("lang") == "de", _STRATA_RATES["de"])
+        .otherwise(_DEFAULT_RATE)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle="""
+        SELECT doc_id, lang, rn
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(text), doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn <= 5
+    """,
+    tags=("llm", "sampling", "per-group"),
+)
+def sample_reservoir_per_group(spark, sf_dir):
+    """Reservoir-style k-per-group sample (k=5 per language),
+    deterministic: rank by md5(text) — a uniform-but-reproducible
+    order — instead of a seeded shuffle, so every run (and every
+    engine) picks the same representatives.
+
+    Scale shape: one hash-partitioned window per group key with an
+    early rank cutoff. Spark plans rn<=k as a running top-k per
+    partition (WindowGroupLimit pushes the limit below the sort at
+    execution), so per-group state is O(k), not O(group size) — the
+    same property a true reservoir gives, without nondeterminism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "quality_repetition_filter",
+    # Exact integer ratios (token counts) — no float discipline needed
+    # beyond round-for-display; the FLAG comparisons run on the exact
+    # unrounded ratios in both engines.
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+        ), top1 AS (
+            SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_tok
+            FROM cnt GROUP BY doc_id
+        ), g AS (
+            SELECT doc_id,
+                   [string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1]
+                    FOR i IN range(1, len(string_split(text, ' ')))] AS g2
+            FROM documents
+        ), d2 AS (
+            SELECT doc_id,
+                   CASE WHEN len(g2) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(g2)) / len(g2)
+                   END AS dup2
+            FROM g
+        )
+        SELECT t.doc_id, t.n_tok,
+               round(t.mx / t.n_tok, 6)  AS top1_frac,
+               round(d2.dup2, 6)         AS dup2_frac,
+               CAST(CASE WHEN t.mx / t.n_tok > 0.12 OR d2.dup2 > 0.05
+                    THEN 1 ELSE 0 END AS INT) AS is_repetitive
+        FROM top1 t JOIN d2 ON t.doc_id = d2.doc_id
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def quality_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition screen (Rae et al. 2021 §A1.1, public):
+    flag documents whose most-frequent token exceeds 12% of all tokens
+    or whose duplicate-2-gram fraction exceeds 5%.
+
+    Scale shape: top-token counts come from explode → two-level
+    partial aggregation (map-side combine on (doc_id, token), then
+    per-doc max/sum — never a per-doc collect); the 2-gram duplicate
+    fraction is row-level ``slice``+``zip_with`` (lambdas touch only
+    their own args — the HOF outer-reference trap re-evaluates
+    row-scoped expressions per element, measured 30x slower). The
+    final join is doc_id-to-doc_id, co-partitioned with the agg
+    output. All ratios are int/int → exact doubles, so the flag
+    comparison is engine-independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    # Per-doc top-token stats via distributed aggregation.
+    top1 = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("n_tok"))
+    )
+
+    # Per-doc duplicate-2-gram fraction, row-level (no shuffle).
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dup2 = F.when(F.size(g2) > 0, 1.0 - F.size(F.array_distinct(g2)) / F.size(g2)).otherwise(0.0)
+    d2 = d.select("doc_id", dup2.alias("dup2"))
+
+    top1_frac = F.col("mx") / F.col("n_tok")
+    return (
+        top1.join(d2, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(top1_frac, 6).alias("top1_frac"),
+            F.round(F.col("dup2"), 6).alias("dup2_frac"),
+            ((top1_frac > 0.12) | (F.col("dup2") > 0.05))
+            .cast("int")
+            .alias("is_repetitive"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore_outliers",
+    # Exact-cents moments: integer sums (BIGINT / HUGEINT-DECIMAL) make
+    # mean and variance order-independent, then ONE identical double
+    # expression both sides — the money.py discipline extended to the
+    # second moment.
+    oracle="""
+        WITH c AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+            FROM orders
+        ), stats AS (
+            SELECT o_orderpriority,
+                   CAST(sum(cents) AS BIGINT)           AS s,
+                   CAST(sum(cents * cents) AS DOUBLE)   AS sq,
+                   count(*)                             AS n
+            FROM c GROUP BY o_orderpriority
+        )
+        SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
+               round((c.cents - s / n)
+                     / sqrt((sq - (s / n) * s) / (n - 1)), 4) AS zscore
+        FROM c JOIN stats USING (o_orderpriority)
+        WHERE abs((c.cents - s / n)
+                  / sqrt((sq - (s / n) * s) / (n - 1))) > 1.7
+    """,
+    tags=("quality", "outlier", "stats"),
+)
+def anomaly_zscore_outliers(spark, sf_dir):
+    """Statistical outlier screen: orders whose total price sits more
+    than 1.7 sample standard deviations from their priority group's
+    mean. The numeric screen every ingest pipeline runs before
+    trusting a new data drop. (The fixture's prices are uniform-ish,
+    which bounds |z| below sqrt(3) ~ 1.78 — a textbook 2.5-sigma cut
+    would be vacuously empty at every SF, the q22 trap; 1.7 sits at
+    the distribution's p99 so the screen demonstrably fires.)
+
+    Exactness: mean and variance are derived from exact integer cent
+    sums (sum(cents) BIGINT; sum(cents²) as DECIMAL — ~3.6e15 per row
+    overflows a BIGINT accumulator beyond ~2500 rows), then one
+    identical double expression on both engines, so even the >2.5
+    boundary decision is bit-reproducible under any partitioning.
+
+    Scale shape: group moments via map-side partial aggregation into a
+    handful of rows, broadcast back onto the fact scan — one shuffle-
+    free pass over orders plus a broadcast hash join. The z expression
+    stays in whole-stage codegen.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    stats = c.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sq"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("cents") - mean) / F.sqrt(
+        (F.col("sq") - mean * F.col("s")) / (F.col("n") - 1)
+    )
+    return (
+        c.join(F.broadcast(stats), "o_orderpriority")
+        .filter(F.abs(z) > 1.7)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+def _profile_branch_sql(col: str, metric: str) -> str:
+    return f"""
+        SELECT '{col}' AS col_name,
+               count(*)                          AS n_rows,
+               CAST(count({col}) AS BIGINT)      AS n_nonnull,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(min({metric}) AS DOUBLE)     AS min_val,
+               CAST(max({metric}) AS DOUBLE)     AS max_val
+        FROM orders
+    """
+
+
+@register(
+    "profile_table_stats",
+    # String columns profile min/max LENGTH (numeric, so the long
+    # format stays one uniform schema and no engine-specific string
+    # formatting enters the hash).
+    oracle=" UNION ALL ".join(
+        [
+            _profile_branch_sql("o_orderkey", "o_orderkey"),
+            _profile_branch_sql("o_custkey", "o_custkey"),
+            _profile_branch_sql("o_totalprice", "o_totalprice"),
+            _profile_branch_sql("o_orderstatus", "strlen(o_orderstatus)"),
+            _profile_branch_sql("o_orderpriority", "strlen(o_orderpriority)"),
+        ]
+    ),
+    tags=("quality", "profiling"),
+)
+def profile_table_stats(spark, sf_dir):
+    """Column-level profiling of ``orders`` in long format — row
+    counts, null counts, exact distinct cardinality, numeric min/max
+    (string columns profile their lengths). The schema-drift /
+    null-regression check a pipeline runs on every new partition.
+
+    Scale shape: one branch per column, each a column-pruned scan with
+    partial aggregation (count-distinct shuffles only that single
+    column's values), unioned into a 5-row result. Per-column pruning
+    is the point: profiling N columns reads each column once, never
+    the whole row — at 100 TB the scans are parquet-column-local, and
+    exact ndv per branch beats a single wide pass that would carry
+    every column through one shuffle. (For >>10⁹ ndv you'd swap in
+    approx_count_distinct — covered separately as a rows-only query.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def branch(col: str, metric):
+        return o.agg(
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(metric).cast("double").alias("min_val"),
+            F.max(metric).cast("double").alias("max_val"),
+        ).select(
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+
+    parts = [
+        branch("o_orderkey", F.col("o_orderkey")),
+        branch("o_custkey", F.col("o_custkey")),
+        branch("o_totalprice", F.col("o_totalprice")),
+        branch("o_orderstatus", F.length("o_orderstatus")),
+        branch("o_orderpriority", F.length("o_orderpriority")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "profile_length_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT n_chars // 100 AS bucket, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY n_chars // 100
+        )
+        SELECT bucket, n_docs, min_chars, max_chars,
+               round(n_docs / CAST(sum(n_docs) OVER () AS BIGINT), 6)
+                   AS corpus_share
+        FROM b
+    """,
+    tags=("quality", "profiling", "histogram"),
+)
+def profile_length_histogram(spark, sf_dir):
+    """Document-length histogram in fixed 100-char buckets with each
+    bucket's corpus share — the length-distribution sanity check run
+    before choosing packing/chunking parameters.
+
+    Scale shape: integer bucketing is a pure map; the groupBy is a
+    partial agg over ~max_len/100 keys; the share window runs over the
+    already-aggregated handful of bucket rows (single-partition window
+    over O(buckets) rows, not over the corpus). Exact int/int division
+    keeps the share bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.groupBy((F.col("n_chars") / 100).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return b.select(
+        "bucket",
+        "n_docs",
+        "min_chars",
+        "max_chars",
+        F.round(F.col("n_docs") / total, 6).alias("corpus_share"),
+    )

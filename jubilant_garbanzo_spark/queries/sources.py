@@ -154,3 +154,35 @@ def sink_parquet_partitioned(spark, sf_dir):
     FMT.write_parquet_partitioned(daily, out, ["event_type"])
     back = spark.read.parquet(out)
     return back.select("event_type", "day", "cnt")
+
+
+@register(
+    "source_xml",
+    oracle=f"""
+        SELECT c_nationkey,
+               count(*) AS n_cust,
+               {exact_sum_sql('c_acctbal')} AS bal_sum
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    tags=("source", "xml", "scan"),
+)
+def source_xml(spark, sf_dir):
+    """XML roundtrip via Spark 4's built-in XML source (spark-xml merged
+    upstream — public): write ``customer`` as one <row> element per
+    record, read it back with an explicit schema (inference over XML is
+    an extra full pass — fatal at 100 TB), aggregate with the
+    exact-cents idiom. A value-hash match against the parquet-backed
+    oracle proves the text roundtrip preserved doubles bit-for-bit
+    (Java double→string→double is exactness-preserving)."""
+    path = FMT.export_xml(
+        spark,
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    df = FMT.read_xml(spark, path, FMT.CUSTOMER_SCHEMA)
+    return df.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        exact_sum(F.col("c_acctbal")).alias("bal_sum"),
+    )

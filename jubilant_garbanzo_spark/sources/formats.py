@@ -134,3 +134,31 @@ def write_parquet_partitioned(
     the caller's: low-cardinality, filter-aligned (date, type)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return path
+
+
+def export_xml(spark: SparkSession, sf_dir: str, table: str, columns) -> str:
+    """Deterministic XML export of selected fixture columns via Spark's
+    built-in XML writer (first-class source/sink since Spark 4.0 — the
+    spark-xml package merged upstream), one ``<row>`` element per
+    record. Exercises the write direction; :func:`read_xml` the read."""
+    out = os.path.join(EXPORT_ROOT, _sf_tag(sf_dir), f"{table}_xml")
+
+    def write(path: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*columns)
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "row")
+            .option("rootTag", "rows")
+            .save(path)
+        )
+
+    return materialize_once(out, write)
+
+
+def read_xml(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """XML scan with explicit schema + rowTag (no inference pass)."""
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", "row").load(path)
+    )
