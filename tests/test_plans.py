@@ -202,3 +202,55 @@ def test_candidate_joins_are_equi_joins(spark, sf_dir):
         assert strategies, name
         assert "CartesianProduct" not in strategies, (name, strategies)
         assert "BroadcastNestedLoopJoin" not in strategies, (name, strategies)
+
+
+# --- round-4 sampling / quality / k-NN plan gates ---------------------
+
+
+def test_stratified_sample_prunes_columns(spark, sf_dir):
+    """The hash-threshold sample must be a map-only narrow scan: only
+    doc_id and lang leave the parquet reader, never text."""
+    from jubilant_garbanzo_spark.plans.inspect import formatted_plan
+
+    df = q(spark, sf_dir, "sample_stratified_hash")
+    cols = set(scan_read_schema(df))
+    assert cols <= {"doc_id", "lang"}, cols
+    assert "Exchange" not in formatted_plan(df), "sampling must not shuffle"
+
+
+def test_reservoir_sample_limits_window_state(spark, sf_dir):
+    """rn <= k over a window must plan with WindowGroupLimit so
+    per-group state is O(k), not a full per-group sort buffer."""
+    from jubilant_garbanzo_spark.plans.inspect import formatted_plan
+
+    df = q(spark, sf_dir, "sample_reservoir_per_group")
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_zscore_broadcasts_group_stats(spark, sf_dir):
+    """The per-priority moments table is a handful of rows — it must
+    come back onto the fact scan via broadcast, never a shuffle join."""
+    df = q(spark, sf_dir, "anomaly_zscore_outliers")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_repetition_filter_aggregates_partially(spark, sf_dir):
+    """Top-token counting must combine map-side: the shuffle carries
+    (doc_id, token) partial counts, not exploded token rows."""
+    df = q(spark, sf_dir, "quality_repetition_filter")
+    assert has_partial_aggregate(df)
+
+
+def test_knn_join_broadcasts_probe_batch(spark, sf_dir):
+    """The probe batch must be the broadcast side (corpus scanned once,
+    never shuffled or replicated); ranking must use WindowGroupLimit."""
+    from jubilant_garbanzo_spark.plans.inspect import formatted_plan
+
+    df = q(spark, sf_dir, "embed_knn_join")
+    plan = formatted_plan(df)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert any(s.startswith("Broadcast") for s in strategies), strategies
+    assert "WindowGroupLimit" in plan
