@@ -80,6 +80,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_length_histogram",
     "source_xml",
     "embed_knn_join",
+    "upsert_latest_by_key",
+    "profile_key_skew",
 )
 
 

@@ -403,3 +403,111 @@ def profile_length_histogram(spark, sf_dir):
         "max_chars",
         F.round(F.col("n_docs") / total, 6).alias("corpus_share"),
     )
+
+
+@register(
+    "upsert_latest_by_key",
+    # The synthetic CDC batch is derived deterministically from the
+    # base table (every 10th key gets an update with a bumped price and
+    # a higher version), so both engines build the identical input.
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice,
+                   2 AS version
+            FROM orders WHERE o_orderkey % 10 = 0
+        ), unioned AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   1 AS version
+            FROM orders
+            UNION ALL
+            SELECT * FROM updates
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice, version
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY version DESC) AS rn
+            FROM unioned
+        )
+        WHERE rn = 1
+    """,
+    tags=("pipeline", "upsert", "cdc"),
+)
+def upsert_latest_by_key(spark, sf_dir):
+    """CDC compaction / batch MERGE emulation on plain parquet:
+    latest-record-wins per key over base ∪ updates, via a
+    version-ordered per-key window. The upsert pattern every
+    incremental ingestion pipeline needs where no table format
+    (Delta/Iceberg) provides MERGE.
+
+    Scale shape: one shuffle on the merge key; rn=1 plans with
+    WindowGroupLimit (O(1) state per key, no per-key sort buffer). At
+    100 TB the base side would be bucketed by key so only the (much
+    smaller) update batch shuffles — same plan as the bucketed join
+    gate. The update batch here is synthesized deterministically from
+    the base table so the DuckDB oracle can rebuild it exactly.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("version", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "version",
+        )
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+        WITH k AS (
+            SELECT l_orderkey, count(*) AS key_rows
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, key_rows,
+               round(key_rows / CAST(sum(key_rows) OVER () AS BIGINT), 6)
+                   AS row_share
+        FROM k
+        ORDER BY key_rows DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("quality", "profiling", "skew"),
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: the 10 heaviest l_orderkey values with
+    their share of all rows — the check that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (operators/skew.py) before running a 100 TB fact-fact join.
+
+    Scale shape: per-key counts via partial agg; the global total is a
+    window over the already-aggregated key counts; top-10 fuses to
+    TakeOrderedAndProject (per-partition heaps, no full sort). Total
+    order (count desc, key asc) keeps LIMIT engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("key_rows"))
+    total = F.sum("key_rows").over(Window.partitionBy())
+    return (
+        k.select(
+            "l_orderkey",
+            "key_rows",
+            F.round(F.col("key_rows") / total, 6).alias("row_share"),
+        )
+        .orderBy(F.desc("key_rows"), F.asc("l_orderkey"))
+        .limit(10)
+    )
