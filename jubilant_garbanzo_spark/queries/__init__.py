@@ -82,6 +82,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_knn_join",
     "upsert_latest_by_key",
     "profile_key_skew",
+    "embed_quantize_int8",
+    "sink_clustered_parquet",
 )
 
 

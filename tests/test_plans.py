@@ -254,3 +254,12 @@ def test_knn_join_broadcasts_probe_batch(spark, sf_dir):
     assert "CartesianProduct" not in strategies, strategies
     assert any(s.startswith("Broadcast") for s in strategies), strategies
     assert "WindowGroupLimit" in plan
+
+
+def test_clustered_readback_pushes_date_filter(spark, sf_dir):
+    """The month predicate must reach the clustered parquet scan as a
+    pushed filter — that's what lines row-group min/max stats up with
+    the clustering for IO pruning."""
+    df = q(spark, sf_dir, "sink_clustered_parquet")
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
