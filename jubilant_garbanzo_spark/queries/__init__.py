@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_key_skew",
     "embed_quantize_int8",
     "sink_clustered_parquet",
+    "fuzzy_name_match",
 )
 
 

@@ -511,3 +511,52 @@ def profile_key_skew(spark, sf_dir):
         .orderBy(F.desc("key_rows"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "fuzzy_name_match",
+    oracle="""
+        WITH names AS (
+            SELECT DISTINCT p_name AS name FROM part
+        ), keyed AS (
+            SELECT name, string_split(name, ' ')[-1] AS block
+            FROM names
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+        FROM keyed a JOIN keyed b
+          ON a.block = b.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    tags=("quality", "fuzzy", "entity-resolution"),
+)
+def fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy string matching (entity resolution): pairs of
+    DISTINCT part names within edit distance 3, candidates blocked by
+    the head noun (last token) so comparisons never go all-pairs.
+
+    Scale shape — the canonical ER recipe at 100 TB: (1) dedupe to
+    the DISTINCT value table first (names are low-cardinality
+    relative to rows — here 64 vs 2000; at corpus scale, millions vs
+    trillions), (2) equi-join on a blocking key so each comparison
+    bucket is bounded, (3) run the expensive edit-distance only inside
+    blocks, (4) broadcast the resolved pairs back onto the fact rows.
+    levenshtein() is identical unit-cost edit distance in Spark and
+    DuckDB, so the pair set is oracle-checked exactly.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    keyed = names.select(
+        "name", F.element_at(F.split("name", " "), -1).alias("block")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.name") < F.col("b.name")))
+        .filter(lev <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            lev.cast("int").alias("edit_dist"),
+        )
+    )
