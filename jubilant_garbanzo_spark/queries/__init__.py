@@ -85,6 +85,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_quantize_int8",
     "sink_clustered_parquet",
     "fuzzy_name_match",
+    "funnel_analysis",
+    "cohort_retention",
+    "timeseries_gapfill",
 )
 
 
@@ -96,6 +99,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from jubilant_garbanzo_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         llm,
         pipeline,
