@@ -186,15 +186,22 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     canonical "keeper") — the step that turns pairwise near-dup hits
     into dedup GROUPS (A≈B, B≈C ⇒ {A,B,C} even when A,C never paired).
 
-    Iterative min-label propagation: each round every node takes the
-    min label among itself and its neighbors; converged when no label
-    changes. The loop is driver-COORDINATED but every step is a
-    distributed join+agg (the standard Spark shape for iterative graph
-    algorithms — GraphX/GraphFrames do the same); rounds needed = graph
-    diameter, and near-dup components are shallow (pairs/cliques), so
-    convergence is fast. ``localCheckpoint`` truncates lineage each
-    round — without it the plan doubles per iteration and the job dies
-    on plan-compile time long before data size matters.
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the min label among itself and its neighbors, then
+    a path-halving shortcut replaces each label by its label's label
+    (``label := min(label, label[label])``). The shortcut doubles how
+    far the component minimum has reached per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — a 50-node chain
+    converges in ~7 rounds, well inside the default budget (pinned by
+    ``tests/test_llm_ops.py::test_duplicate_clusters_chain_converges``).
+    This is the public label-doubling trick from the CC-in-MapReduce
+    literature (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" use alternating star operations for the same bound). The
+    loop is driver-COORDINATED but every step is a distributed
+    join+agg (the standard Spark shape for iterative graph algorithms —
+    GraphX/GraphFrames do the same). ``localCheckpoint`` truncates
+    lineage each round — without it the plan doubles per iteration and
+    the job dies on plan-compile time long before data size matters.
 
     Raises if not converged within ``max_iters`` rather than returning
     possibly-wrong labels (the DuckDB oracle computes the exact
@@ -214,10 +221,25 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         neigh = sym.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("id"), "label")
+        via_neighbors = (
+            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # Pointer jumping: label := min(label, label[label]). Labels
+        # always name nodes in the same component, so the shortcut is
+        # safe and halves the remaining path to the component minimum.
+        # Disjoint column names on the jump side keep the self-join
+        # unambiguous for the analyzer.
+        jumped = via_neighbors.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.union(neigh)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            via_neighbors.join(
+                jumped, on=F.col("label") == F.col("jid"), how="left"
+            )
+            .select(
+                "id",
+                F.least("label", F.coalesce("jlabel", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

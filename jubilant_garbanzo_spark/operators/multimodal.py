@@ -2,10 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns plus typed
 metadata. The Spark-side mechanics here are real and tested — schema,
-Arrow batch shape, ``mapInPandas`` partition flow; only the decoder
-kernel is faked (this container has no image/audio libs): the fake is
-deterministic arithmetic on the bytes, and the seam where PIL/ffmpeg
-would plug in is a clearly-marked ``NotImplementedError`` gate.
+Arrow batch shape, ``mapInPandas`` partition flow. Each decode/resize
+operator has two kernels: the default ``fake`` (deterministic
+arithmetic on the bytes, mirrored by the DuckDB oracles) and ``real``
+(Pillow), which activates automatically when Pillow is importable —
+``REAL_DECODERS_AVAILABLE`` is a try-import probe, so installing
+Pillow flips the gate and un-skips the real-kernel tests with no code
+change. This container ships without image/audio libs, so the fake
+kernels carry the correctness evidence.
 
 Scale notes: binary payloads ride in the same parquet row groups as
 their metadata; decode/feature-extract runs as Arrow-batched
@@ -35,7 +39,12 @@ DECODE_SCHEMA = T.StructType(
     ]
 )
 
-REAL_DECODERS_AVAILABLE = False  # flipped when PIL/ffmpeg exist
+try:  # auto-probe: flips to True the moment Pillow appears in the env
+    import PIL.Image  # noqa: F401  # pragma: no cover
+
+    REAL_DECODERS_AVAILABLE = True
+except ImportError:
+    REAL_DECODERS_AVAILABLE = False
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -48,21 +57,46 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (n % 64 + 1, n % 48 + 1, n % 8 + 1)
 
 
-def decode_metadata(payloads: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
+    """Real header parse via Pillow (worker-side import so the kernel
+    works under any executor deployment, not just local mode)."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        return (img.width, img.height, int(getattr(img, "n_frames", 1)))
+
+
+def _require_real(kernel: str) -> None:
+    if kernel == "real" and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "kernel='real' needs Pillow, which is not installed in this "
+            "container; the deterministic fake kernel is the default"
+        )
+    if kernel not in ("fake", "real"):
+        raise ValueError(f"kernel must be 'fake' or 'real', got {kernel!r}")
+
+
+def decode_metadata(
+    payloads: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    kernel: str = "fake",
+) -> DataFrame:
     """Extract per-payload metadata via Arrow-batched ``mapInPandas``.
 
-    A real deployment swaps ``_fake_decode`` for PIL/ffmpeg behind the
-    ``REAL_DECODERS_AVAILABLE`` gate; the Spark plumbing is identical.
+    ``kernel='fake'`` (default) is the deterministic, oracle-mirrored
+    stand-in; ``kernel='real'`` decodes actual image bytes with Pillow
+    and activates automatically once Pillow is installed
+    (``REAL_DECODERS_AVAILABLE`` is a try-import probe, not a constant).
     """
+    _require_real(kernel)
+    decode = _real_decode if kernel == "real" else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError(
-                "real decoders (PIL/ffmpeg) are not installed in this "
-                "container; _fake_decode is the deterministic stand-in"
-            )
         for pdf in batches:
-            meta = pdf[bin_col].map(_fake_decode)
+            meta = pdf[bin_col].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -107,21 +141,34 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return bytes(payload[(i * n) // target] for i in range(target))
 
 
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
+    """Real resample via Pillow: decode, grayscale, nearest-neighbor
+    resize, raw bytes out — exactly ``width*height`` bytes, matching
+    the fake kernel's output contract."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        return img.convert("L").resize((width, height)).tobytes()
+
+
 def resize_payload(
     payloads: DataFrame,
     width: int = 8,
     height: int = 6,
     id_col: str = "doc_id",
     bin_col: str = "payload",
+    kernel: str = "fake",
 ) -> DataFrame:
     """Resize plumbing via Arrow-batched ``mapInPandas``: every
-    non-empty payload becomes exactly ``width*height`` bytes (the
-    real kernel — PIL ``Image.resize`` — swaps in behind the
-    ``REAL_DECODERS_AVAILABLE`` gate with this exact signature)."""
+    non-empty payload becomes exactly ``width*height`` bytes.
+    ``kernel='real'`` (auto-enabled when Pillow is installed) decodes
+    and resamples actual images with the same output contract."""
+    _require_real(kernel)
+    resize = _real_resize if kernel == "real" else _fake_resize
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("real resize kernel (PIL) not installed")
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -129,7 +176,7 @@ def resize_payload(
                     "width": width,
                     "height": height,
                     "payload": pdf[bin_col].map(
-                        lambda b: _fake_resize(b, width, height)
+                        lambda b: resize(b, width, height)
                     ),
                 }
             )
@@ -156,12 +203,12 @@ def extract_features(
     """Feature extraction plumbing: per-payload ``dim``-bucket byte
     histogram, L1-normalized — the deterministic stand-in for an
     embedding model forward pass (same mapInPandas batch shape and
-    ``array<double>`` output a real encoder would produce)."""
+    ``array<double>`` output a real encoder would produce). Unlike the
+    decode/resize kernels there is no ``kernel='real'`` here: a real
+    encoder needs model weights, not just an image library."""
     import numpy as np
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("real feature encoder not installed")
         for pdf in batches:
 
             def hist(b: bytes) -> list[float]:

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -147,6 +148,62 @@ def test_resize_matches_python_reference(spark):
         assert len(got[doc_id]) == (48 if payload else 0)
 
 
+def _tiny_png(width: int = 3, height: int = 2, value: int = 128) -> bytes:
+    """Hand-assembled valid 8-bit grayscale PNG (no image lib needed),
+    so the real-kernel tests have genuine image bytes to decode."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([value]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_kernel_gate_is_loud_when_pillow_absent(spark):
+    """kernel='real' must fail fast (driver-side, not in a worker)
+    when Pillow is missing — and the probe must reflect reality."""
+    import importlib.util
+
+    from jubilant_garbanzo_spark.operators import multimodal as M
+
+    assert M.REAL_DECODERS_AVAILABLE == (importlib.util.find_spec("PIL") is not None)
+    df = spark.createDataFrame([(1, _tiny_png())], "doc_id long, payload binary")
+    if not M.REAL_DECODERS_AVAILABLE:
+        with pytest.raises(NotImplementedError):
+            M.decode_metadata(df, kernel="real")
+        with pytest.raises(NotImplementedError):
+            M.resize_payload(df, kernel="real")
+    with pytest.raises(ValueError):
+        M.decode_metadata(df, kernel="png")
+
+
+def test_real_decode_kernel_reads_actual_png(spark):
+    """Un-skips automatically once Pillow lands in the container: the
+    real kernel must report true pixel dimensions, not the fake's
+    byte-length arithmetic."""
+    from jubilant_garbanzo_spark.operators import multimodal as M
+
+    if not M.REAL_DECODERS_AVAILABLE:
+        pytest.skip("Pillow not installed; real decode kernel inactive")
+    df = spark.createDataFrame(
+        [(1, _tiny_png(3, 2)), (2, _tiny_png(5, 4))], "doc_id long, payload binary"
+    )
+    meta = {r["doc_id"]: r for r in M.decode_metadata(df, kernel="real").collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["n_frames"]) == (3, 2, 1)
+    assert (meta[2]["width"], meta[2]["height"]) == (5, 4)
+    resized = M.resize_payload(df, 8, 6, kernel="real").collect()
+    assert all(len(bytes(r["payload"])) == 48 for r in resized)
+
+
 def test_feature_extract_matches_numpy_reference(spark):
     """Histogram features through mapInPandas must equal the numpy
     reference, L1-normalized to 1 for non-empty payloads."""
@@ -261,6 +318,21 @@ def test_duplicate_clusters_transitive_merge(spark):
         for r in D.duplicate_clusters(pairs).collect()
     }
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    """Adversarial large-diameter component: a 50-node chain (diameter
+    49) must converge at the DEFAULT max_iters — the pointer-jumping
+    shortcut makes rounds O(log diameter), so plain O(diameter)
+    propagation (which would need 49 rounds against the default budget
+    of 25) is pinned as fixed. All 50 nodes label to the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, 51)}
 
 
 def test_int8_quantization_reconstruction_bound(spark):
