@@ -71,6 +71,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_cosine_topk",
     "dedup_embedding_cosine",
     "tpch_q22_global_sales_opportunity",
+    "dedup_cluster_cc",  # pointer-jumping added round 4
+    "multimodal_decode",  # kernel-dispatch refactor round 4
+    "multimodal_resize",
     # new in round 4
     "sample_stratified_hash",
     "sample_reservoir_per_group",
