@@ -390,3 +390,127 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cos_sim")
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product quantization encode (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — public literature): split
+    each vector into ``m`` subvectors, map each to its nearest of ``k``
+    codebook centroids, emit the m-byte code word — the 100 TB ANN
+    memory lever (dim·4 bytes → m bytes per vector, 32× here; IVF
+    narrows WHERE to look, PQ shrinks WHAT is kept resident; together
+    they are the standard IVFPQ stack).
+
+    Codebook: sample initialization — the ``k`` corpus vectors with the
+    smallest md5(vec_id) (deterministic, engine-reproducible; a
+    production build would k-means-refine from exactly this seed).
+
+    EXACT argmin: coordinates scale to integers (round(x·1e6) — float32
+    inputs make this lossless enough that both engines see identical
+    ints), so subspace distances are BIGINT sums; the assignment
+    minimizes ``dist·k + j`` — one integer ``min`` per subspace with
+    centroid index as built-in tie-break. No float compare anywhere, so
+    codes are bit-identical on any engine/partitioning (|x|≤1 ⇒ dist ≤
+    4·scale²·dim/m ≈ 6.4e13 ⇒ dist·k+j ≤ 1e15, far inside BIGINT).
+
+    Scale shape: codebook is broadcast (k rows); the encode is a
+    crossJoin(vectors × k) kept inside one codegen stage, then a
+    partial-agg'd groupBy on vec_id — shuffle carries m smalls per
+    vector. Returns (vec_id, codes array<int>, err_scaled bigint —
+    total squared quantization error in scaled-int units).
+    """
+    from pyspark.sql import Window
+
+    sub = dim // m
+    vi = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * float(scale)).cast("bigint"),
+    )
+    v = embeddings.select(F.col(id_col).alias("vec_id"), vi.alias("vi"))
+    cb16 = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cb = cb16.withColumn(
+        "j",
+        F.row_number().over(Window.orderBy("h", "vec_id")) - 1,
+    ).select("j", F.col("vi").alias("ci"))
+
+    def dist(s: int) -> Column:
+        a = F.slice(F.col("vi"), s * sub + 1, sub)
+        b = F.slice(F.col("ci"), s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = v.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        *[(dist(s) * k + F.col("j")).alias(f"key{s}") for s in range(m)],
+    )
+    best = pairs.groupBy("vec_id").agg(
+        *[F.min(f"key{s}").alias(f"k{s}") for s in range(m)]
+    )
+    codes = F.array(*[(F.col(f"k{s}") % k).cast("int") for s in range(m)])
+    err = sum(
+        [F.expr(f"k{s} DIV {k}") for s in range(1, m)],
+        F.expr(f"k0 DIV {k}"),
+    )
+    return best.select(
+        "vec_id", codes.alias("codes"), err.cast("bigint").alias("err_scaled")
+    )
+
+
+def pq_oracle_sql(
+    m: int = 4, k: int = 16, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`pq_encode` (same integer arithmetic)."""
+    sub = dim // m
+    dists = []
+    for s in range(m):
+        lo = s * sub
+        dists.append(
+            f"(CAST(list_sum([(v.vi[{lo}+i] - c.ci[{lo}+i]) *"
+            f" (v.vi[{lo}+i] - c.ci[{lo}+i]) FOR i IN range(1, {sub + 1})])"
+            f" AS BIGINT) * {k} + c.j) AS key{s}"
+        )
+    keys = ",\n                   ".join(dists)
+    mins = ", ".join(f"min(key{s}) AS k{s}" for s in range(m))
+    codes = ", ".join(f"CAST(k{s} % {k} AS INT)" for s in range(m))
+    err = " + ".join(f"(k{s} // {k})" for s in range(m))
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   [CAST(round(x * {scale}.0) AS BIGINT)
+                    FOR x IN CAST(embedding AS DOUBLE[])] AS vi
+            FROM embeddings
+        ), cb AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS j,
+                   vi AS ci
+            FROM v
+            QUALIFY j < {k}
+        ), pairs AS (
+            SELECT v.vec_id,
+                   {keys}
+            FROM v CROSS JOIN cb c
+        ), best AS (
+            SELECT vec_id, {mins}
+            FROM pairs GROUP BY vec_id
+        )
+        SELECT vec_id,
+               array_to_string([{codes}], ',') AS codes,
+               CAST({err} AS BIGINT) AS err_scaled
+        FROM best
+    """

@@ -91,6 +91,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_analysis",
     "cohort_retention",
     "timeseries_gapfill",
+    "sessionize_events",
+    "timeseries_downsample_ohlc",
+    "dedup_incremental",
+    "text_domain_mixture",
+    "join_dpp_partitioned",
+    "subquery_in_uncorrelated",
+    "lateral_explode_tokens",
+    "embed_pq_encode",
 )
 
 

@@ -216,3 +216,161 @@ def timeseries_gapfill(spark, sf_dir):
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
     )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, value,
+                   epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_us
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN prev_us IS NULL
+                             OR us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+            FROM ordered
+        ), numbered AS (
+            SELECT *, CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               max(us) - min(us) AS duration_us,
+               {exact_sum_sql('value')} AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("analytics", "sessionize", "events", "window"),
+)
+def sessionize_events(spark, sf_dir):
+    """Batch sessionization: per-user event streams split into sessions
+    at >30 min inactivity gaps (lag + gap flag + running sum — the
+    canonical batch twin of ``stream_session_window``'s state-store
+    sessionizer; reference parity: the reference's only notion of
+    "session" is its 10 s hashtag window, main.scala:47).
+
+    The gap test runs on exact integer µs (``unix_micros``), never
+    float seconds, so the session boundary is bit-deterministic
+    cross-engine; ties inside a user are broken by event_id.
+
+    Scale shape: ONE shuffle on user_id serves both window functions
+    and the final per-session agg (same partitioning reused across all
+    three stages); per-user partitions sort locally. At 100 TB,
+    sessionization is the textbook "window over hot entity" op — a
+    celebrity user with 10^8 events skews a partition, and the fix is
+    range-partitioning within user by day with session stitching at
+    day boundaries; at fixture scale (and for any human-generated
+    event stream) per-user volumes are bounded and the plain window
+    is the right plan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        # NTZ→TS cast is wall-clock identity under the UTC session tz,
+        # so this epoch equals DuckDB's epoch_us over the naive ts.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        exact_sum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "timeseries_downsample_ohlc",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+                       AS bucket,
+                   value,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                   lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+            FROM events
+        )
+        SELECT event_type, bucket,
+               arg_min(value, ord) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ord) AS close,
+               count(*) AS n_events,
+               {exact_sum_sql('value')} AS total_value
+        FROM keyed
+        GROUP BY event_type, bucket
+    """,
+    tags=("analytics", "timeseries", "downsample", "ohlc"),
+)
+def timeseries_downsample_ohlc(spark, sf_dir):
+    """OHLC downsampling: per (event_type, hour) bucket — open (first
+    value), high, low, close (last value), volume, exact total — the
+    hypertable-rollup / candlestick query of every time-series store.
+
+    First/last are ``min_by``/``max_by`` over a DETERMINISTIC string
+    order key (zero-padded µs epoch + event_id): timestamp ties cannot
+    make the two engines pick different rows, and the selected values
+    are untouched doubles (no arithmetic), so they hash bit-for-bit.
+
+    Scale shape: pure partial aggregation — min_by/max_by/min/max/
+    count/sum all combine map-side, so the shuffle carries one row per
+    (type × hour) regardless of input size; the downsample output is
+    bounded by the time range, not the event volume. This is the
+    continuous-aggregate pattern: at 100 TB you'd maintain it
+    incrementally per arriving partition and merge, which is exactly
+    what the partial-agg decomposition gives for free."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm")
+            .alias("bucket"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+    )

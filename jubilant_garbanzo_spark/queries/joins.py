@@ -384,3 +384,73 @@ def join_salted_skew(spark, sf_dir):
         F.count("*").alias("n"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle=f"""
+        WITH dim AS (
+            SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+                   CASE WHEN CAST(year(o_orderdate) AS INT) % 2 = 1
+                        THEN 'odd' ELSE 'even' END AS parity
+            FROM orders
+        )
+        SELECT o.o_year, count(*) AS n_orders,
+               {exact_sum_sql('o.o_totalprice')} AS price_sum
+        FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+              FROM orders) o
+        JOIN dim ON o.o_year = dim.yr
+        WHERE dim.parity = 'odd'
+        GROUP BY o.o_year
+    """,
+    tags=("join", "dpp", "partition-pruning", "sink"),
+)
+def join_dpp_partitioned(spark, sf_dir):
+    """Dynamic partition pruning: ``orders`` rewritten as a
+    year-partitioned parquet table, then joined to a year dimension
+    whose filter (parity = 'odd') is NOT statically pushable — Spark
+    plants a DynamicPruning subquery on the fact scan, so only the
+    odd-year partition directories are read at runtime
+    (``tests/test_plans.py`` pins ``dynamicpruning`` in the plan).
+
+    THE 100 TB date-partitioned-fact pattern: a star join whose dim
+    filter selects a slice of time must prune fact IO at runtime, not
+    scan-then-filter — at 1000 executors the difference is reading 3
+    year-partitions vs all 7. The hash match against the unpartitioned
+    oracle proves pruning dropped no qualifying row."""
+    import os
+
+    from jubilant_garbanzo_spark.sources import formats as FMT
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_by_year"
+    )
+
+    def write(path: str) -> None:
+        (
+            o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+
+    FMT.materialize_once(out, write)
+    fact = spark.read.parquet(out)
+    dim = (
+        o.select(F.year("o_orderdate").cast("int").alias("yr"))
+        .distinct()
+        .withColumn(
+            "parity",
+            F.when(F.col("yr") % 2 == 1, "odd").otherwise("even"),
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["o_year"] == dim["yr"])
+        .filter(F.col("parity") == "odd")
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("price_sum"),
+        )
+    )

@@ -962,3 +962,27 @@ def embed_quantize_int8(spark, sf_dir):
         .otherwise(F.concat_ws(",", q))
         .alias("q_vec"),
     )
+
+
+@register(
+    "embed_pq_encode",
+    oracle=S.pq_oracle_sql(),
+    tags=("llm", "embedding", "quantization", "ann", "pq"),
+)
+def embed_pq_encode(spark, sf_dir):
+    """Product-quantization encode (operators/similarity.pq_encode):
+    every corpus vector reduced to a 4-code word over a deterministic
+    16-centroid sampled codebook, plus its exact scaled quantization
+    error. Completes the IVFPQ stack next to embed_ann_ivf: IVF
+    narrows the candidate buckets, PQ shrinks resident vector memory
+    32× so a 100 TB corpus' index fits executor RAM. The assignment
+    argmin runs in exact integer arithmetic end to end, so the full
+    pipeline (codebook pick, per-subspace assignment, error) is
+    hash-verified against DuckDB — not rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(e)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        "err_scaled",
+    )

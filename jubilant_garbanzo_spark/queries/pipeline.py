@@ -424,3 +424,118 @@ def text_vocab_oov(spark, sf_dir):
             ).alias("oov_ratio"),
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))),
+                       ' ')) AS fp
+            FROM documents
+        ), corpus AS (
+            SELECT DISTINCT fp FROM fps WHERE doc_id % 5 < 4
+        ), incoming AS (
+            SELECT fp, min(doc_id) AS doc_id
+            FROM fps WHERE doc_id % 5 = 4
+            GROUP BY fp
+        )
+        SELECT i.doc_id, i.fp
+        FROM incoming i
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)
+    """,
+    tags=("llm", "dedup", "incremental", "anti"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a new batch (20% of docs by id) deduped
+    first WITHIN itself (min-id per fingerprint), then AGAINST the
+    existing corpus fingerprint index (anti-join) — the steady-state
+    form of corpus building, where each crawl increment dedupes
+    against everything already ingested, not the world from scratch.
+    The fingerprint is content-normalized (md5 of the SORTED DISTINCT
+    token set), so reworded-but-same-vocabulary docs collide — at
+    sf0.01 both stages genuinely drop rows (100 incoming → 93 after
+    within-batch dedup → 88 past the corpus), so the driver hash
+    exercises both dedup stages, not a pass-through.
+
+    Scale shape: the corpus side reduces to DISTINCT 16-byte md5 keys
+    (partial-agg'd before the shuffle) and the anti-join shuffles only
+    fingerprints, never text. At 100 TB the corpus index is a
+    materialized bucketed table keyed by fingerprint, so each
+    increment's anti-join co-locates with zero corpus re-shuffle, with
+    a bloom-filter pre-pass to drop the ~99% of fresh docs whose
+    fingerprint can't possibly collide before the join."""
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fp.alias("fp")
+    )
+    corpus_fp = docs.filter(F.col("doc_id") % 5 < 4).select("fp").distinct()
+    incoming = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return incoming.join(corpus_fp, "fp", "left_anti").select("doc_id", "fp")
+
+
+@register(
+    "text_domain_mixture",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), quota AS (
+            SELECT min(cnt) AS q
+            FROM (SELECT count(*) AS cnt FROM d GROUP BY source)
+        ), ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                   ) AS rn
+            FROM d
+        )
+        SELECT r.doc_id, r.source
+        FROM ranked r, quota
+        WHERE r.rn <= quota.q
+    """,
+    tags=("llm", "mixture", "sampling", "window"),
+)
+def text_domain_mixture(spark, sf_dir):
+    """Domain-mixture rebalancing: downsample every source domain to a
+    uniform per-domain quota (the smallest domain's size) by keeping
+    each domain's lowest-md5 documents — the deterministic version of
+    the mixture-reweighting step every pretraining corpus runs (web vs
+    books vs code ratios). Hash-order selection makes the sample
+    reproducible across engines, runs, and cluster sizes: no RNG state,
+    no partition-order dependence.
+
+    Scale shape: domain counts are a partial agg; the quota is a
+    broadcast scalar; selection is per-domain top-N by hash. At 100 TB
+    the rank-over-window per domain is the skew point (a web domain
+    with 10^10 docs sorts 10^10 rows in one partition), and the scale
+    path is threshold-refinement: approx_percentile the hash at
+    quota/|domain| per domain, keep everything below, exact-rank only
+    the boundary sliver. Fixture domains are balanced, so the direct
+    window IS the right local plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    quota = (
+        docs.groupBy("source")
+        .count()
+        .agg(F.min("count").alias("q"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source")
+    )

@@ -411,3 +411,83 @@ def subquery_correlated_scalar(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "subquery_in_uncorrelated",
+    oracle="""
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+        )
+          AND p_partkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        )
+    """,
+    tags=("subquery", "in", "semi"),
+)
+def subquery_in_uncorrelated(spark, sf_dir):
+    """Uncorrelated IN / NOT IN subqueries (SQL entry point): IN plans
+    as a left-semi join, NOT IN as null-aware anti — the two rewrite
+    rules every SQL frontend needs beyond the correlated-scalar case.
+    NOT IN's three-valued NULL semantics is the classic engine bug;
+    the driver hash pins Spark's null-aware anti join against DuckDB's.
+
+    Scale shape: both subqueries reduce to distinct key sets before
+    joining (semi/anti never multiply rows); the quantity filter is
+    pushed to the lineitem scan."""
+    spark.sql("SET spark.sql.legacy.parquet.nanosAsLong=true")
+    from jubilant_garbanzo_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+        )
+          AND p_partkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        )
+        """
+    )
+
+
+@register(
+    "lateral_explode_tokens",
+    oracle="""
+        SELECT d.doc_id,
+               u.i - 1 AS pos,
+               d.toks[u.i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 97 = 0) d,
+             UNNEST(generate_series(1, len(d.toks))) AS u(i)
+        WHERE len(d.toks[u.i]) >= 6
+    """,
+    tags=("lateral", "explode", "generator"),
+)
+def lateral_explode_tokens(spark, sf_dir):
+    """Generator expansion with ordinality: ``posexplode`` over
+    tokenized text (the LATERAL VIEW / UNNEST WITH ORDINALITY shape),
+    keeping each token's position — the row-multiplying op that
+    tokenization, shingling, and attribute-array flattening all reduce
+    to. The position column pins ORDER of expansion cross-engine, not
+    just the multiset of tokens.
+
+    Scale shape: explode is narrow (no shuffle) and multiplies rows
+    ~150× here — the length filter lands AFTER expansion but Spark
+    keeps it in the same codegen stage, so no materialization of the
+    unfiltered blowup ever hits memory."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.length("token") >= 6)
+        .select("doc_id", "pos", "token")
+    )

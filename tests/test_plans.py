@@ -263,3 +263,34 @@ def test_clustered_readback_pushes_date_filter(spark, sf_dir):
     df = q(spark, sf_dir, "sink_clustered_parquet")
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed, pushed
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """join_dpp_partitioned's fact scan must carry a DynamicPruning
+    subquery on the partition column — at 100 TB this is the
+    difference between reading the dim-selected year directories and
+    scanning the whole fact table before the join filters it."""
+    df = q(spark, sf_dir, "join_dpp_partitioned")
+    s = df._jdf.queryExecution().toString().lower()
+    assert "dynamicpruning" in s, "no DynamicPruning subquery planted"
+
+
+def test_ohlc_downsample_aggregates_partially(spark, sf_dir):
+    """min_by/max_by/count/sum must all combine map-side: the OHLC
+    shuffle carries one row per (type, hour), never raw events."""
+    df = q(spark, sf_dir, "timeseries_downsample_ohlc")
+    assert has_partial_aggregate(df)
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Sessionization's two windows + final agg all key on user_id —
+    the plan must contain exactly ONE user_id exchange (the window
+    partitioning is reused by the groupBy, no re-shuffle)."""
+    df = q(spark, sf_dir, "sessionize_events")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = [
+        ln for ln in s.splitlines() if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}:\n{s[:2000]}"
