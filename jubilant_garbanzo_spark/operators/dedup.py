@@ -203,14 +203,26 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     lineage each round — without it the plan doubles per iteration and
     the job dies on plan-compile time long before data size matters.
 
+    One Spark job per round: the previous label rides along as a
+    ``chg`` flag column, so a single lazy ``localCheckpoint`` + count
+    action both materializes the round and reads the convergence
+    signal. (An earlier version re-joined the new and old label tables
+    just to count changes — a second shuffle join per round that
+    roughly doubled wall-time on small data where per-job overhead
+    dominates.)
+
     Raises if not converged within ``max_iters`` rather than returning
     possibly-wrong labels (the DuckDB oracle computes the exact
     transitive closure, so only the fixpoint matches it).
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Materialize the edge list ONCE. `sym` is referenced by every
+    # round's neighbor join; without this the whole upstream pair
+    # pipeline (e.g. MinHash-LSH candidate generation + verify) is
+    # re-executed per round — measured 3× the total wall-time at sf0.1.
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -218,37 +230,43 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        neigh = sym.join(
-            labels.select(F.col("id").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("id"), "label")
-        via_neighbors = (
-            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        # Min over the neighborhood, keeping the old label in-row (a
+        # left join — every neighbor id is already in `labels`, so this
+        # equals the union+groupBy formulation while preserving the
+        # old label for the in-row convergence flag below).
+        neigh_min = (
+            sym.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = labels.join(neigh_min, "id", "left").select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nlabel", "label")).alias("label"),
         )
         # Pointer jumping: label := min(label, label[label]). Labels
         # always name nodes in the same component, so the shortcut is
         # safe and halves the remaining path to the component minimum.
         # Disjoint column names on the jump side keep the self-join
         # unambiguous for the analyzer.
-        jumped = via_neighbors.select(
+        jumped = merged.select(
             F.col("id").alias("jid"), F.col("label").alias("jlabel")
         )
         new_labels = (
-            via_neighbors.join(
-                jumped, on=F.col("label") == F.col("jid"), how="left"
-            )
+            merged.join(jumped, on=F.col("label") == F.col("jid"), how="left")
             .select(
                 "id",
                 F.least("label", F.coalesce("jlabel", "label")).alias("label"),
+                "old_label",
             )
-            .localCheckpoint(eager=True)
+            .withColumn("chg", F.col("label") != F.col("old_label"))
+            .select("id", "label", "chg")
+            # Lazy: the count() below is the first action, so ONE job
+            # materializes the checkpoint AND counts changed rows.
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels.select(
                 F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
