@@ -52,6 +52,13 @@ HEADLINE: tuple[str, ...] = (
     "tpch_q7_nation_volume",  # 6-way join + disjunctive nation pair filter
     "tpch_q19_disjunctive",  # OR-of-ANDs pushdown join
     "text_tfidf_top_terms",  # two-level agg + broadcast scalar + window
+    # Round-5 additions (VERDICT r4 item 2: the two heaviest registry
+    # queries had no regression protection, plus cheap representatives
+    # of the round-4 families).
+    "dedup_cluster_cc",  # LSH pairs + iterative connected components
+    "dedup_ngram_jaccard",  # exact PPJoin prefix-filtered all-pairs
+    "embed_knn_join",  # broadcast batch k-NN join
+    "fuzzy_name_match",  # blocked edit-distance entity resolution
 )
 
 
@@ -108,7 +115,19 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "noise_band": spreads,
-                "method": f"median-of-{args.runs}",
+                # Label must match the statistic actually computed:
+                # odd runs → true median; even runs → midpoint of the
+                # two middle values; one run → a single measurement
+                # (warmed only by the trending_topk warm-up, so other
+                # queries still pay first-run codegen — don't compare
+                # runs=1 numbers across rounds).
+                "method": (
+                    "single-run"
+                    if args.runs == 1
+                    else f"median-of-{args.runs}"
+                    if args.runs % 2
+                    else f"midpoint-of-{args.runs}"
+                ),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -59,11 +59,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
     """Real header parse via Pillow (worker-side import so the kernel
-    works under any executor deployment, not just local mode)."""
+    works under any executor deployment, not just local mode).
+
+    Empty payloads return the ``(0, 0, 0)`` sentinel instead of letting
+    ``PIL.Image.open`` raise inside the executor and fail the whole
+    task — mirrors the fake kernel's total-function contract."""
     import io
 
     import PIL.Image
 
+    if not payload:
+        return (0, 0, 0)
     with PIL.Image.open(io.BytesIO(payload)) as img:
         return (img.width, img.height, int(getattr(img, "n_frames", 1)))
 
@@ -144,11 +150,14 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 def _real_resize(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
     """Real resample via Pillow: decode, grayscale, nearest-neighbor
     resize, raw bytes out — exactly ``width*height`` bytes, matching
-    the fake kernel's output contract."""
+    the fake kernel's output contract (including ``b""`` for empty
+    payloads, which PIL would otherwise raise on inside the executor)."""
     import io
 
     import PIL.Image
 
+    if not payload:
+        return b""
     with PIL.Image.open(io.BytesIO(payload)) as img:
         return img.convert("L").resize((width, height)).tobytes()
 

@@ -349,9 +349,14 @@ def knn_join(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Exact batch k-NN join: the top-``k`` cosine neighbors of EACH
-    query vector (columns ``q_id``, ``q_vec``), not just one.
+    query vector. Both sides follow the same column-name convention:
+    ``id_col``/``vec_col`` name the corpus columns, ``q_id_col``/
+    ``q_vec_col`` the query-batch columns (output always uses
+    ``q_id``/``vec_id``).
 
     Scale shape: the query batch is broadcast (a k-NN batch is
     dimension-table-sized — thousands of probes against billions of
@@ -372,9 +377,10 @@ def knn_join(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).select("vec_id", "v", norm(F.col("v")).alias("nrm"))
     q = F.broadcast(
-        queries.select("q_id", as_double(F.col("q_vec")).alias("qv")).select(
-            "q_id", "qv", norm(F.col("qv")).alias("qnrm")
-        )
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            as_double(F.col(q_vec_col)).alias("qv"),
+        ).select("q_id", "qv", norm(F.col("qv")).alias("qnrm"))
     )
     raw = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm"))
     scored = (

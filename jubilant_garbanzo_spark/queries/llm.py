@@ -440,18 +440,34 @@ def embed_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
-def _hyperplane_sig_cte(dim: int = 64) -> str:
+def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
     """Shared oracle CTE: per-vector hyperplane band keys, derived with
     the IDENTICAL integer planes and left-to-right IEEE sums the Spark
     side uses (operators/similarity.py) — so both engines produce the
-    same candidate pairs."""
+    same candidate pairs.
+
+    ``seeded=True`` unions in the five exact-copy probe vectors that
+    :func:`_seeded_embeddings` adds on the Spark side, so the
+    positive path of the threshold queries is exercised (the synthetic
+    fixture's embeddings are random — max pairwise candidate cosine
+    ≈ 0.51 at every SF, so un-seeded near-dup thresholds never fire)."""
     bands = S.hyperplane_band_sql("v", dim)
     band_cols = ",\n                   ".join(
         f"{expr} AS b{i}" for i, expr in enumerate(bands)
     )
+    seed_union = (
+        """
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5
+        """
+        if seeded
+        else ""
+    )
     return f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            {seed_union}
         ), sig AS (
             SELECT vec_id, v,
                    {band_cols}
@@ -460,12 +476,25 @@ def _hyperplane_sig_cte(dim: int = 64) -> str:
     """
 
 
+def _seeded_embeddings(spark, sf_dir):
+    """Embeddings plus five exact-copy probes (``vec_id + 100000`` for
+    ``vec_id < 5``): deterministic true near-duplicates (cosine = 1.0)
+    in both engines, so threshold-gated similarity queries produce
+    rows at every SF instead of vacuously matching on empty-vs-empty
+    (the fixture's random vectors top out at candidate cosine ≈ 0.51)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return e.unionByName(probes)
+
+
 _BAND_MATCH = " OR ".join(f"a.b{i} = b.b{i}" for i in range(S.N_SIG_BANDS))
 
 
 @register(
     "embed_similarity_join",
-    oracle=_hyperplane_sig_cte()
+    oracle=_hyperplane_sig_cte(seeded=True)
     + f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
@@ -478,9 +507,10 @@ _BAND_MATCH = " OR ".join(f"a.b{i} = b.b{i}" for i in range(S.N_SIG_BANDS))
 def embed_similarity_join(spark, sf_dir):
     """Pairwise cosine ≥ 0.9 among hyperplane-LSH candidates (pairs
     sharing ≥1 of 4 signature bands) — bounded buckets by geometry,
-    not by a fixed blocking column."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.similarity_join(e, threshold=0.9)
+    not by a fixed blocking column. Runs over the probe-seeded corpus
+    (see ``_seeded_embeddings``) so the ≥-threshold branch is
+    exercised, not just the empty case."""
+    return S.similarity_join(_seeded_embeddings(spark, sf_dir), threshold=0.9)
 
 
 @register(
@@ -668,7 +698,7 @@ def multimodal_feature_extract(spark, sf_dir):
 
 @register(
     "dedup_embedding_cosine",
-    oracle=_hyperplane_sig_cte()
+    oracle=_hyperplane_sig_cte(seeded=True)
     + f"""
         SELECT b.vec_id AS dup_id, min(a.vec_id) AS keeper_id
         FROM sig a JOIN sig b
@@ -683,9 +713,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     lower-id hyperplane-LSH candidate is a duplicate of that keeper —
     the semantic-dedup pass that catches paraphrases exact/MinHash
     dedup cannot. At cos 0.99 the 4×4-band signature catches a true
-    pair w.p. ≈ 0.999 (sign-agreement per plane ≈ 0.955)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = S.similarity_join(e, threshold=0.99)
+    pair w.p. ≈ 0.999 (sign-agreement per plane ≈ 0.955). Runs over
+    the probe-seeded corpus (``_seeded_embeddings``) so real
+    duplicates exist and the keeper-election path is exercised."""
+    pairs = S.similarity_join(_seeded_embeddings(spark, sf_dir), threshold=0.99)
     return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").alias("keeper_id")
     )

@@ -431,13 +431,13 @@ def subquery_in_uncorrelated(spark, sf_dir):
     """Uncorrelated IN / NOT IN subqueries (SQL entry point): IN plans
     as a left-semi join, NOT IN as null-aware anti — the two rewrite
     rules every SQL frontend needs beyond the correlated-scalar case.
-    NOT IN's three-valued NULL semantics is the classic engine bug;
-    the driver hash pins Spark's null-aware anti join against DuckDB's.
+    (The NOT IN list here happens to be NULL-free in the fixture; the
+    three-valued NULL path is exercised separately by
+    ``subquery_not_in_null``.)
 
     Scale shape: both subqueries reduce to distinct key sets before
     joining (semi/anti never multiply rows); the quantity filter is
     pushed to the lineitem scan."""
-    spark.sql("SET spark.sql.legacy.parquet.nanosAsLong=true")
     from jubilant_garbanzo_spark.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -453,6 +453,45 @@ def subquery_in_uncorrelated(spark, sf_dir):
         )
         """
     )
+
+
+_NOT_IN_NULL_SQL = """
+    SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+             UNION ALL SELECT NULL
+         )) AS cnt_with_null,
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+         )) AS cnt_null_free
+"""
+
+
+@register(
+    "subquery_not_in_null",
+    oracle=_NOT_IN_NULL_SQL,
+    tags=("subquery", "not-in", "null-semantics"),
+)
+def subquery_not_in_null(spark, sf_dir):
+    """NOT IN three-valued NULL semantics, actually exercised: the
+    probe list is the same key set twice, once with an injected NULL.
+    ``x NOT IN (..., NULL)`` is never TRUE under SQL three-valued
+    logic, so ``cnt_with_null`` must be 0 while ``cnt_null_free`` is
+    the real anti-join count — the classic engine bug this pins is
+    treating NOT IN as a plain anti join and returning equal counts.
+    Spark plans the NULL-laden branch as a null-aware anti join
+    (BroadcastNestedLoop fallback for the null check); the driver hash
+    compares both counts against DuckDB's.
+
+    Scale shape: the NULL-free branch is a distinct-key anti join; the
+    null-aware branch is why production pipelines should filter NULLs
+    out of NOT IN lists explicitly — this query documents the cliff."""
+    from jubilant_garbanzo_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_NULL_SQL)
 
 
 @register(
