@@ -365,15 +365,36 @@ def stream_foreachbatch(spark, sf_dir):
 
 @register(
     "stream_watermark_append",
-    oracle=None,  # append-mode emission depends on watermark advance → rows-only
+    # Under availableNow over bounded data the FINAL watermark is
+    # deterministic — max(ts) − delay — so the append-mode emitted set
+    # is exactly the windows with window_end ≤ watermark (boundary
+    # inclusive: a window whose end EQUALS the final watermark is
+    # emitted, pinned by an explicit two-row probe; Spark's eviction
+    # predicate is `end <= watermark`). The no-data micro-batch that
+    # availableNow runs after the last data batch is what flushes
+    # those windows.
+    oracle="""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        agg AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+                   event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, cnt
+        FROM agg, wm
+        WHERE ws + INTERVAL 1 HOUR <= w
+    """,
     tags=("streaming", "watermark"),
 )
 def stream_watermark_append(spark, sf_dir):
     """Append-mode windowed counts with a 1 h watermark: only windows
     the watermark has passed are emitted (the tail stays in state).
     This is the late-data-drop semantics the reference lacks entirely
-    (processing-time windows, SURVEY §2a). Rows-only check; exact
-    late-row behavior is unit-tested in tests/test_streaming.py."""
+    (processing-time windows, SURVEY §2a). Full oracle: the final
+    availableNow watermark is deterministic (max(ts) − 1 h), so the
+    emitted window set is batch-SQL-expressible; late-row behavior is
+    additionally unit-tested in tests/test_streaming.py."""
     s = read_events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
