@@ -62,18 +62,36 @@ def agg_distinct(spark, sf_dir):
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # approximate by construction → driver rows-only check
+    # The sketch value itself is engine-private, but its ERROR BOUND is
+    # an oracle-checkable contract: the query emits within_bound =
+    # |approx − exact|/exact ≤ 5·rsd computed in-query, and the oracle
+    # asserts TRUE alongside the exact count — if HLL++ ever drifts
+    # outside its published bound, the driver hash goes red.
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct estimate. At 100 TB this replaces exact
-    count-distinct (which must shuffle every distinct value); rsd=0.01
-    keeps the sketch a few KB per group. Tested for bounded relative
-    error vs exact in tests/test_aggregates.py."""
+    """HyperLogLog++ distinct estimate with its error bound made a
+    checked output. At 100 TB this replaces exact count-distinct
+    (which must shuffle every distinct value); rsd=0.01 keeps the
+    sketch a few KB per group. The raw sketch value stays out of the
+    projection (not cross-engine reproducible); the bound column is
+    the guarantee."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("within_bound"),
     )
 
 
@@ -271,16 +289,35 @@ def agg_percentiles(spark, sf_dir):
 
 @register(
     "agg_percentile_approx",
-    oracle=None,  # sketch-based → rows-only; accuracy tested in pytest
+    # Same bound-as-output trick as agg_approx_count_distinct: the GK
+    # sketch's rank-error contract (≤ n/accuracy ranks) is checked
+    # in-query — the approx median must land inside the exact
+    # [p49.95, p50.05] band — and the oracle pins the bound TRUE next
+    # to the exact median.
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "percentile"),
 )
 def agg_percentile_approx(spark, sf_dir):
     """percentile_approx (GK sketch): the 100 TB path for quantiles —
-    fixed-size state per group vs full sort for exact percentiles."""
+    fixed-size state per group vs full sort for exact percentiles.
+    accuracy=10000 bounds rank error to n/10000 ranks (< 0.05 % of
+    ranks), so the sketch median must sit inside the exact
+    0.4995–0.5005 quantile band — emitted as a checked boolean; the
+    sketch value itself stays out of the projection (not cross-engine
+    reproducible)."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    lo = F.percentile("l_extendedprice", F.lit(0.4995))
+    hi = F.percentile("l_extendedprice", F.lit(0.5005))
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+        ((approx >= lo) & (approx <= hi)).alias("within_bound"),
     )
 
 

@@ -542,8 +542,50 @@ def embed_norms(spark, sf_dir):
 
 @register(
     "embed_ann_ivf",
-    oracle=None,  # approximate (probed buckets) → rows-only; recall vs
-    # brute force unit-tested in tests/test_llm_ops.py
+    # Full oracle: "approximate" here means approximate w.r.t. the
+    # brute-force answer, NOT nondeterministic — every step of the IVF
+    # algorithm is reproducible SQL. DuckDB re-derives the per-label
+    # mean centroids, ranks them by cosine vs each query (gaps between
+    # random-bucket centroid sims are ~1e-2, far beyond any float-sum
+    # drift), keeps the top-2 buckets, and takes the exact top-10 by
+    # ROUNDED cosine with vec_id tie-break — the same ordering
+    # discipline the Spark side uses.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label AS bkt, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id IN (0, 1)
+        ), cent AS (
+            SELECT bkt, u.i AS pos, avg(v[u.i]) AS m
+            FROM v, unnest(generate_series(1, len(v))) AS u(i)
+            GROUP BY bkt, u.i
+        ), centroid AS (
+            SELECT bkt, list(m ORDER BY pos) AS c FROM cent GROUP BY bkt
+        ), probe AS (
+            SELECT q.q_id, c.bkt,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.bkt
+                   ) AS rnk
+            FROM centroid c, q
+        ), scored AS (
+            SELECT p.q_id, v.vec_id,
+                   round(list_cosine_similarity(v.v, q.qv), 6) AS cos_sim
+            FROM probe p
+            JOIN v ON v.bkt = p.bkt
+            JOIN q ON q.q_id = p.q_id
+            WHERE p.rnk <= 2 AND v.vec_id != p.q_id
+        )
+        SELECT q_id, vec_id, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= 10
+    """,
     tags=("llm", "embedding", "ann"),
 )
 def embed_ann_ivf(spark, sf_dir):
@@ -551,7 +593,11 @@ def embed_ann_ivf(spark, sf_dir):
     assignments + centroids) is materialized ONCE, then BOTH query
     vectors probe it — each probe scans 2/10ths of the corpus and its
     plan reads the cached index (no centroid job; pinned by
-    tests/test_plans.py::test_ivf_probe_plan_reads_cached_index)."""
+    tests/test_plans.py::test_ivf_probe_plan_reads_cached_index).
+    Fully oracle-checked: DuckDB replays the identical centroid →
+    bucket-ranking → in-bucket top-k pipeline (see oracle), so the
+    probed-bucket choice and the returned neighbor set are pinned
+    cross-engine, not just row counts."""
     e = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = S.build_ivf_index(e)
     probes = []
