@@ -139,6 +139,32 @@ def exact_jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def minhash_band_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The LSH candidate-generation stage alone: ``(sh, cand)`` where
+    ``sh`` is the per-doc shingle set and ``cand`` the distinct
+    band-collision pairs (id_a < id_b). Split out so scale benchmarks
+    (scripts/bench_scale.py) can count candidates on EXACTLY the
+    production stage rather than a reimplementation."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col)).alias("sh"),
+    )
+    sig = minhash_signatures(sh, "id", "sh")
+    banded = sig.select("id", F.explode(band_keys()).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return sh, cand
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -154,19 +180,7 @@ def minhash_lsh_pairs(
     join shuffles 1 row per (doc, band), and AQE skew-split handles a
     boilerplate-heavy bucket.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col)).alias("sh"),
-    )
-    sig = minhash_signatures(sh, "id", "sh")
-    banded = sig.select("id", F.explode(band_keys()).alias("band"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), "band")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    sh, cand = minhash_band_candidates(docs, id_col, text_col)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = exact_jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -333,6 +347,49 @@ def hamming_distance_bitstrings(a: Column, b: Column) -> Column:
     )
 
 
+def ngram_prefix_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The PPJoin prefix-filtered candidate stage alone: ``(sh, cand)``
+    — per-doc shingle sets and the distinct prefix-collision pairs.
+    Split out so scale benchmarks count candidates on the production
+    stage itself (see :func:`minhash_band_candidates`)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    ex = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    ceil_t_sz = F.expr(
+        f"CAST((CAST(sz AS BIGINT) * {num} + {den} - 1) DIV {den} AS INT)"
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
+        .select("id", "s")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return sh, cand
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -363,46 +420,20 @@ def ngram_jaccard_pairs(
     """
     from fractions import Fraction
 
-    from pyspark.sql import Window
-
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    )
-    ex = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
-    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # Rarest-first total order (df asc, shingle asc — ties broken
     # deterministically); prefix length = sz - ceil(t*sz) + 1.
     # ceil(t*sz) in EXACT integer arithmetic: t as a rational num/den,
     # ceil(sz*num/den) = (sz*num + den - 1) div den. Double arithmetic
     # here can overshoot (0.55*20 → 11.000000000000002 → ceil 12),
     # silently shortening the prefix and dropping qualifying pairs.
-    # The SAME snapped rational drives BOTH the prefix bound and the
-    # verify filter below, so the operator's threshold semantics is
-    # exactly "jaccard ≥ num/den" end to end (num/den == threshold
-    # bit-for-bit for every threshold with a small decimal/binary
-    # representation, e.g. 0.5, 0.8, 0.3). sz is INT (F.size) —
-    # promote to BIGINT before the multiply so sz*num can't wrap in
-    # 32-bit arithmetic under non-ANSI Spark.
+    # The SAME snapped rational drives BOTH the prefix bound (inside
+    # ngram_prefix_candidates) and the verify filter below, so the
+    # operator's threshold semantics is exactly "jaccard ≥ num/den"
+    # end to end (num/den == threshold bit-for-bit for every threshold
+    # with a small decimal/binary representation, e.g. 0.5, 0.8, 0.3).
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
-    ceil_t_sz = F.expr(
-        f"CAST((CAST(sz AS BIGINT) * {num} + {den} - 1) DIV {den} AS INT)"
-    )
-    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
-    prefix = (
-        ex.join(freq, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
-        .select("id", "s")
-    )
-    cand = (
-        prefix.alias("x")
-        .join(prefix.alias("y"), "s")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    sh, cand = ngram_prefix_candidates(docs, id_col, text_col, n, threshold)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -138,6 +138,33 @@ def hyperplane_band_sql(vec_expr: str, dim: int) -> list[str]:
     return band_exprs
 
 
+def hyperplane_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The hyperplane-LSH candidate stage alone: ``(e, cand)`` where
+    ``e`` is (id, v, nrm) and ``cand`` the distinct band-collision
+    pairs. Split out so scale benchmarks (scripts/bench_scale.py)
+    count candidates on the production stage itself."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).select("id", "v", norm(F.col("v")).alias("nrm"))
+    banded = e.select(
+        "id", F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return e, cand
+
+
 def similarity_join(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -160,20 +187,7 @@ def similarity_join(
     # pair (3 HOF traversals/pair instead of 1; measured ~3× slower on
     # the verify stage). dot/(nrm_a·nrm_b) is the identical expression
     # tree, so values are bit-equal.
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).select("id", "v", norm(F.col("v")).alias("nrm"))
-    banded = e.select(
-        "id", F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key")
-    )
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "key"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    e, cand = hyperplane_candidates(embeddings, id_col, vec_col, dim)
     va = e.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("na")
     )

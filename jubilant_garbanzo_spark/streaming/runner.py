@@ -121,7 +121,10 @@ def run_foreach_batch(
 
 
 def read_socket_lines(
-    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    include_timestamp: bool = False,
 ) -> DataFrame:
     """Live NETWORK stream of text lines — the closest built-in analog
     of the reference's receiver-based ingestion
@@ -136,12 +139,16 @@ def read_socket_lines(
     in-process TCP server in tests/test_streaming.py.
     """
     configure_runtime(spark)
-    return (
+    reader = (
         spark.readStream.format("socket")
         .option("host", host)
         .option("port", str(port))
-        .load()
     )
+    if include_timestamp:
+        # Arrival-time column for processing-time windowing — the
+        # socket-source analog of the reference's batch-interval clock.
+        reader = reader.option("includeTimestamp", "true")
+    return reader.load()
 
 
 def read_rate_stream(

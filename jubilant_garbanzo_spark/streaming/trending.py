@@ -53,6 +53,30 @@ def hashtag_counts(lines: DataFrame) -> DataFrame:
     )
 
 
+def hashtag_windowed_counts(
+    lines: DataFrame,
+    window: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """The reference's FULL graph R2→R5 over a live line stream: split
+    on single spaces (``main.scala:45``), keep ``#``-prefixed tokens
+    (``main.scala:46``), count per (10 s window sliding 5 s, tag)
+    (``reduceByKeyAndWindow(_+_, Seconds(10), Seconds(5))``,
+    ``main.scala:47``). Expects the socket source's arrival-time
+    ``timestamp`` column (``includeTimestamp=true``) — the honest
+    analog of the reference's processing-time windows."""
+    tags = lines.select(
+        F.col("timestamp").alias("ts"),
+        F.explode(F.split("value", " ")).alias("tag"),
+    ).filter(F.col("tag").startswith("#"))
+    return (
+        tags.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "tag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def print_top_k(batch_df: DataFrame, batch_id: int, k: int = 10) -> None:
     """Per-trigger console output — the ``foreachRDD`` printer
     (``main.scala:51-55``) reproduced: header with total distinct

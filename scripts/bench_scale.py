@@ -1,0 +1,212 @@
+"""Scale-slope benchmark for the dedup/ANN tier.
+
+The mission claim is "would still work, and work fast, at 100 TB" — this
+makes it measurable at the scales this box can hold: generate 1x/3x/10x
+corpora from sf0.1, run the four heaviest candidate-generation pipelines
+at each scale, and record wall-time AND candidate-pair counts. The two
+numbers the 100 TB story rests on:
+
+- wall-time slope ~linear in corpus size (no hidden all-pairs stage);
+- candidates/doc bounded (blocking stays selective as data grows).
+
+Corpus construction (deterministic, no RNG):
+
+- documents: replica r keeps the sf0.1 rows with doc_id += r*10_000_000
+  and every token suffixed "~r<r>" (r>0). Token suffixing makes replicas
+  shingle-disjoint, so near-dup structure is LOCAL (each replica
+  reproduces the base corpus's dup clusters) — the realistic shape for
+  web-scale dedup, where dup density per doc stays constant as the
+  corpus grows. Exact replication instead would create cross-replica
+  dup cliques and measure a quadratic blowup no real corpus has.
+- embeddings: replica r flips coordinate signs by a fixed per-replica
+  ±1 pattern (md5-derived). Sign flips preserve within-replica geometry
+  exactly (cosines invariant) and decorrelate replicas, so candidate
+  density per vector stays constant by construction.
+
+Usage: python scripts/bench_scale.py [--out BENCH_scale.json]
+Writes the JSON artifact and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jubilant_garbanzo_spark.operators import dedup as D  # noqa: E402
+from jubilant_garbanzo_spark.operators import similarity as S  # noqa: E402
+from jubilant_garbanzo_spark.queries import load_all  # noqa: E402
+from jubilant_garbanzo_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/jg_scale"
+SCALES = (1, 3, 10)
+QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embed_similarity_join",
+    "dedup_cluster_cc",
+)
+ID_STRIDE = 10_000_000
+
+
+def _sign_pattern(r: int, dim: int) -> list[float]:
+    """Deterministic ±1 per (replica, coordinate) from md5 — replica 0
+    is identity so x1 is bit-for-bit the sf0.1 corpus."""
+    if r == 0:
+        return [1.0] * dim
+    return [
+        1.0 if hashlib.md5(f"{r}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
+def generate(spark, scale: int, dest: str) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    vecs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(vecs.select("embedding").first()[0])
+    doc_parts = []
+    vec_parts = []
+    for r in range(scale):
+        if r == 0:
+            doc_parts.append(docs)
+            vec_parts.append(vecs)
+            continue
+        suffix = f"~r{r}"
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + r * ID_STRIDE).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda t: F.concat(t, F.lit(suffix))
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        signs = F.array(*[F.lit(s) for s in _sign_pattern(r, dim)])
+        vec_parts.append(
+            vecs.select(
+                (F.col("vec_id") + r * ID_STRIDE).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    signs,
+                    lambda x, s: x * s,
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+                "label",
+            )
+        )
+    out_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_vecs = vec_parts[0]
+    for p in vec_parts[1:]:
+        out_vecs = out_vecs.unionByName(p)
+    # Single files named <table>.parquet so load_table() finds them.
+    out_docs.coalesce(4).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+    out_vecs.coalesce(4).write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+
+
+def candidate_counts(spark, sf_dir: str) -> dict:
+    from jubilant_garbanzo_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    _, mh_cand = D.minhash_band_candidates(docs, "doc_id", "text")
+    _, ng_cand = D.ngram_prefix_candidates(docs, "doc_id", "text", 3, 0.5)
+    _, hp_cand = S.hyperplane_candidates(vecs, "vec_id", "embedding")
+    return {
+        "minhash_band_candidates": mh_cand.count(),
+        "ngram_prefix_candidates": ng_cand.count(),
+        "hyperplane_candidates": hp_cand.count(),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_scale.json")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark("bench-scale")
+    specs = load_all()
+    result: dict = {"base": BASE, "scales": {}, "method": f"median-of-{args.runs}"}
+
+    for scale in SCALES:
+        dest = f"{WORK}/x{scale}"
+        shutil.rmtree(dest, ignore_errors=True)
+        generate(spark, scale, dest)
+        import duckdb
+
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{dest}/documents.parquet/*.parquet')"
+        ).fetchone()[0]
+        n_vecs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{dest}/embeddings.parquet/*.parquet')"
+        ).fetchone()[0]
+        entry: dict = {"n_docs": n_docs, "n_vecs": n_vecs, "queries": {}}
+        entry["candidates"] = candidate_counts(spark, dest)
+        for name in QUERIES:
+            fn = specs[name].fn
+            # warm-up (codegen/JIT), then median-of-N
+            fn(spark, dest).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                fn(spark, dest).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            med = (
+                runs[len(runs) // 2]
+                if args.runs % 2
+                else sum(runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2
+            )
+            rows = fn(spark, dest).count()
+            entry["queries"][name] = {
+                "wall_sec": round(med, 3),
+                "noise_band": round(runs[-1] - runs[0], 3),
+                "result_rows": rows,
+            }
+            print(
+                f"# x{scale} {name}: {med:.2f}s ({rows} rows)", file=sys.stderr
+            )
+        result["scales"][f"x{scale}"] = entry
+
+    # Slopes: wall(x10)/wall(x1) per query; 10.0 = perfectly linear.
+    result["slope_x10_over_x1"] = {
+        name: round(
+            result["scales"]["x10"]["queries"][name]["wall_sec"]
+            / max(result["scales"]["x1"]["queries"][name]["wall_sec"], 1e-9),
+            2,
+        )
+        for name in QUERIES
+    }
+    result["candidates_per_doc"] = {
+        f"x{s}": round(
+            result["scales"][f"x{s}"]["candidates"]["minhash_band_candidates"]
+            / result["scales"][f"x{s}"]["n_docs"],
+            4,
+        )
+        for s in SCALES
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
