@@ -18,18 +18,21 @@ from pyspark.sql import types as T
 
 from jubilant_garbanzo_spark.session import configure_runtime
 
-#: Raw parquet schema for the events table under nanosAsLong (ts is a
-#: ns-epoch long on disk; FIXTURES.md).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: Raw parquet schema for the events table; ``ts`` is filled in per
+#: fixture layout (ns-epoch long under nanosAsLong, or a native
+#: timestamp/timestamp_ntz — the driver has shipped both).
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
 
 _query_counter = itertools.count()
 
@@ -39,33 +42,45 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In production this is the kafka/rate source (reference: the
     twitter4j receiver, ``main.scala:41``); a file source with an
-    explicit schema exercises the identical downstream graph. ``ts``
-    is normalized exactly like the batch catalog (ns → µs, NTZ), and
-    NOTE: the event-time column must stay TimestampType for
-    watermarks, so streaming uses ``timestamp`` (UTC session) rather
-    than ntz.
+    explicit schema exercises the identical downstream graph. NOTE: the
+    event-time column must stay TimestampType for watermarks, so
+    streaming uses ``timestamp`` (UTC session) rather than ntz.
+
+    The driver fixture has shipped ``ts`` as a ns-epoch long (read as
+    bigint under nanosAsLong) AND as a native µs timestamp across
+    rounds; the probe adapts to whichever physically arrived. Under a
+    UTC session, casting ntz↔timestamp is value-preserving, so every
+    branch yields identical event times.
     """
     configure_runtime(spark)
     # The file source wants a directory; pathGlobFilter selects just the
-    # events table out of the shared sf dir.
-    # Mirror the batch guard (catalog.load_table): only rebuild µs from
-    # ns when the column physically arrives as a long under nanosAsLong.
-    # If the fixture ever ships native-timestamp parquet, dividing a
-    # valid timestamp by 1000 would silently corrupt event time.
+    # events table out of the shared sf dir. Probe the batch reader for
+    # the physical ts layout (mirrors catalog.load_table's guard —
+    # dividing a valid timestamp by 1000 would silently corrupt event
+    # time, so each branch is pinned to the observed dtype).
     probe = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_is_ns_long = dict(probe.dtypes).get("ts") == "bigint"
-    if not ts_is_ns_long:
+    ts_dtype = dict(probe.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        ts_type: T.DataType = T.LongType()
+        normalize = F.timestamp_micros(F.expr("ts DIV 1000"))
+    elif ts_dtype == "timestamp_ntz":
+        ts_type = T.TimestampNTZType()
+        normalize = F.col("ts").cast("timestamp")
+    elif ts_dtype == "timestamp":
+        ts_type = T.TimestampType()
+        normalize = F.col("ts")
+    else:
         raise NotImplementedError(
-            "events.ts is no longer a ns-epoch long; update "
-            "EVENTS_RAW_SCHEMA and drop the DIV 1000 normalization"
+            f"events.ts arrived as {ts_dtype!r}; teach read_events_stream "
+            "this layout before trusting event-time results"
         )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", normalize)
 
 
 def run_available_now(

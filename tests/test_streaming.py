@@ -200,18 +200,19 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     reference's receiver+foreachRDD pipeline has no story for)."""
     import shutil
 
-    from jubilant_garbanzo_spark.streaming.runner import EVENTS_RAW_SCHEMA
-
     src = tmp_path / "in"
     sink = tmp_path / "out"
     ckpt = tmp_path / "ckpt"
     src.mkdir()
     fixture = "/root/testdata/sf0.001/events.parquet"
     shutil.copy(fixture, src / "part-0.parquet")
+    # Pin the stream schema to whatever the fixture physically ships
+    # (the driver has changed ts's layout across rounds).
+    events_schema = spark.read.parquet(fixture).schema
 
     def drain():
         q = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(events_schema)
             .parquet(str(src))
             .writeStream.format("parquet")
             .option("path", str(sink))
@@ -223,19 +224,19 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
         q.awaitTermination()
 
     drain()
-    n = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(sink)).count()
+    n = spark.read.schema(events_schema).parquet(str(sink)).count()
     assert n > 0
 
     # Same content under a NEW name = new rows; the first file must not
     # be re-ingested on restart.
     shutil.copy(fixture, src / "part-1.parquet")
     drain()
-    n2 = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(sink)).count()
+    n2 = spark.read.schema(events_schema).parquet(str(sink)).count()
     assert n2 == 2 * n, (n, n2)
 
     # A third restart with NO new input must be a no-op.
     drain()
-    n3 = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(sink)).count()
+    n3 = spark.read.schema(events_schema).parquet(str(sink)).count()
     assert n3 == 2 * n, (n, n3)
 
 
