@@ -59,46 +59,56 @@ def register(
 #: proven green in a prior round's CORRECTNESS_r{N}.json don't need the
 #: slot again, so each round this list rotates the not-yet-driver-verified
 #: queries (plus any whose implementation/oracle changed this round) into
-#: the window. Round 4 (VERDICT r3 "What's wrong" #1): the four queries
-#: modified AFTER their last driver-green row (round-2 LSH re-blocking ×3,
-#: round-3/4 ngram prefix-bound changes), the two queries whose bodies
-#: changed this round (q22 de-vacuoused, ngram verify filter), and the
-#: six new sampling/quality/profiling queries.
+#: the window. Round 5: the 12 new queries (graph analytics, SCD2, TWA,
+#: interval overlap, exact-moment regression, HLL union, weighted
+#: sampling, mergeSchema, bigram PMI, dedup-within-watermark,
+#: NOT-IN-NULL subquery), the 4 newly-oracled approximate/streaming
+#: queries (VERDICT r4 items 4/6/7), the queries whose bodies changed
+#: (seeded similarity fixtures, knn_join API, multimodal kernel guards,
+#: dedup operator rework, subquery SET removal), and EVERY live
+#: streaming query — their shared source (runner.read_events_stream)
+#: was rewritten for the native-timestamp fixture layout this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # modified after their last driver-green row — refresh the evidence
-    "dedup_ngram_jaccard",
+    # new in round 5
+    "graph_pagerank",
+    "graph_triangle_count",
+    "timeseries_time_weighted_avg",
+    "scd2_from_events",
+    "join_interval_overlap",
+    "agg_regression_exact_moments",
+    "agg_hll_sketch_union",
+    "sample_weighted_priority",
+    "source_mergeschema",
+    "stream_dedup_within_watermark",
+    "text_bigram_pmi",
+    "subquery_not_in_null",
+    # newly-oracled this round (rows-only → full/partial oracle)
+    "stream_watermark_append",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "embed_ann_ivf",
+    # bodies changed after their last driver-green row
     "embed_similarity_join",
-    "embed_cosine_topk",
     "dedup_embedding_cosine",
-    "tpch_q22_global_sales_opportunity",
-    "dedup_cluster_cc",  # pointer-jumping added round 4
-    "multimodal_decode",  # kernel-dispatch refactor round 4
-    "multimodal_resize",
-    # new in round 4
-    "sample_stratified_hash",
-    "sample_reservoir_per_group",
-    "quality_repetition_filter",
-    "anomaly_zscore_outliers",
-    "profile_table_stats",
-    "profile_length_histogram",
-    "source_xml",
     "embed_knn_join",
-    "upsert_latest_by_key",
-    "profile_key_skew",
-    "embed_quantize_int8",
-    "sink_clustered_parquet",
-    "fuzzy_name_match",
-    "funnel_analysis",
-    "cohort_retention",
-    "timeseries_gapfill",
-    "sessionize_events",
-    "timeseries_downsample_ohlc",
-    "dedup_incremental",
-    "text_domain_mixture",
-    "join_dpp_partitioned",
     "subquery_in_uncorrelated",
-    "lateral_explode_tokens",
-    "embed_pq_encode",
+    "multimodal_decode",
+    "multimodal_resize",
+    "dedup_cluster_cc",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_incremental",
+    # shared streaming source rewritten (native-timestamp fixture)
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_foreachbatch",
+    "stream_stateful_running_count",
+    "stream_parquet_sink",
 )
 
 
@@ -111,6 +121,7 @@ def load_all() -> dict[str, QuerySpec]:
     from jubilant_garbanzo_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        graphs,
         joins,
         llm,
         pipeline,

@@ -409,3 +409,133 @@ def agg_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["o_orderpriority"], ["max_price", "n_orders"], "metric", "value"
     )
+
+
+@register(
+    "agg_regression_exact_moments",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(sum(CAST(tr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(CAST(tr * cents AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxy,
+                   CAST(sum(CAST(tr * tr AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxx,
+                   CAST(sum(CAST(cents * cents AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS syy
+            FROM (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 - 1704067200 AS tr,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_points,
+               round(86400.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6)
+                   AS slope_units_per_day,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * 100.0), 6) AS intercept_units,
+               round((CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("agg", "regression", "stats"),
+)
+def agg_regression_exact_moments(spark, sf_dir):
+    """Per-group OLS fit (value vs time) from EXACT integer moments:
+    Σx, Σy, Σxy, Σx², Σy² accumulate as DECIMAL(38,0) over integer
+    seconds (epoch − 2024-01-01) and cents, so the only float ops are
+    the final slope/intercept/r² divisions — deterministic on any
+    engine and partial-agg tree, unlike the engine-native
+    regr_slope/corr doubles whose partial merges are order-dependent.
+
+    Scale shape: a textbook map-side-combinable aggregate — five
+    integer partials per group, one shuffle; DECIMAL(38,0) partials
+    stay exact far beyond BIGINT range (Σx² at 100 TB event volumes
+    exceeds 2^63; 38 digits does not)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 - 1704067200"
+        ).alias("tr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dec = "DECIMAL(38,0)"
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("tr").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("tr") * F.col("cents")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("tr") * F.col("tr")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("cents") * F.col("cents")).cast(dec)).cast(dec).alias("syy"),
+    )
+    dxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = dxy / dxx
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(F.lit(86400.0) * slope / F.lit(100.0), 6).alias(
+            "slope_units_per_day"
+        ),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(100.0)),
+            6,
+        ).alias("intercept_units"),
+        F.round((dxy * dxy) / (dxx * dyy), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+        SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact,
+               TRUE AS within_bound
+        FROM events
+    """,
+    tags=("agg", "sketch", "approx", "hll"),
+)
+def agg_hll_sketch_union(spark, sf_dir):
+    """Mergeable distinct-count sketches: one Apache DataSketches HLL
+    per event_type (lgK=14), merged with hll_union_agg, estimate
+    checked in-query against the exact distinct count (±5 % ≈ 6σ at
+    lgK=14) — the oracle pins the exact count and the bound verdict,
+    so a broken sketch merge turns the row red.
+
+    This is THE 100 TB cardinality pattern: per-partition sketches are
+    tiny (≤16 KB), merge associatively on the driver-free reduce path,
+    and recombine across days/tenants without rescanning — the
+    reference's ``rdd.count()`` (main.scala:53) can only count one
+    bounded batch."""
+    ev = load_table(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("event_id", 14).alias("sk")
+    )
+    unioned = per_group.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.countDistinct("event_id").cast("bigint").alias("n_exact"))
+    return unioned.crossJoin(exact).select(
+        "n_groups",
+        "n_exact",
+        # Integer-exact bound check: |est − exact| ≤ 5 % of exact.
+        (
+            F.abs(F.col("est") - F.col("n_exact")) * F.lit(100)
+            <= F.lit(5) * F.col("n_exact")
+        ).alias("within_bound"),
+    )

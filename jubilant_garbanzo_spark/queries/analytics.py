@@ -374,3 +374,290 @@ def timeseries_downsample_ohlc(spark, sf_dir):
             exact_sum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   (lead(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) - epoch_us(ts)) // 1000000 AS dur_s
+            FROM events
+        ), agg AS (
+            SELECT user_id,
+                   CAST(count(dur_s) AS BIGINT) AS n_intervals,
+                   CAST(sum(dur_s) AS BIGINT) AS span_s,
+                   CAST(sum(cents * dur_s) AS BIGINT) AS wsum
+            FROM ordered WHERE dur_s IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n_intervals, span_s,
+               round(CAST(wsum AS DOUBLE)
+                     / (100.0 * CAST(span_s AS DOUBLE)), 6) AS twa_value
+        FROM agg WHERE span_s > 0
+    """,
+    tags=("analytics", "timeseries", "window"),
+)
+def timeseries_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over irregular per-user event series: each
+    value holds until the next event (left-continuous step function),
+    TWA = Σ value_i·Δt_i / Σ Δt_i — the standard aggregate for
+    irregularly-sampled gauges (IoT, prices, account balances) where a
+    plain avg() over-weights bursts.
+
+    Exactness: the weighted mass accumulates as BIGINT cents×seconds
+    (Δt from exact integer µs, ``DIV`` truncation mirrored in DuckDB),
+    so the only float op is one final division — deterministic on any
+    engine and partitioning.
+
+    Scale shape: one shuffle on user_id serves both the lead() window
+    and the final per-user agg (same partitioning reused); narrow
+    3-column scan. Same hot-entity skew note as sessionize_events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = (
+        ev.withColumn("lead_us", F.lead("us").over(w))
+        .select(
+            "user_id",
+            "cents",
+            F.expr("(lead_us - us) DIV 1000000").alias("dur_s"),
+        )
+        .filter(F.col("dur_s").isNotNull())
+    )
+    return (
+        ordered.groupBy("user_id")
+        .agg(
+            F.count("dur_s").cast("bigint").alias("n_intervals"),
+            F.sum("dur_s").cast("bigint").alias("span_s"),
+            F.sum(F.col("cents") * F.col("dur_s")).cast("bigint").alias("wsum"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_s",
+            F.round(
+                F.col("wsum").cast("double")
+                / (F.lit(100.0) * F.col("span_s").cast("double")),
+                6,
+            ).alias("twa_value"),
+        )
+    )
+
+
+@register(
+    "scd2_from_events",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, event_type, ts
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ) AS BIGINT) AS version,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ), '%Y-%m-%d %H:%M:%S') AS valid_to,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ) IS NULL AS is_current
+        FROM changes
+    """,
+    tags=("analytics", "scd2", "cdc", "window"),
+)
+def scd2_from_events(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from an event log: per
+    user, every event_type TRANSITION opens a new version row with
+    [valid_from, valid_to) validity and an is_current flag — the
+    standard dimension-history table a warehouse derives from CDC
+    feeds (the batch complement of upsert_latest_by_key, which keeps
+    only the latest version).
+
+    Ties inside a user are broken by event_id on both engines, so the
+    transition sequence is totally ordered and the oracle is exact.
+
+    Scale shape: one shuffle on user_id serves the change-detection
+    lag(), the version row_number(), and the validity lead() — three
+    window functions, one partitioning. Output is bounded by the
+    number of TRANSITIONS (≪ events for low-cardinality status
+    domains)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wc).cast("bigint").alias("version"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(wc), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_us
+            FROM events
+        ), numbered AS (
+            SELECT user_id, us,
+                   CAST(sum(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 1800000000
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM ordered
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   min(us) AS s_us, max(us) AS e_us
+            FROM numbered GROUP BY user_id, session_id
+        ), pairs AS (
+            SELECT a.user_id AS u1, b.user_id AS u2,
+                   (least(a.e_us, b.e_us)
+                    - greatest(a.s_us, b.s_us)) // 1000000 AS ov_s
+            FROM sessions a JOIN sessions b
+              ON a.user_id < b.user_id
+             AND a.s_us < b.e_us AND b.s_us < a.e_us
+        )
+        SELECT u1, u2,
+               CAST(count(*) AS BIGINT) AS n_overlaps,
+               CAST(sum(ov_s) AS BIGINT) AS overlap_s
+        FROM pairs
+        GROUP BY u1, u2
+        ORDER BY overlap_s DESC, u1, u2
+        LIMIT 50
+    """,
+    tags=("analytics", "join", "interval", "range"),
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap self-join: per-user activity sessions (30-min
+    gap rule, same definition as sessionize_events) overlap-joined
+    across users — who was active at the same time, ranked by total
+    overlapping seconds. The range-join shape relational engines
+    handle worst, made tractable by equi-join blocking.
+
+    Scale shape: a naive overlap join is quadratic. Here each session
+    is exploded onto the UTC days it spans (sessions are gap-bounded,
+    so the explode factor is ~1) and candidates equi-join on the day
+    key before the exact overlap predicate verifies — the standard
+    interval-blocking recipe that keeps the join an equi-join at
+    100 TB, with a DISTINCT collapsing sessions matched on several
+    shared days. The DuckDB oracle runs the naive quadratic form (its
+    IEJoin handles the fixture scale), so blocking is proven lossless
+    end-to-end. Total order under LIMIT: (overlap_s DESC, u1, u2)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(wsum).cast("bigint"))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    # Equi-join blocking: explode each session onto its UTC day(s).
+    blocked = sessions.select(
+        "user_id",
+        "session_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros("s_us")),
+                F.to_date(F.timestamp_micros("e_us")),
+            )
+        ).alias("day"),
+    )
+    a = blocked.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_id").alias("sid1"),
+        F.col("s_us").alias("s1"),
+        F.col("e_us").alias("e1"),
+        "day",
+    )
+    b = blocked.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_id").alias("sid2"),
+        F.col("s_us").alias("s2"),
+        F.col("e_us").alias("e2"),
+        "day",
+    )
+    pairs = (
+        a.join(b, "day")
+        .filter(
+            (F.col("u1") < F.col("u2"))
+            & (F.col("s1") < F.col("e2"))
+            & (F.col("s2") < F.col("e1"))
+        )
+        .select("u1", "sid1", "s1", "e1", "u2", "sid2", "s2", "e2")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "u1",
+            "u2",
+            F.expr("(least(e1, e2) - greatest(s1, s2)) DIV 1000000").alias(
+                "ov_s"
+            ),
+        )
+        .groupBy("u1", "u2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum("ov_s").cast("bigint").alias("overlap_s"),
+        )
+        .orderBy(F.desc("overlap_s"), "u1", "u2")
+        .limit(50)
+    )

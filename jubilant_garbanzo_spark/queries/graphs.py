@@ -1,0 +1,200 @@
+"""Graph-analytics queries: fixed-point PageRank over the trade graph
+and triangle counting over the token co-occurrence graph.
+
+Reference parity note: the reference app (tweet-streamer/src/main/
+scala/main.scala, 64 lines) has no graph surface; together with the
+connected-components clustering in ``operators/dedup.py`` these give
+the engine the iterative-graph tier a training-data pipeline needs
+(influence scoring, community detection, association mining).
+
+Oracle discipline: PageRank runs in exact scaled-BIGINT arithmetic
+(``operators/graphs.py``), so DuckDB replays the identical integer
+recurrence via chained CTEs — a full value-hash oracle for an
+ITERATIVE algorithm, something float-based formulations cannot offer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.operators.graphs import (
+    PR_DAMPING_PCT,
+    PR_SCALE,
+    cooccurrence_edges,
+    pagerank_fixed,
+    triangle_count,
+)
+from jubilant_garbanzo_spark.queries import register
+
+_PR_ITERATIONS = 5
+
+
+def _pagerank_oracle(iterations: int = _PR_ITERATIONS) -> str:
+    """Unrolled-CTE DuckDB twin of the integer PageRank recurrence."""
+    d, scale = PR_DAMPING_PCT, PR_SCALE
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), nodes AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+        ), outw AS (
+            SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT node, CAST({scale} AS BIGINT) // n AS rank FROM nodes, nn
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", c{i} AS (
+            SELECT e.dst AS node,
+                   CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS in_c
+            FROM edges e
+            JOIN outw o ON e.src = o.src
+            JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        ), d{i} AS (
+            SELECT COALESCE(CAST(sum(r.rank) AS BIGINT), 0) AS dang
+            FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src
+            WHERE o.src IS NULL
+        ), r{i} AS (
+            SELECT nodes.node,
+                   (CAST({100 - d} * {scale} AS BIGINT) // (100 * nn.n))
+                   + ({d} * (COALESCE(c.in_c, CAST(0 AS BIGINT))
+                             + (dd.dang // nn.n))) // 100 AS rank
+            FROM nodes
+            LEFT JOIN c{i} c ON nodes.node = c.node, d{i} dd, nn
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n.n_name AS nation,
+               r.rank AS rank_fixed,
+               round(CAST(r.rank AS DOUBLE) / {float(scale)}, 6) AS pagerank
+        FROM r{iterations} r JOIN nation n ON r.node = n.n_nationkey
+        ORDER BY rank_fixed DESC, nation"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the nation-level trade graph (edge cust-nation →
+    supp-nation weighted by lineitem count), 5 fixed iterations,
+    d=0.85, EXACT scaled-integer arithmetic — bit-identical on any
+    engine/partitioning, so the iterative fixpoint itself is
+    hash-oracled against DuckDB's unrolled-CTE replay.
+
+    Scale shape: the expensive part is edge derivation — a fact-fact
+    join chain (lineitem⋈orders shuffles on orderkey, then custkey /
+    suppkey joins against broadcastable dims) collapsing 100 TB of
+    facts to an entity-level edge list. Iterations then run on the
+    collapsed graph: per round one equi-join edges⋈ranks (AQE
+    broadcasts the rank vector) + one groupBy(dst). Driver never
+    collects; the two scalar aggregates (N, dangling mass) travel as
+    broadcast 1-row joins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = nation.select(F.col("n_nationkey").cast("bigint").alias("node"))
+    # The collapsed nation graph is ≤25 nodes at ANY fact scale —
+    # iterate it on one partition (see pagerank_fixed's rationale).
+    ranks = pagerank_fixed(
+        edges, nodes, iterations=_PR_ITERATIONS, graph_partitions=1
+    )
+    return (
+        ranks.join(nation, ranks.node == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rank").alias("rank_fixed"),
+            F.round(F.col("rank").cast("double") / float(PR_SCALE), 6).alias(
+                "pagerank"
+            ),
+        )
+        .orderBy(F.desc("rank_fixed"), "nation")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        ), tc AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY tok
+        ), pairs AS (
+            SELECT x.tok AS a, y.tok AS b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+            GROUP BY x.tok, y.tok
+        ), edges AS (
+            SELECT p.a, p.b
+            FROM pairs p
+            JOIN tc ta ON p.a = ta.tok
+            JOIN tc tb ON p.b = tb.tok
+            WHERE 100 * p.c_ab >= 60 * least(ta.c, tb.c)
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM tc) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM edges e1
+                JOIN edges e2 ON e1.b = e2.a
+                JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
+    """,
+    tags=("graph", "triangles", "cooccurrence"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count over the token co-occurrence graph: tokens are
+    nodes, an edge joins tokens co-occurring in >= 60% of the rarer
+    token's documents (exact integer ratio), triangles counted via the
+    ordered two-path equi-join (a < b < c — each triangle once).
+
+    Scale shape: pair generation is per-document (bounded by distinct
+    tokens per doc — never corpus-quadratic); the association
+    threshold keeps the edge list sparse; the triangle join is two
+    equi-joins on token keys. At 100 TB the standard extra guards are
+    a stop-token cap before pairing and degree-ordered orientation in
+    the triangle join (fan-out bounded by graph arboricity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    edges = cooccurrence_edges(dt, min_ratio_pct=60).persist()
+    n_nodes = dt.select("tok").distinct().agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    tri = triangle_count(edges)
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

@@ -1063,3 +1063,99 @@ def embed_pq_encode(spark, sf_dir):
         F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
         "err_scaled",
     )
+
+
+@register(
+    "text_bigram_pmi",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), uni AS (
+            SELECT unnest(ts) AS tok FROM toks
+        ), uc AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+        ), nu AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni
+        ), big AS (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+        ), bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+            FROM big GROUP BY w1, w2
+        ), nb AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_big FROM big
+        )
+        SELECT w1, w2, c_xy,
+               round(ln((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                         * CAST(n_uni AS DOUBLE))
+                        / (CAST(n_big AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                           * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        FROM bc
+        JOIN uc u1 ON bc.w1 = u1.tok
+        JOIN uc u2 ON bc.w2 = u2.tok, nu, nb
+        WHERE c_xy >= 10
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 30
+    """,
+    tags=("llm", "text", "collocation", "pmi"),
+)
+def text_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top adjacent-bigram PMI over the corpus —
+    PMI(x,y) = ln(p(xy)/(p(x)p(y))) with bigram probability over the
+    bigram total and unigram probabilities over the token total. The
+    PMI argument is an exact integer ratio evaluated in one double
+    expression (identical association order both engines), ln rounded
+    to 6 — the house transcendental discipline.
+
+    Tokenization matches the reference's literal split-on-space
+    (main.scala:45, same as text_term_frequency); adjacency comes from
+    zipping each token array with its tail — per-document, order-
+    preserving, no self-join.
+
+    Scale shape: two explode→count aggregates (map-side combinable)
+    plus two broadcast scalars (token/bigram totals) and two
+    broadcast-able joins against the unigram count table (vocabulary ≪
+    corpus); top-k via TakeOrderedAndProject. Total order under LIMIT:
+    (pmi DESC, w1, w2)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ts"))
+    uni = toks.select(F.explode("ts").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    nu = uni.agg(F.count("*").cast("bigint").alias("n_uni"))
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    nb = big.agg(F.count("*").cast("bigint").alias("n_big"))
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (
+                F.col("c_xy").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_big").cast("double")
+                * F.col("c1").cast("double")
+                * F.col("c2").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_xy") >= 10)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )

@@ -560,3 +560,65 @@ def fuzzy_name_match(spark, sf_dir):
             lev.cast("int").alias("edit_dist"),
         )
     )
+
+
+#: 2^60 — the hash domain of a 15-hex-digit md5 prefix; the +0.5 shift
+#: keeps the derived uniform strictly inside (0, 1) so ln() is finite.
+_U_DOMAIN = float(1 << 60)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH drawn AS (
+            SELECT o_orderkey, o_totalprice,
+                   -ln(
+                     (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        ::BIGINT + 0.5) / {_U_DOMAIN}
+                   ) AS e
+            FROM orders
+        )
+        SELECT o_orderkey, o_totalprice,
+               round(e, 6) AS exp_draw,
+               round(1000000.0 * e / o_totalprice, 6) AS priority_ppm
+        FROM drawn
+        ORDER BY e / o_totalprice, o_orderkey
+        LIMIT 20
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (the
+    exponential-clocks / A-ES scheme, Efraimidis & Spirakis 2006):
+    each row draws Exp(1)/weight from an md5-derived uniform and the k
+    smallest priorities win — heavier rows win proportionally more
+    often, yet the draw is a pure function of the key, so the sample
+    is reproducible on any engine/partitioning (same rationale as
+    sample_stratified_hash; module docstring).
+
+    Scale shape: narrow scan + per-row hash → global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort).
+    Total order under LIMIT: (priority, o_orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U_DOMAIN)
+    drawn = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (-F.log(u)).alias("e"),
+    )
+    return (
+        drawn.orderBy(F.col("e") / F.col("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round("e", 6).alias("exp_draw"),
+            F.round(F.lit(1000000.0) * F.col("e") / F.col("o_totalprice"), 6)
+            .alias("priority_ppm"),
+        )
+    )

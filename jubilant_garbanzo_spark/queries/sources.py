@@ -235,3 +235,55 @@ def sink_clustered_parquet(spark, sf_dir):
         F.count("*").alias("n_rows"),
         exact_sum(F.col("o_totalprice")).alias("price_sum"),
     )
+
+
+@register(
+    "source_mergeschema",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)
+                    AS BIGINT) AS n_with_quality,
+               CAST(sum(CASE WHEN doc_id % 2 = 1
+                             THEN n_chars * 2 END) AS BIGINT) AS total_quality
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("source", "parquet", "schema-evolution"),
+)
+def source_mergeschema(spark, sf_dir):
+    """Schema-evolution read: two parquet batches written with
+    DIFFERENT schemas (batch 2 adds a ``quality`` column) read back as
+    ONE table via ``mergeSchema=true`` — rows from the old-schema
+    batch surface NULL quality. This is the append-only evolution
+    every long-lived 100 TB dataset undergoes; the oracle recomputes
+    the expected union from the source table, proving no rows or
+    values are lost in the merged read.
+
+    Scale note: mergeSchema reconciles footers at planning time
+    (sampled, driver-side) — the scan itself stays columnar with
+    per-file projection; the standard production guard is pinning the
+    evolved schema in a catalog rather than re-inferring per read."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "docs_evolved"
+    )
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") * 2).cast("bigint").alias("quality"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count("quality").cast("bigint").alias("n_with_quality"),
+        F.sum("quality").cast("bigint").alias("total_quality"),
+    )

@@ -493,3 +493,38 @@ def stream_parquet_sink(spark, sf_dir):
     q.awaitTermination()
     back = spark.read.schema(s.schema).parquet(out)
     return back.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming key dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per (user_id,
+    event_type) among events arriving within the watermark delay of
+    each other, and — unlike plain streaming dropDuplicates — evicts
+    key state once the watermark passes, which is what makes infinite
+    streams feasible (plain dedup state grows without bound).
+
+    Oracle eligibility: the delay (400 days) exceeds the fixture's
+    whole span, so no state is ever evicted and the emitted key set
+    equals batch DISTINCT exactly. WHICH physical row is kept within a
+    batch is engine-scheduling-dependent, so only the key columns are
+    emitted — the deterministic part of the contract, checked
+    end-to-end through the real state store.
+
+    Scale shape: state is one entry per in-horizon key, shuffled on
+    the dedup key; at 100 TB the delay IS the knob trading state size
+    against dedup horizon — set it to the out-of-orderness bound, not
+    the stream length."""
+    from jubilant_garbanzo_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "400 days")
+    dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = run_available_now(dedup, output_mode="append", name_prefix="dwm")
+    return out.select("user_id", "event_type")

@@ -1,0 +1,84 @@
+"""Graph-operator unit tests: PageRank fixpoint properties on hand
+graphs (structure the sf-fixture oracle can't isolate) and triangle
+counting on known topologies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jubilant_garbanzo_spark.operators.graphs import (
+    PR_SCALE,
+    cooccurrence_edges,
+    pagerank_fixed,
+    triangle_count,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """A directed 3-cycle is perfectly symmetric — every node must hold
+    exactly the same rank at every iteration (integer arithmetic makes
+    this an equality, not an approximation)."""
+    e = _edges(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)])
+    r = _ranks(pagerank_fixed(e, _nodes(spark, [0, 1, 2]), graph_partitions=1))
+    assert len(set(r.values())) == 1, r
+    # Mass conserved up to integer-truncation drift (< iters * |E| units).
+    assert abs(sum(r.values()) - PR_SCALE) < 5 * 3 * 10, r
+
+
+def test_pagerank_star_concentrates_on_hub(spark):
+    """Spokes pointing at a hub: the hub must out-rank every spoke, and
+    the hub's dangling mass must recycle (sum stays ~1)."""
+    e = _edges(spark, [(1, 0, 1), (2, 0, 1), (3, 0, 1)])
+    r = _ranks(
+        pagerank_fixed(e, _nodes(spark, [0, 1, 2, 3]), graph_partitions=1)
+    )
+    assert r[0] > r[1] == r[2] == r[3], r
+    assert abs(sum(r.values()) - PR_SCALE) < 5 * 4 * 10, r
+
+
+def test_pagerank_weights_shift_mass(spark):
+    """Out-edge weights split a node's rank proportionally: with
+    0 →(3)→ 1 and 0 →(1)→ 2, node 1 must get ~3× node 2's inflow."""
+    e = _edges(spark, [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)])
+    r = _ranks(
+        pagerank_fixed(e, _nodes(spark, [0, 1, 2]), graph_partitions=1)
+    )
+    assert r[1] > r[2], r
+
+
+def test_triangle_count_known_topologies(spark):
+    """K4 has exactly 4 triangles; a 4-cycle has none. Edges are given
+    a < b, each once."""
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    assert triangle_count(k4).collect()[0]["n_triangles"] == 4
+    c4 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "a long, b long"
+    )
+    assert triangle_count(c4).collect()[0]["n_triangles"] == 0
+
+
+def test_cooccurrence_threshold_is_exact_ratio(spark):
+    """Edge rule 100*c_ab >= pct*least(c_a, c_b): x and y each appear
+    in 2 docs, co-occur in 1 → 50% of the rarer token's docs —
+    included at pct=50, excluded at 51."""
+    dt = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (3, "y")], "doc_id long, tok string"
+    )
+    at50 = cooccurrence_edges(dt, min_ratio_pct=50).collect()
+    at51 = cooccurrence_edges(dt, min_ratio_pct=51).collect()
+    assert [(r["a"], r["b"], r["c_ab"]) for r in at50] == [("x", "y", 1)]
+    assert at51 == []

@@ -294,3 +294,67 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
         ln for ln in s.splitlines() if re.search(r"\bExchange hashpartitioning", ln)
     ]
     assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}:\n{s[:2000]}"
+
+
+def test_triangle_join_never_cartesian(spark, sf_dir):
+    """The two-path triangle join and the co-occurrence pairing must
+    stay equi-joins — a cartesian product here is quadratic in the
+    corpus and fatal at scale. (The three 1-row scalar crossJoins
+    assembling the output row legitimately plan as
+    BroadcastNestedLoopJoin over single-row sides.)"""
+    df = q(spark, sf_dir, "graph_triangle_count")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    equi = [s for s in join_strategies(df) if s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")]
+    assert len(equi) >= 4, join_strategies(df)
+
+
+def test_interval_overlap_is_blocked_equi_join(spark, sf_dir):
+    """The session-overlap join must candidate-generate via the day-key
+    equi-join (blocking), never a quadratic theta join."""
+    df = q(spark, sf_dir, "join_interval_overlap")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert join_strategies(df), "expected an equi-join in the plan"
+
+
+def test_weighted_sample_uses_topk(spark, sf_dir):
+    """Global k-smallest-priority must fuse to TakeOrderedAndProject
+    (per-partition heaps), not a full sort."""
+    df = q(spark, sf_dir, "sample_weighted_priority")
+    assert uses_take_ordered(df)
+
+
+def test_bigram_pmi_broadcasts_vocab(spark, sf_dir):
+    """The unigram-count joins must be broadcast hash joins — the
+    vocabulary is orders of magnitude smaller than the corpus, so no
+    shuffle join is acceptable. (The two 1-row scalar totals attach
+    via BroadcastNestedLoopJoin, which is fine for single-row sides;
+    a CartesianProduct anywhere is not.)"""
+    df = q(spark, sf_dir, "text_bigram_pmi")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "CartesianProduct" not in strategies, strategies
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+
+
+def test_twa_single_user_shuffle(spark, sf_dir):
+    """Time-weighted average: the lead() window and the per-user agg
+    must share ONE user_id exchange (same partitioning reused)."""
+    df = q(spark, sf_dir, "timeseries_time_weighted_avg")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = [
+        ln for ln in s.splitlines() if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}:\n{s[:2000]}"
+
+
+def test_regression_moments_aggregate_partially(spark, sf_dir):
+    """The five integer moments must decompose into partial+final
+    HashAggregate (map-side combine) — the property that makes the
+    exact-moment formulation cheaper than two-pass variance at scale."""
+    df = q(spark, sf_dir, "agg_regression_exact_moments")
+    assert has_partial_aggregate(df)
