@@ -58,6 +58,10 @@ HEADLINE: tuple[str, ...] = (
     "dedup_cluster_cc",  # LSH pairs + iterative connected components
     "dedup_ngram_jaccard",  # exact PPJoin prefix-filtered all-pairs
     "embed_knn_join",  # broadcast batch k-NN join
+    # Round-5 additions: the heaviest new families (iterative graph
+    # fixpoint; hour-blocked interval join).
+    "graph_pagerank",  # 5-iteration integer PageRank + edge derivation
+    "join_interval_overlap",  # session overlap via hour-bucket blocking
     "fuzzy_name_match",  # blocked edit-distance entity resolution
 )
 

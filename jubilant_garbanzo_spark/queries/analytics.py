@@ -577,12 +577,13 @@ def join_interval_overlap(spark, sf_dir):
     handle worst, made tractable by equi-join blocking.
 
     Scale shape: a naive overlap join is quadratic. Here each session
-    is exploded onto the UTC days it spans (sessions are gap-bounded,
-    so the explode factor is ~1) and candidates equi-join on the day
+    is exploded onto the UTC hours it spans (sessions are gap-bounded,
+    so the explode factor is ~1) and candidates equi-join on the hour
     key before the exact overlap predicate verifies — the standard
     interval-blocking recipe that keeps the join an equi-join at
     100 TB, with a DISTINCT collapsing sessions matched on several
-    shared days. The DuckDB oracle runs the naive quadratic form (its
+    shared hours. Bucket granularity trades candidate count against
+    explode factor; match it to the typical interval length. The DuckDB oracle runs the naive quadratic form (its
     IEJoin handles the fixture scale), so blocking is proven lossless
     end-to-end. Total order under LIMIT: (overlap_s DESC, u1, u2)."""
     from pyspark.sql import Window
@@ -608,7 +609,12 @@ def join_interval_overlap(spark, sf_dir):
     sessions = numbered.groupBy("user_id", "session_id").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
     )
-    # Equi-join blocking: explode each session onto its UTC day(s).
+    # Equi-join blocking: explode each session onto the UTC HOURS it
+    # spans (integer µs-hour buckets). Granularity sets the
+    # candidate-count/explode-factor trade: sessions are gap-bounded
+    # (usually sub-hour), while thousands can share a day — hour
+    # buckets cut candidates ~25x vs day buckets (measured 8.3 s → see
+    # BASELINE.md) at an explode factor of ~1.
     blocked = sessions.select(
         "user_id",
         "session_id",
@@ -616,27 +622,27 @@ def join_interval_overlap(spark, sf_dir):
         "e_us",
         F.explode(
             F.sequence(
-                F.to_date(F.timestamp_micros("s_us")),
-                F.to_date(F.timestamp_micros("e_us")),
+                F.expr("s_us DIV 3600000000"),
+                F.expr("e_us DIV 3600000000"),
             )
-        ).alias("day"),
+        ).alias("hr"),
     )
     a = blocked.select(
         F.col("user_id").alias("u1"),
         F.col("session_id").alias("sid1"),
         F.col("s_us").alias("s1"),
         F.col("e_us").alias("e1"),
-        "day",
+        "hr",
     )
     b = blocked.select(
         F.col("user_id").alias("u2"),
         F.col("session_id").alias("sid2"),
         F.col("s_us").alias("s2"),
         F.col("e_us").alias("e2"),
-        "day",
+        "hr",
     )
     pairs = (
-        a.join(b, "day")
+        a.join(b, "hr")
         .filter(
             (F.col("u1") < F.col("u2"))
             & (F.col("s1") < F.col("e2"))
