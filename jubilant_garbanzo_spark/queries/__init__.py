@@ -82,6 +82,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "text_bigram_pmi",
     "subquery_not_in_null",
+    "stream_stream_left_outer",
+    "text_chi2_terms",
+    "text_unigram_logprob",
+    "sink_zorder_parquet",
     # newly-oracled this round (rows-only → full/partial oracle)
     "stream_watermark_append",
     "agg_approx_count_distinct",

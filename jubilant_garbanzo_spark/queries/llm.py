@@ -1159,3 +1159,195 @@ def text_bigram_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "text_chi2_terms",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, lang, t.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        ), n_total AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ), lang_tot AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+            FROM documents GROUP BY lang
+        ), tok_lang AS (
+            SELECT tok, lang, CAST(count(*) AS BIGINT) AS a
+            FROM dt GROUP BY tok, lang
+        ), tok_tot AS (
+            SELECT tok, CAST(sum(a) AS BIGINT) AS n_tok
+            FROM tok_lang GROUP BY tok
+        ), cells AS (
+            SELECT tl.tok, tl.lang, tl.a,
+                   tt.n_tok - tl.a AS b,
+                   lt.n_lang - tl.a AS c,
+                   nt.n - lt.n_lang - (tt.n_tok - tl.a) AS d,
+                   nt.n
+            FROM tok_lang tl
+            JOIN tok_tot tt ON tl.tok = tt.tok
+            JOIN lang_tot lt ON tl.lang = lt.lang, n_total nt
+            WHERE tt.n_tok >= 5
+        )
+        SELECT tok, lang, a AS n_docs,
+               round((CAST(n AS DOUBLE)
+                      * CAST(a * d - b * c AS DOUBLE)
+                      * CAST(a * d - b * c AS DOUBLE))
+                     / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+                     6) AS chi2
+        FROM cells
+        WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+        ORDER BY chi2 DESC, tok, lang
+        LIMIT 50
+    """,
+    tags=("llm", "text", "feature-selection", "chi2"),
+)
+def text_chi2_terms(spark, sf_dir):
+    """χ² token–language association (the classic feature-selection /
+    corpus-drift score): for each (token, language) a 2×2 document
+    contingency table (a,b,c,d) and χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    top 50. Counts are exact integers; the χ² expression is ONE double
+    formula with identical association order on both engines, rounded
+    to 6 — deterministic without transcendentals.
+
+    Scale shape: distinct (doc, token, lang) presence (map-side
+    combinable), two count tables broadcastable (vocabulary and
+    language marginals ≪ corpus), one broadcast-join assembly, top-k
+    via TakeOrderedAndProject. Total order under LIMIT:
+    (chi2 DESC, tok, lang)."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    n_total = d.agg(F.count("*").cast("bigint").alias("n"))
+    lang_tot = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_lang")
+    )
+    tok_lang = dt.groupBy("tok", "lang").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    tok_tot = tok_lang.groupBy("tok").agg(
+        F.sum("a").cast("bigint").alias("n_tok")
+    )
+    cells = (
+        tok_lang.join(F.broadcast(tok_tot), "tok")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_tok") >= 5)
+        .select(
+            "tok",
+            "lang",
+            "a",
+            (F.col("n_tok") - F.col("a")).alias("b"),
+            (F.col("n_lang") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("n_lang") - (F.col("n_tok") - F.col("a")))
+            .alias("d"),
+            "n",
+        )
+    )
+    delta = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = F.round(
+        (F.col("n").cast("double") * delta * delta)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        ),
+        6,
+    )
+    return (
+        cells.filter(
+            ((F.col("a") + F.col("b")) > 0)
+            & ((F.col("c") + F.col("d")) > 0)
+            & ((F.col("a") + F.col("c")) > 0)
+            & ((F.col("b") + F.col("d")) > 0)
+        )
+        .select("tok", "lang", F.col("a").alias("n_docs"), chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), "tok", "lang")
+        .limit(50)
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+        WITH uni AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), uc AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+        ), nu AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni
+        ), per_tok AS (
+            SELECT d.doc_id, r.i,
+                   -ln(CAST(uc.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE)) AS lp
+            FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents) d,
+                 UNNEST(range(1, len(d.ts) + 1)) AS r(i)
+            JOIN uc ON d.ts[r.i] = uc.tok, nu
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(list_reduce(list(lp ORDER BY i), (a, b) -> a + b)
+                     / CAST(count(*) AS DOUBLE), 6) AS avg_neg_logprob
+        FROM per_tok
+        GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Per-document unigram cross-entropy (perplexity proxy): average
+    −ln p(token) under the corpus unigram model — the cheap statistical
+    quality score that flags gibberish (high) and boilerplate (low)
+    before any neural scoring at 100 TB.
+
+    Float-determinism: per-token −ln(c/N) is a single transcendental
+    on an exact rational; the PER-DOCUMENT sum runs as a SEQUENTIAL
+    position-ordered fold (array_sort + aggregate here, ORDER BY i +
+    list_reduce in DuckDB) — never a parallel double sum — so both
+    engines add in the same order and round(…,6) agrees.
+
+    Scale shape: one explode→count for the model (map-side
+    combinable), model joined back by broadcast (vocabulary ≪ corpus),
+    per-doc collect_list is bounded by document length. The fold is
+    the deterministic-summation idiom for ANY per-entity float
+    reduction over ordered elements."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+    uc = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    nu = toks.agg(F.count("*").cast("bigint").alias("n_uni"))
+    per_tok = (
+        toks.join(F.broadcast(uc), "tok")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "doc_id",
+            "i",
+            (-F.log(F.col("c").cast("double") / F.col("n_uni").cast("double"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("i", "lp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lp"],
+            ).alias("lp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("lp_sum") / F.col("n_tokens").cast("double"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -528,3 +528,87 @@ def stream_dedup_within_watermark(spark, sf_dir):
     dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     out = run_available_now(dedup, output_mode="append", name_prefix="dwm")
     return out.select("user_id", "event_type")
+
+
+@register(
+    "stream_stream_left_outer",
+    # Outer-null emission is watermark-gated: an unmatched click emits
+    # (click, NULL) only after the global watermark passes the end of
+    # its 30-minute match window, evicting its state. Under
+    # availableNow the FINAL watermark is deterministic —
+    # min(max click ts, max purchase ts) − 1 h (two watermarked
+    # inputs, default "min" multipleWatermarkPolicy) — and the
+    # closing no-data micro-batch flushes every evictable row, so the
+    # emitted set is batch-SQL-expressible. Clicks whose window the
+    # watermark has NOT passed stay in state and must not appear.
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_id AS click_id, ts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, event_id AS purchase_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT c.user_id, c.click_id, NULL AS purchase_id
+        FROM c, wm
+        WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_left_outer(spark, sf_dir):
+    """STREAM ⟕ STREAM left-outer interval join: every click paired
+    with same-user purchases in the next 30 minutes, or with NULL once
+    the watermark proves no purchase can still arrive — the semantics
+    that make outer joins feasible on unbounded streams (emit-on-
+    eviction instead of emit-at-end-of-data, state bounded by
+    watermark − interval).
+
+    Full oracle via the deterministic final watermark (see the inner
+    stream_stream_join and stream_watermark_append for the two halves
+    of this machinery); matched pairs must equal the batch interval
+    join and null rows exactly the watermark-expired unmatched
+    clicks."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(joined, output_mode="append", name_prefix="sslo")

@@ -358,3 +358,24 @@ def test_regression_moments_aggregate_partially(spark, sf_dir):
     exact-moment formulation cheaper than two-pass variance at scale."""
     df = q(spark, sf_dir, "agg_regression_exact_moments")
     assert has_partial_aggregate(df)
+
+
+def test_zorder_readback_pushes_both_dimensions(spark, sf_dir):
+    """The 2-D box query over the z-ordered copy must push BOTH
+    predicates (custkey range and date range) into the parquet scan —
+    that is the whole point of the Morton layout: row-group min/max
+    stats prune on either dimension."""
+    df = q(spark, sf_dir, "sink_zorder_parquet")
+    pushed = " ".join(pushed_filters(df))
+    assert "o_custkey" in pushed, pushed
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_chi2_vocab_joins_broadcast(spark, sf_dir):
+    """χ² assembly joins (token marginals, language marginals, scalar
+    N) must all broadcast — the marginal tables are vocabulary-sized."""
+    df = q(spark, sf_dir, "text_chi2_terms")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "SortMergeJoin" not in strategies, strategies
+    assert "ShuffledHashJoin" not in strategies, strategies
