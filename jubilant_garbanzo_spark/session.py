@@ -11,9 +11,12 @@ harmless) on the ``local[32]`` test box:
   would set ~2-3× total cores).
 - **UTC session timezone** so event-time windows and the DuckDB oracle
   agree byte-for-byte (SURVEY.md §7 "hard parts" (e)).
-- **nanosAsLong**: the driver's ``events.ts`` column is ns-precision
-  parquet which Spark 4 refuses to read natively; the catalog casts the
-  long back to a µs timestamp losslessly (integer division).
+- **nanosAsLong**: some driver rounds ship ``events.ts`` as
+  ns-precision parquet, which Spark 4 refuses to read natively; with
+  this flag it arrives as a long and the catalog rebuilds a µs
+  timestamp losslessly (integer division). Rounds that ship native µs
+  timestamps ignore the flag entirely — the catalog probes the
+  physical dtype either way.
 - **Arrow** enabled for any Pandas-UDF path (vectorized batches, not
   per-row pickling).
 """
