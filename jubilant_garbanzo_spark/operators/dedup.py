@@ -450,3 +450,79 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT directed shingle containment C(A→B) = |A∩B| / |A| ≥ t —
+    the asymmetric near-dup test that catches excerpts, quotes, and
+    wrapper boilerplate, which symmetric Jaccard structurally misses
+    (a 50-shingle excerpt inside a 500-shingle page has J ≈ 0.1 but
+    C = 1.0). Broder's containment measure (public literature).
+
+    Completeness: C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, a bound on the
+    CONTAINEE side only — so A indexes its (|A| − ⌈t·|A|⌉ + 1) rarest
+    shingles (same global df-ascending order as the Jaccard prefix
+    filter) while the container side posts ALL its shingles; any
+    qualifying pair must collide on one of A's prefix shingles.
+    The verify filter re-tests with the same exact rational
+    (inter·den ≥ num·|A| — no float threshold), so the operator is
+    provably lossless vs the naive quadratic oracle.
+
+    Scale shape: the containee prefix keeps the probing side tiny; the
+    full posting index is the linear-in-corpus cost, and the standard
+    100 TB guard is dropping stop-shingles (df above a cap) from the
+    index — they cannot be in any short prefix, so only pairs whose
+    ENTIRE overlap is boilerplate are affected. Candidate equi-join on
+    shingle, verify join on ids — never all-pairs.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    ex = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ceil_t_sz = F.expr(
+        f"CAST((CAST(sz AS BIGINT) * {num} + {den} - 1) DIV {den} AS INT)"
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
+        .select(F.col("id").alias("id_a"), "s")
+    )
+    full = ex.select(F.col("id").alias("id_b"), "s")
+    cand = (
+        prefix.join(full, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(
+            inter.cast("bigint") * F.lit(den)
+            >= F.lit(num) * F.size("sh_a").cast("bigint")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment"),
+        )
+    )

@@ -59,10 +59,11 @@ def register(
 #: proven green in a prior round's CORRECTNESS_r{N}.json don't need the
 #: slot again, so each round this list rotates the not-yet-driver-verified
 #: queries (plus any whose implementation/oracle changed this round) into
-#: the window. Round 5: the 12 new queries (graph analytics, SCD2, TWA,
+#: the window. Round 5: the 17 new queries (graph analytics, SCD2, TWA,
 #: interval overlap, exact-moment regression, HLL union, weighted
-#: sampling, mergeSchema, bigram PMI, dedup-within-watermark,
-#: NOT-IN-NULL subquery), the 4 newly-oracled approximate/streaming
+#: sampling, mergeSchema, Z-order, bigram PMI, χ², unigram logprob,
+#: shingle containment, dedup-within-watermark, stream-stream left
+#: outer, NOT-IN-NULL subquery), the 4 newly-oracled approximate/streaming
 #: queries (VERDICT r4 items 4/6/7), the queries whose bodies changed
 #: (seeded similarity fixtures, knn_join API, multimodal kernel guards,
 #: dedup operator rework, subquery SET removal), and EVERY live
@@ -86,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_chi2_terms",
     "text_unigram_logprob",
     "sink_zorder_parquet",
+    "dedup_shingle_containment",
     # newly-oracled this round (rows-only → full/partial oracle)
     "stream_watermark_append",
     "agg_approx_count_distinct",

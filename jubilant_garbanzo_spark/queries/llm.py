@@ -1351,3 +1351,37 @@ def text_unigram_logprob(spark, sf_dir):
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    # Oracle is the NAIVE directed-quadratic form; the Spark side
+    # probes a full posting index with containee-prefix shingles
+    # (operators/dedup.py:containment_pairs) — the driver check proves
+    # the asymmetric prefix filter misses nothing.
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                        ELSE [text] END) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 6) AS containment
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 10
+              >= 9 * CAST(len(a.sh) AS BIGINT)
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Directed 3-gram shingle containment ≥ 0.9 over the whole corpus
+    — the excerpt/boilerplate detector symmetric Jaccard misses (a
+    short doc fully inside a long one scores C=1.0, J≈|A|/|B|).
+    Exact, with asymmetric prefix-filtered candidates; both directions
+    of a near-identical pair emit separately."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, threshold=0.9)

@@ -361,3 +361,29 @@ def test_int8_quantization_reconstruction_bound(spark):
         # on top of the half-step bound.
         for xi, qi in zip(x, q):
             assert abs(xi - qi * scale) <= scale / 2 + 1e-4
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """An excerpt fully inside a long document must score containment
+    1.0 (directed A→B) while its Jaccard stays far below any dedup
+    threshold — the asymmetric property the operator exists for."""
+    from jubilant_garbanzo_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(8))  # prefix of base
+    other = " ".join(f"x{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    # Excerpt → base is full containment; the reverse direction and the
+    # unrelated doc must not appear.
+    assert cont == {(2, 1): 1.0}, cont
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == [], jac
