@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "sink_zorder_parquet",
     "dedup_shingle_containment",
+    "source_python_datasource",
     # newly-oracled this round (rows-only → full/partial oracle)
     "stream_watermark_append",
     "agg_approx_count_distinct",

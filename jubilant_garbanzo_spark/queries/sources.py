@@ -369,3 +369,57 @@ def sink_zorder_parquet(spark, sf_dir):
         F.count("*").alias("n_rows"),
         exact_sum(F.col("o_totalprice")).alias("price_sum"),
     )
+
+
+@register(
+    "source_python_datasource",
+    # The oracle REGENERATES the connector's deterministic feed with
+    # range() + the same md5 idiom, then runs the same hashtag count —
+    # a full value-hash check over a CUSTOM CONNECTOR end-to-end.
+    oracle="""
+        WITH ids AS (
+            SELECT unnest(range(0, 2000)) AS i
+        ), t AS (
+            SELECT '#tag' || (('0x' || substr(md5(CAST(i AS VARCHAR) || ':t1'),
+                                         1, 8))::BIGINT % 10) AS tag
+            FROM ids
+            UNION ALL
+            SELECT '#tag' || (('0x' || substr(md5(CAST(i AS VARCHAR) || ':t2'),
+                                         1, 8))::BIGINT % 10) AS tag
+            FROM ids
+        )
+        SELECT tag, CAST(count(*) AS BIGINT) AS cnt
+        FROM t GROUP BY tag
+        ORDER BY cnt DESC, tag
+    """,
+    tags=("source", "python-datasource", "connector"),
+)
+def source_python_datasource(spark, sf_dir):
+    """The reference's R1→R8 pipeline over the engine's OWN connector:
+    a Spark 4 Python DataSource generating a deterministic tweet
+    firehose inside the executors (``sources/tweet_source.py`` — the
+    container-feasible stand-in for the twitter4j receiver and the
+    absent kafka jar, with the same partitioned-read shape). Tokenize,
+    '#'-prefix filter, tag counts, sort — the literal main.scala:45-52
+    graph — hash-checked against a DuckDB regeneration of the feed.
+
+    Scale shape: the read is N independent id-range partitions (no
+    skew, no coordination); everything downstream is the flagship's
+    explode→count→sort plan. A real firehose swaps the generator for
+    network IO behind the identical DataSource contract."""
+    from jubilant_garbanzo_spark.sources.tweet_source import register_tweet_source
+
+    register_tweet_source(spark)
+    feed = (
+        spark.read.format("tweet_firehose")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        feed.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").startswith("#"))
+        .groupBy(F.col("tok").alias("tag"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tag")
+    )

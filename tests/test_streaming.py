@@ -286,3 +286,42 @@ def test_processing_time_cadence_sustained(spark):
     assert all(b["numInputRows"] <= rate * 5 for b in tail), [
         b["numInputRows"] for b in tail
     ]
+
+
+def test_python_datasource_stream_drains_exactly(spark):
+    """The custom tweet-firehose connector's STREAM reader must drain
+    its bounded feed exactly once through offset-tracked micro-batches
+    (initialOffset → latestOffset → partitions → read → commit), and
+    the drained rows must equal the batch read of the same range —
+    the offset/commit contract kafka would use, proven on the
+    engine's own connector."""
+    import time
+
+    from jubilant_garbanzo_spark.sources.tweet_source import (
+        register_tweet_source,
+    )
+
+    register_tweet_source(spark)
+    opts = {"rows": "300", "rows_per_batch": "100"}
+    batch = spark.read.format("tweet_firehose").options(**opts).load()
+    stream = spark.readStream.format("tweet_firehose").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tweet_stream_smoke")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("tweet_stream_smoke").count() >= 300:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.table("tweet_stream_smoke")
+    assert got.count() == 300
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
