@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_zorder_parquet",
     "dedup_shingle_containment",
     "source_python_datasource",
+    "udtf_ngram_explode",
     # newly-oracled this round (rows-only → full/partial oracle)
     "stream_watermark_append",
     "agg_approx_count_distinct",

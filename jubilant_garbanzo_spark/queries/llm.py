@@ -1385,3 +1385,59 @@ def dedup_shingle_containment(spark, sf_dir):
     of a near-identical pair emit separately."""
     d = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(d, threshold=0.9)
+
+
+@register(
+    "udtf_ngram_explode",
+    oracle="""
+        WITH tg AS (
+            SELECT g.ngram
+            FROM (SELECT string_split(text, ' ') AS ts FROM documents) d,
+                 UNNEST(CASE WHEN len(d.ts) >= 3
+                        THEN [array_to_string(d.ts[i:i+2], ' ')
+                              FOR i IN range(1, len(d.ts) - 1)]
+                        ELSE [] END) AS g(ngram)
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+        FROM tg GROUP BY ngram
+        ORDER BY freq DESC, ngram
+        LIMIT 20
+    """,
+    tags=("llm", "text", "udtf", "extension-seam"),
+)
+def udtf_ngram_explode(spark, sf_dir):
+    """Python UDTF extension seam (SURVEY §2c): a table function
+    exploding each document into positional trigrams, consumed via
+    SQL LATERAL, aggregated to the top-20 trigram frequencies.
+
+    This is the third and last documented user-extension seam
+    (mapInPandas → multimodal, applyInPandasWithState → streaming
+    state, UDTF → table functions), exercised so the registry proves
+    the seam works end-to-end — NOT the engine's hot path for this
+    job: the equivalent JVM-side formulation is ``shingles()``
+    (operators/dedup.py) / text_term_frequency, which stay in
+    whole-stage codegen. Arrow-optimized UDTF evaluation is enabled so
+    rows cross the boundary in batches."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="pos int, ngram string")
+    class TriGrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("trigrams_udtf", TriGrams)
+    d.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """
+        SELECT t.ngram, CAST(count(*) AS BIGINT) AS freq
+        FROM udtf_docs_src d, LATERAL trigrams_udtf(d.text) t
+        GROUP BY t.ngram
+        ORDER BY freq DESC, ngram
+        LIMIT 20
+        """
+    )
