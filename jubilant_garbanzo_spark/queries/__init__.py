@@ -70,6 +70,15 @@ def register(
 #: streaming query — their shared source (runner.read_events_stream)
 #: was rewritten for the native-timestamp fixture layout this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # new in round 5 (second wave: retrieval / sketch / validation /
+    # sequence family + the grouped-agg pandas seam)
+    "text_bm25_rank",
+    "text_inverted_index",
+    "agg_countmin_heavy_hitters",
+    "event_markov_transitions",
+    "event_pattern_match",
+    "validate_referential_integrity",
+    "pandas_grouped_agg_seam",
     # new in round 5
     "graph_pagerank",
     "graph_triangle_count",
@@ -135,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         quality,
         relational,
+        retrieval,
         setops,
         sources,
         streaming,

@@ -539,3 +539,122 @@ def agg_hll_sketch_union(spark, sf_dir):
             <= F.lit(5) * F.col("n_exact")
         ).alias("within_bound"),
     )
+
+
+#: Count-Min sketch geometry: 4 independent hash rows x 128 buckets.
+#: Error guarantee: est >= exact always; est <= exact + 2*N/width with
+#: probability 1 - (1/2)^depth (Cormode & Muthukrishnan 2005).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 128
+
+
+def _cms_bucket_sql(depth_expr: str, key_expr: str) -> str:
+    """DuckDB twin of the md5-derived CMS row hash (proven idiom)."""
+    return (
+        f"(('0x' || substr(md5(CAST({depth_expr} AS VARCHAR) || ':' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {_CMS_WIDTH})"
+    )
+
+
+def _cms_bucket_spark(depth, key):
+    """md5-derived bucket for one CMS hash row — Spark side."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(depth.cast("string"), F.lit(":"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+        WITH keyed AS (SELECT o_custkey AS key FROM orders),
+        depths AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS depth),
+        sketch AS (
+            SELECT depth,
+                   {_cms_bucket_sql('depth', 'key')} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM keyed CROSS JOIN depths
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS exact
+            FROM keyed GROUP BY key
+        )
+        SELECT c.key, min(s.cnt) AS est, c.exact,
+               min(s.cnt) - c.exact AS overcount,
+               min(s.cnt) >= c.exact AS guarantee_ok
+        FROM cand c
+        CROSS JOIN depths d
+        JOIN sketch s
+          ON s.depth = d.depth
+         AND s.bucket = {_cms_bucket_sql('d.depth', 'c.key')}
+        GROUP BY c.key, c.exact
+        ORDER BY est DESC, key ASC
+        LIMIT 15
+    """,
+    tags=("agg", "sketch", "approx", "count-min", "heavy-hitters"),
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters, implemented from scratch on
+    md5-derived 2-universal hash rows (Cormode & Muthukrishnan 2005)
+    so the ENTIRE sketch — build, merge, probe — replays exactly in
+    DuckDB: a full value oracle for an approximate structure, not
+    just a bound check.
+
+    The sketch is built as the sum-merge of two half-corpus sketches
+    (split on o_orderkey parity) to exercise the mergeability that
+    makes CMS the 100 TB frequency pattern: per-partition sketches
+    are a fixed depth x width integer grid (4x128 here), merge by
+    cellwise +, and the estimate for any key is min over rows of its
+    hashed cell — always an overcount (guarantee_ok pins this),
+    within 2N/width with probability 1-2^-depth.
+
+    Scale shape: build = one map-side-combinable groupBy over
+    (depth, bucket) — 512 cells total regardless of corpus size;
+    probe = broadcast-join candidates against the tiny sketch. The
+    exact counts emitted alongside exist only to audit the sketch at
+    test scale; the sketch itself never needs them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.col("o_custkey").alias("key"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    depths = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("depth")
+    hashed = keyed.select("key", "half", depths).withColumn(
+        "bucket", _cms_bucket_spark(F.col("depth"), F.col("key"))
+    )
+    # Two half-sketches, then the cellwise-sum merge (associative, so
+    # the direct-build DuckDB oracle produces identical cell counts).
+    half_sketches = hashed.groupBy("half", "depth", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    sketch = half_sketches.groupBy("depth", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    cand = keyed.groupBy("key").agg(F.count("*").cast("bigint").alias("exact"))
+    probes = cand.select("key", "exact", depths).withColumn(
+        "bucket", _cms_bucket_spark(F.col("depth"), F.col("key"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "key",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+            (F.col("est") >= F.col("exact")).alias("guarantee_ok"),
+        )
+        .orderBy(F.desc("est"), F.asc("key"))
+        .limit(15)
+    )

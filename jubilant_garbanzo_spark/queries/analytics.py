@@ -16,6 +16,7 @@ DATE (never raw timestamps) per the oracle discipline.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -666,4 +667,134 @@ def join_interval_overlap(spark, sf_dir):
         )
         .orderBy(F.desc("overlap_s"), "u1", "u2")
         .limit(50)
+    )
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS dst,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src
+            FROM events
+        ),
+        pairs AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE src IS NOT NULL
+            GROUP BY src, dst
+        ),
+        tot AS (
+            SELECT src, CAST(sum(cnt) AS BIGINT) AS total
+            FROM pairs GROUP BY src
+        )
+        SELECT p.src, p.dst, p.cnt,
+               round(CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                   AS prob
+        FROM pairs p JOIN tot t ON p.src = t.src
+        ORDER BY p.src, p.dst
+    """,
+    tags=("analytics", "events", "markov", "sequence"),
+)
+def event_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the behavior
+    model behind next-action prediction, anomaly scoring (improbable
+    transitions), and synthetic-session generation.
+
+    Determinism: sequence order is (ts, event_id) — event_id breaks
+    timestamp ties, so lag() picks the same predecessor on every
+    engine; probabilities are one exact-integer ratio per row,
+    round(..., 6).
+
+    Scale shape: one hash-partitioned window per user (sequences are
+    per-user local — no global sort), then a 25-cell aggregate;
+    transition totals broadcast back. At 100 TB the window shuffle is
+    the only data-sized exchange, identical to sessionization's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("total").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "event_pattern_match",
+    oracle="""
+        WITH paths AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(len(regexp_extract_all(path, 'view,click,purchase'))
+                    AS BIGINT) AS n_matches
+        FROM paths
+        WHERE len(regexp_extract_all(path, 'view,click,purchase')) >= 1
+    """,
+    tags=("analytics", "events", "pattern", "match-recognize"),
+)
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style contiguous sequence detection: users whose
+    event stream contains the exact consecutive pattern
+    view -> click -> purchase (no intervening events), with the
+    non-overlapping match count — the conversion-path / journey-mining
+    primitive SQL engines expose as row pattern matching.
+
+    Formulation: per-user ordered event types serialize to a
+    delimited string (order pinned by (ts, event_id); types come from
+    a fixed vocabulary with no delimiter collisions), then a single
+    regexp scan counts non-overlapping occurrences — both engines'
+    regex scanners advance left-to-right past each match, so counts
+    agree. Richer patterns (alternation, gaps, quantifiers) are the
+    same pipeline with a different regex.
+
+    Scale shape: per-user collect is bounded by session length (the
+    same state bound as sessionization); the regex runs once per
+    user, JVM-side, zero UDFs. At 100 TB: one user-keyed shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ",",
+        ).alias("path"),
+    )
+    return (
+        paths.select(
+            "user_id",
+            "n_events",
+            F.regexp_count(F.col("path"), F.lit("view,click,purchase"))
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
     )

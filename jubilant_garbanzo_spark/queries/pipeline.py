@@ -539,3 +539,71 @@ def text_domain_mixture(spark, sf_dir):
         .filter(F.col("rn") <= F.col("q"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "pandas_grouped_agg_seam",
+    oracle="""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN n_chars END) AS DOUBLE)
+               / CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS trimmed_mean_chars
+        FROM ranked
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm", "pandas-udf", "grouped-agg", "robust-stats"),
+)
+def pandas_grouped_agg_seam(spark, sf_dir):
+    """Grouped-aggregate ``@pandas_udf`` seam — the fourth and last
+    Arrow seam type (scalar pandas_udf, mapInPandas, applyInPandas /
+    WithState, and THIS: a custom aggregate that Catalyst treats as a
+    first-class agg expression, composable with built-ins in the same
+    ``agg()`` call). The example: per-language 10%-trimmed mean of
+    document length, a robust statistic with no built-in equivalent.
+
+    Cross-engine float discipline: the trim set is defined by the
+    deterministic (n_chars, doc_id) order; inside pandas the sum runs
+    on exact int64 and the single division int_sum/count is one IEEE
+    op — bit-identical to DuckDB's CAST(sum AS DOUBLE)/count, so the
+    driver hash needs no rounding at all.
+
+    Scale shape: Arrow-batched per-group aggregation — each group's
+    values stream to one executor python worker (bounded by group
+    size, same bound as applyInPandas); at 100 TB with heavy groups
+    the same statistic refactors to the rank-window form the oracle
+    uses. The seam exists for aggregates that genuinely need
+    numpy/scipy, priced accordingly (docstring policy, SURVEY §2c).
+    """
+    # Defined in functions/groupedagg.py (a module WITHOUT the
+    # __future__ annotations import) so pandas_udf can infer the
+    # GROUPED_AGG eval type from the real pd.Series signature.
+    from jubilant_garbanzo_spark.functions.groupedagg import trimmed_mean_chars
+
+    trimmed_mean = trimmed_mean_chars
+    d = load_table(spark, sf_dir, "documents")
+    # Catalyst forbids mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # built-in count aggregates separately and joins back on the same
+    # group key — co-partitioned, no extra data-sized shuffle.
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    trimmed = d.groupBy("lang").agg(
+        trimmed_mean(F.col("n_chars"), F.col("doc_id")).alias(
+            "trimmed_mean_chars"
+        )
+    )
+    return (
+        counts.join(trimmed, "lang")
+        .select("lang", "n_docs", "trimmed_mean_chars")
+        .orderBy("lang")
+    )

@@ -622,3 +622,133 @@ def sample_weighted_priority(spark, sf_dir):
             .alias("priority_ppm"),
         )
     )
+
+
+@register(
+    "validate_referential_integrity",
+    oracle="""
+        SELECT check_name, total_rows, violations, violations = 0 AS ok
+        FROM (
+            SELECT 'orders.o_custkey -> customer.c_custkey' AS check_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS total_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL) AS violations
+            UNION ALL
+            SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    WHERE o.o_orderkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem.l_partkey -> part.p_partkey',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                    WHERE p.p_partkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    WHERE s.s_suppkey IS NULL)
+            UNION ALL
+            SELECT 'customer.c_acctbal >= 0',
+                   (SELECT CAST(count(*) AS BIGINT) FROM customer),
+                   (SELECT CAST(count(*) AS BIGINT) FROM customer
+                    WHERE NOT (c_acctbal >= 0))
+            UNION ALL
+            SELECT 'documents.lang IN (en, de, fr, es)',
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents),
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE lang NOT IN ('en', 'de', 'fr', 'es'))
+        )
+    """,
+    tags=("quality", "validation", "constraints"),
+)
+def validate_referential_integrity(spark, sf_dir):
+    """Constraint audit suite: four foreign-key orphan checks plus two
+    domain checks (non-negative balances, allowed language codes), in
+    long format with a per-constraint pass verdict — the
+    expectations/contract gate a pipeline runs before promoting a
+    snapshot. The two domain rows genuinely fire on this fixture
+    (122 negative balances, 75 out-of-vocabulary langs), so the
+    violation-counting path is exercised, not vacuous.
+
+    Scale shape: each FK check is a left-anti count — Spark plans the
+    small dimension side (customer/part/supplier) as a broadcast hash
+    anti-join, and the lineitem->orders check shuffles on the same
+    l_orderkey partitioning every TPC-H query reuses; domain checks
+    are map-only filter counts with scan-level pushdown. All six
+    verdicts reduce to single rows before the union, so the audit's
+    output is O(checks) regardless of corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def fk(name, child, child_key, parent, parent_key):
+        total = child.agg(F.count("*").cast("bigint").alias("total_rows"))
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).agg(F.count("*").cast("bigint").alias("violations"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("check_name"), "total_rows", "violations"
+        )
+
+    def domain(name, table, bad_cond):
+        return table.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("total_rows"),
+            F.sum(F.when(bad_cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violations"),
+        )
+
+    checks = (
+        fk(
+            "orders.o_custkey -> customer.c_custkey",
+            orders, "o_custkey", customer, "c_custkey",
+        )
+        .unionAll(
+            fk(
+                "lineitem.l_orderkey -> orders.o_orderkey",
+                lineitem, "l_orderkey", orders, "o_orderkey",
+            )
+        )
+        .unionAll(
+            fk(
+                "lineitem.l_partkey -> part.p_partkey",
+                lineitem, "l_partkey", part, "p_partkey",
+            )
+        )
+        .unionAll(
+            fk(
+                "lineitem.l_suppkey -> supplier.s_suppkey",
+                lineitem, "l_suppkey", supplier, "s_suppkey",
+            )
+        )
+        .unionAll(
+            domain(
+                "customer.c_acctbal >= 0",
+                customer,
+                ~(F.col("c_acctbal") >= 0),
+            )
+        )
+        .unionAll(
+            domain(
+                "documents.lang IN (en, de, fr, es)",
+                documents,
+                ~F.col("lang").isin("en", "de", "fr", "es"),
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "total_rows",
+        "violations",
+        (F.col("violations") == 0).alias("ok"),
+    )
