@@ -203,3 +203,58 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(e3, ["x", "z"])
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 4,
+    graph_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any source node,
+    bounded at ``iterations`` rounds (radius-k reachability).
+
+    ``edges``: (src, dst); ``sources``: (node,). Returns
+    (node, hops) for every node reached within ``iterations`` hops —
+    exact integers, so the frontier expansion replays bit-identically
+    in any engine (the unrolled-CTE oracle replays the SAME bounded
+    recurrence, so fixed rounds are self-consistent whether or not
+    the frontier has converged).
+
+    Scale shape: the Pregel-as-joins frontier pattern — per round one
+    equi-join of the current distance vector against the static edge
+    list (cached once) + one min-groupBy on node; same per-round
+    shape, lineage-truncation (eager localCheckpoint) and
+    collapsed-graph partitioning rationale as :func:`pagerank_fixed`.
+    """
+    edges = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
+    if graph_partitions is not None:
+        edges = edges.coalesce(graph_partitions)
+    edges = edges.persist()
+
+    dist = sources.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("hops"),
+    )
+    if graph_partitions is not None:
+        dist = dist.coalesce(graph_partitions)
+    for _ in range(iterations):
+        frontier = (
+            dist.join(edges, dist.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("hops") + F.lit(1)).alias("hops"),
+            )
+        )
+        dist = (
+            dist.unionAll(frontier)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if graph_partitions is not None:
+            dist = dist.coalesce(graph_partitions)
+        dist = dist.localCheckpoint(eager=True)
+    return dist

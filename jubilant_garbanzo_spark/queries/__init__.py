@@ -71,7 +71,8 @@ def register(
 #: was rewritten for the native-timestamp fixture layout this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 5 (second wave: retrieval / sketch / validation /
-    # sequence family + the grouped-agg pandas seam)
+    # sequence family + the grouped-agg pandas seam + BFS)
+    "graph_bfs_hops",
     "text_bm25_rank",
     "text_inverted_index",
     "agg_countmin_heavy_hitters",
@@ -125,6 +126,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_foreachbatch",
     "stream_stateful_running_count",
+    # Position 51 — one past the driver's 50-entry window; waits for
+    # the r6 rotation. Conscious adjudication: its only r5 change is
+    # the shared streaming source rewrite, which the 8 in-window
+    # stream_* queries exercise through the identical code path, and
+    # the local strict differential gate still covers it every pytest
+    # run; a brand-new operator with no driver row ever
+    # (graph_bfs_hops) outranks it for the last slot.
     "stream_parquet_sink",
 )
 

@@ -21,6 +21,7 @@ from jubilant_garbanzo_spark.catalog import load_table
 from jubilant_garbanzo_spark.operators.graphs import (
     PR_DAMPING_PCT,
     PR_SCALE,
+    bfs_hops,
     cooccurrence_edges,
     pagerank_fixed,
     triangle_count,
@@ -198,3 +199,113 @@ def graph_triangle_count(spark, sf_dir):
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     tri = triangle_count(edges)
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle(rounds: int = _BFS_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB twin of the bounded BFS frontier expansion."""
+    parts = [
+        """
+        WITH e0 AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(sum(w) AS BIGINT) AS tw,
+                   CAST(count(*) AS BIGINT) AS ne
+            FROM e0
+        ), e AS (
+            SELECT src, dst FROM e0, tot WHERE w * ne >= tw
+        ), r0 AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS node,
+                   CAST(0 AS BIGINT) AS hops
+            FROM nation WHERE n_regionkey = 0
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS (
+            SELECT node, min(hops) AS hops
+            FROM (SELECT * FROM r{i - 1}
+                  UNION ALL
+                  SELECT e.dst, r.hops + 1
+                  FROM r{i - 1} r JOIN e ON r.node = e.src)
+            GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n.n_name AS nation, r.hops
+        FROM r{rounds} r JOIN nation n ON r.node = n.n_nationkey
+        ORDER BY r.hops, nation
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("graph", "bfs", "reachability", "iterative"),
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance over the SIGNIFICANT-trade graph:
+    nations reachable within 4 hops of any region-0 nation, following
+    only edges whose lineitem count is >= the mean edge weight (the
+    integer cross-multiplied threshold w*|E| >= Σw keeps the
+    sparsification exact and scale-adaptive — a fixed absolute cutoff
+    would empty the graph at small SF and keep everything at 100 TB).
+
+    Third iterative-graph operator next to PageRank (value
+    propagation) and connected components (label propagation): BFS is
+    frontier propagation, the primitive under reachability, influence
+    radius, and shortest-path features. Exact integers end-to-end, so
+    the driver hash covers the full 4-round frontier recurrence.
+
+    Scale shape: identical to graph_pagerank — fact-fact joins
+    collapse 100 TB to an entity edge list once, then each round is
+    one equi-join + min-groupBy on the collapsed graph (broadcast-
+    sized rank/frontier vector, cached static edges, lineage
+    truncated per round).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    tot = e0.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    edges = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("src", "dst")
+    )
+    sources = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").cast("bigint").alias("node")
+    )
+    dist = bfs_hops(edges, sources, iterations=_BFS_ROUNDS, graph_partitions=1)
+    return (
+        dist.join(nation, dist.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "hops")
+        .orderBy("hops", "nation")
+    )
