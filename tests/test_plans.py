@@ -379,3 +379,63 @@ def test_chi2_vocab_joins_broadcast(spark, sf_dir):
     assert strategies, "no joins found in plan"
     assert "SortMergeJoin" not in strategies, strategies
     assert "ShuffledHashJoin" not in strategies, strategies
+
+
+def test_bm25_filters_terms_before_aggregate(spark, sf_dir):
+    """BM25's tf aggregate must see only query-term tokens: the isin
+    filter sits below the first HashAggregate, so the shuffled volume
+    is O(matching tokens), not O(corpus tokens) — the property that
+    makes the query a narrow scan at 100 TB. All dimension joins
+    (df / corpus stats) must broadcast."""
+    df = q(spark, sf_dir, "text_bm25_rank")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # The term filter appears as an IN-list predicate on tok.
+    assert "tok" in plan and ("spark" in plan and "stream" in plan), plan[:2000]
+    hash_joins = [s for s in join_strategies(df) if s == "BroadcastHashJoin"]
+    assert len(hash_joins) >= 2, join_strategies(df)
+
+
+def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    """The CMS probe join must broadcast the sketch side — the sketch
+    is a fixed 4x128 grid regardless of corpus size, so shipping it
+    beats shuffling the candidate set. Build and probe must both stay
+    equi-joins (no cartesian fan-out of depths x keys)."""
+    df = q(spark, sf_dir, "agg_countmin_heavy_hitters")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
+    assert has_partial_aggregate(df)
+
+
+def test_pattern_match_stays_jvm_side(spark, sf_dir):
+    """Sequence detection must run entirely in codegen'd built-ins:
+    the path serialization (array_sort + transform + array_join) and
+    the regexp count are JVM expressions — no Python eval node may
+    appear in the plan (zero-hot-path-UDF policy, SURVEY §2c)."""
+    df = q(spark, sf_dir, "event_pattern_match")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert node not in plan, plan[:2000]
+
+
+def test_referential_audit_broadcasts_dimensions(spark, sf_dir):
+    """Every FK orphan check must plan as a broadcast hash LEFT ANTI
+    join (dims are broadcast-sized at every SF); a shuffle or
+    nested-loop anti join would make the audit a full-corpus
+    re-partition per constraint."""
+    df = q(spark, sf_dir, "validate_referential_integrity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_bfs_rounds_are_equi_joins(spark, sf_dir):
+    """Each BFS frontier round must join dist⋈edges as an equi-join on
+    the node key; the edge-derivation chain must never go cartesian.
+    (Single-row scalar crossJoins for the sparsification threshold are
+    legitimate BroadcastNestedLoopJoins over 1-row sides.)"""
+    df = q(spark, sf_dir, "graph_bfs_hops")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
