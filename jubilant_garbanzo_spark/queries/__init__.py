@@ -126,14 +126,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_foreachbatch",
     "stream_stateful_running_count",
-    # Position 51 — one past the driver's 50-entry window; waits for
-    # the r6 rotation. Conscious adjudication: its only r5 change is
-    # the shared streaming source rewrite, which the 8 in-window
-    # stream_* queries exercise through the identical code path, and
-    # the local strict differential gate still covers it every pytest
-    # run; a brand-new operator with no driver row ever
-    # (graph_bfs_hops) outranks it for the last slot.
+    # Positions 51+ — past the driver's 50-entry window; queued first
+    # for the r6 rotation. Conscious adjudication: with 53 new/changed
+    # queries this round the window must spill. stream_parquet_sink's
+    # only r5 change is the shared streaming source rewrite, which the
+    # 8 in-window stream_* queries exercise through the identical code
+    # path; table_diff_snapshots and embed_label_centroids landed
+    # after the window filled. All three pass the local strict
+    # differential gate (tests/test_oracle_differential.py, same
+    # compare as the driver) on every pytest run meanwhile.
     "stream_parquet_sink",
+    "table_diff_snapshots",
+    "embed_label_centroids",
 )
 
 

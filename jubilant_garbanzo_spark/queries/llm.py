@@ -1441,3 +1441,102 @@ def udtf_ngram_explode(spark, sf_dir):
         LIMIT 20
         """
     )
+
+
+@register(
+    "embed_label_centroids",
+    oracle="""
+        WITH v AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), x AS (
+            SELECT v.label, r.i - 1 AS pos,
+                   CAST(round(v.v[r.i] * 1000000.0) AS BIGINT) AS q
+            FROM v, UNNEST(range(1, len(v.v) + 1)) AS r(i)
+        ), d AS (
+            SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+                   CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+            FROM x GROUP BY label, pos
+        ), dim AS (
+            SELECT label, pos, n,
+                   round(CAST(sq AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1000000.0), 6) AS cdim,
+                   n * sqq - sq * sq AS numer
+            FROM d
+        )
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vectors,
+               list(cdim ORDER BY pos) AS centroid,
+               round(CAST(sum(numer) AS DOUBLE)
+                     / (CAST(max(n) AS DOUBLE) * 1000000000000.0), 6)
+                   AS inertia
+        FROM dim
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("llm", "embedding", "centroid", "cluster-stats"),
+)
+def embed_label_centroids(spark, sf_dir):
+    """Per-label exact centroid + within-cluster inertia over the
+    embedding corpus — the vector-aggregate primitive under k-means
+    update steps, cluster drift monitoring, and class-prototype
+    features.
+
+    Exactness: each coordinate quantizes to integer millionths
+    (round-then-cast, the proven ``embed_quantize_int8`` idiom), so
+    per-dimension sums and squared sums are exact integers under ANY
+    partial-agg tree; the centroid coordinate is one int/int IEEE
+    division and inertia uses the moments identity
+    Σ||x−c||² = Σ_dims (n·Σq² − (Σq)²) / (n·10¹²) — both engines
+    compute identical integers, then one division + round(...,6).
+    The float-sum order-dependence that makes naive vector averaging
+    un-oracle-able never arises.
+
+    Scale shape: posexplode → groupBy (label, pos) is a map-side
+    combinable aggregate with (|labels|·dim) output cells; the
+    per-label reassembly collects dim-bounded arrays. At 100 TB this
+    is the textbook two-phase vector mean — no driver collect, no
+    per-row Python.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = "DECIMAL(38,0)"
+    x = e.select(
+        "label", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "xv")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("xv") * 1000000.0).cast("bigint").alias("q"),
+    )
+    d = x.groupBy("label", "pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("q").cast(dec)).cast(dec).alias("sq"),
+        F.sum((F.col("q").cast(dec) * F.col("q"))).cast(dec).alias("sqq"),
+    )
+    dim = d.select(
+        "label",
+        "pos",
+        "n",
+        F.round(
+            F.col("sq").cast("double") / (F.col("n").cast("double") * 1000000.0),
+            6,
+        ).alias("cdim"),
+        (F.col("n").cast(dec) * F.col("sqq") - F.col("sq") * F.col("sq")).alias(
+            "numer"
+        ),
+    )
+    return (
+        dim.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
+                lambda s: s["cdim"],
+            ).alias("centroid"),
+            F.round(
+                F.sum("numer").cast("double")
+                / (F.max("n").cast("double") * 1000000000000.0),
+                6,
+            ).alias("inertia"),
+        )
+        .orderBy("label")
+    )

@@ -752,3 +752,99 @@ def validate_referential_integrity(spark, sf_dir):
         "violations",
         (F.col("violations") == 0).alias("ok"),
     )
+
+
+#: Snapshot cutoffs for the table-diff query (events span Jan 2024).
+_DIFF_T1 = "2024-01-10 00:00:00"
+_DIFF_T2 = "2024-01-25 00:00:00"
+
+
+@register(
+    "table_diff_snapshots",
+    oracle=f"""
+        WITH snap AS (
+            SELECT user_id, cutoff, event_type, value FROM (
+                SELECT e.user_id, c.cutoff, e.event_type, e.value,
+                       row_number() OVER (
+                           PARTITION BY e.user_id, c.cutoff
+                           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                FROM events e
+                CROSS JOIN (VALUES (TIMESTAMP '{_DIFF_T1}'),
+                                   (TIMESTAMP '{_DIFF_T2}')) c(cutoff)
+                WHERE e.ts <= c.cutoff
+            ) WHERE rn = 1 AND event_type <> 'error'
+        ), t1 AS (
+            SELECT user_id, event_type, value FROM snap
+            WHERE cutoff = TIMESTAMP '{_DIFF_T1}'
+        ), t2 AS (
+            SELECT user_id, event_type, value FROM snap
+            WHERE cutoff = TIMESTAMP '{_DIFF_T2}'
+        )
+        SELECT coalesce(t1.user_id, t2.user_id) AS user_id,
+               CASE WHEN t1.user_id IS NULL THEN 'added'
+                    WHEN t2.user_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               t1.event_type AS old_event_type, t1.value AS old_value,
+               t2.event_type AS new_event_type, t2.value AS new_value
+        FROM t1 FULL JOIN t2 ON t1.user_id = t2.user_id
+        WHERE t1.user_id IS NULL OR t2.user_id IS NULL
+           OR t1.event_type <> t2.event_type OR t1.value <> t2.value
+    """,
+    tags=("quality", "cdc", "diff", "snapshot"),
+)
+def table_diff_snapshots(spark, sf_dir):
+    """Snapshot diff between two point-in-time entity states (latest
+    non-error event per user at T1 vs T2): added / removed / changed
+    keys with old and new attributes — the reconciliation primitive
+    behind CDC validation, slowly-changing-dimension audits, and
+    incremental-load verification. All three statuses genuinely occur
+    on this fixture ("removed" = a user whose latest T2 event is an
+    error, dropping them from the derived state).
+
+    Scale shape: each snapshot is one user-partitioned latest-row
+    window (the ``upsert_latest_by_key`` pattern) over a time-pruned
+    scan; the diff is a single full outer join on the entity key —
+    both snapshots arrive hash-partitioned on user_id from their
+    windows, so the join reuses that partitioning without a new
+    data-sized shuffle. Value comparison is raw-bit passthrough (no
+    arithmetic), safe cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def snapshot(cutoff: str):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "event_type", "value")
+        )
+
+    t1 = snapshot(_DIFF_T1).withColumnsRenamed(
+        {"user_id": "u1", "event_type": "old_event_type", "value": "old_value"}
+    )
+    t2 = snapshot(_DIFF_T2).withColumnsRenamed(
+        {"user_id": "u2", "event_type": "new_event_type", "value": "new_value"}
+    )
+    joined = t1.join(t2, t1.u1 == t2.u2, "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("u1"), F.col("u2")).alias("user_id"),
+            F.when(F.col("u1").isNull(), "added")
+            .when(F.col("u2").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            "old_event_type",
+            "old_value",
+            "new_event_type",
+            "new_value",
+        )
+        .filter(
+            F.col("u1").isNull()
+            | F.col("u2").isNull()
+            | (F.col("old_event_type") != F.col("new_event_type"))
+            | (F.col("old_value") != F.col("new_value"))
+        )
+    )
