@@ -63,6 +63,8 @@ HEADLINE: tuple[str, ...] = (
     "graph_pagerank",  # 5-iteration integer PageRank + edge derivation
     "join_interval_overlap",  # session overlap via hour-bucket blocking
     "fuzzy_name_match",  # blocked edit-distance entity resolution
+    "agg_countmin_heavy_hitters",  # r5 wave-2: from-scratch CMS sketch
+    "graph_bfs_hops",  # r5 wave-2: iterative frontier propagation
 )
 
 
