@@ -138,6 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_parquet_sink",
     "table_diff_snapshots",
     "embed_label_centroids",
+    "pipeline_end_to_end",
 )
 
 

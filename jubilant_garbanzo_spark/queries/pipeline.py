@@ -607,3 +607,143 @@ def pandas_grouped_agg_seam(spark, sf_dir):
         .select("lang", "n_docs", "trimmed_mean_chars")
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text, n_chars FROM documents
+        ), lang_pass AS (
+            SELECT doc_id, text, n_chars FROM documents WHERE lang = 'en'
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM lang_pass
+        ), cnt AS (
+            SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+        ), rep AS (
+            SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_tok
+            FROM cnt GROUP BY doc_id
+        ), quality_pass AS (
+            SELECT l.doc_id, l.text, r.n_tok
+            FROM lang_pass l JOIN rep r ON l.doc_id = r.doc_id
+            WHERE r.mx * 100 <= r.n_tok * 12
+        ), dedup_pass AS (
+            SELECT doc_id, n_tok FROM (
+                SELECT doc_id, n_tok,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM quality_pass
+            ) WHERE rn = 1
+        ), split AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1') THEN 'holdout' ELSE 'train' END
+                       AS s
+            FROM dedup_pass
+        )
+        SELECT * FROM (
+            SELECT 0 AS stage_no, 'ingest' AS stage,
+                   (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_docs,
+                   CAST(NULL AS BIGINT) AS n_tokens
+            UNION ALL
+            SELECT 1, 'lang_filter',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lang_pass), NULL
+            UNION ALL
+            SELECT 2, 'quality_screen',
+                   (SELECT CAST(count(*) AS BIGINT) FROM quality_pass),
+                   (SELECT CAST(sum(n_tok) AS BIGINT) FROM quality_pass)
+            UNION ALL
+            SELECT 3, 'exact_dedup',
+                   (SELECT CAST(count(*) AS BIGINT) FROM dedup_pass),
+                   (SELECT CAST(sum(n_tok) AS BIGINT) FROM dedup_pass)
+            UNION ALL
+            SELECT 4, 'split_train',
+                   (SELECT CAST(count(*) AS BIGINT) FROM split
+                    WHERE s = 'train'),
+                   (SELECT CAST(sum(n_tok) AS BIGINT) FROM split
+                    WHERE s = 'train')
+            UNION ALL
+            SELECT 5, 'split_holdout',
+                   (SELECT CAST(count(*) AS BIGINT) FROM split
+                    WHERE s = 'holdout'),
+                   (SELECT CAST(sum(n_tok) AS BIGINT) FROM split
+                    WHERE s = 'holdout')
+        )
+        ORDER BY stage_no
+    """,
+    tags=("llm", "pipeline", "composite", "manifest"),
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The training-data pipeline as ONE composed DataFrame program —
+    ingest → language filter → Gopher top-token quality screen →
+    exact dedup (min-doc_id winner per content hash) → deterministic
+    hash split — emitting the stage-by-stage manifest (rows and token
+    counts surviving each stage) that a production corpus build
+    publishes with every snapshot. Demonstrates that the engine's
+    operators COMPOSE: each stage is the registry operator's exact
+    logic (text_lang_filter, quality_repetition_filter, dedup_exact,
+    text_train_holdout_split) chained lazily into one Catalyst plan.
+
+    Exactness: the quality threshold is the integer cross-multiplied
+    form (mx*100 <= n_tok*12) — no float ratio ever materializes; all
+    manifest numbers are exact integers.
+
+    Scale shape: one pass builds per-doc token stats (map-side
+    combinable), the dedup winner is a content-hash window (same
+    shuffle key as the dedup family), and the six manifest rows
+    aggregate from the SAME lazily-shared stage DataFrames — Spark
+    evaluates the chain once per branch, and every stage boundary
+    keeps the doc_id/hash partitioning of the previous one. At 100 TB
+    this runs as the real pipeline would, with the manifest as a
+    by-product, not a second scan architecture.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lang_pass = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    rep = (
+        lang_pass.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").cast("bigint").alias("n_tok"))
+    )
+    quality_pass = (
+        lang_pass.join(rep, "doc_id")
+        .filter(F.col("mx") * 100 <= F.col("n_tok") * 12)
+        .select("doc_id", "text", "n_tok")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup_pass = (
+        quality_pass.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = dedup_pass.withColumn(
+        "s", F.when(nibble.isin("0", "1"), "holdout").otherwise("train")
+    )
+
+    def manifest(stage_no, stage, df, with_tokens=True):
+        aggs = [F.count("*").cast("bigint").alias("n_docs")]
+        if with_tokens:
+            aggs.append(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+        else:
+            aggs.append(F.lit(None).cast("bigint").alias("n_tokens"))
+        return df.agg(*aggs).select(
+            F.lit(stage_no).cast("int").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        manifest(0, "ingest", d, with_tokens=False)
+        .unionAll(manifest(1, "lang_filter", lang_pass, with_tokens=False))
+        .unionAll(manifest(2, "quality_screen", quality_pass))
+        .unionAll(manifest(3, "exact_dedup", dedup_pass))
+        .unionAll(manifest(4, "split_train", split.filter(F.col("s") == "train")))
+        .unionAll(
+            manifest(5, "split_holdout", split.filter(F.col("s") == "holdout"))
+        )
+        .orderBy("stage_no")
+    )
