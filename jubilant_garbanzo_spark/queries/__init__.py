@@ -139,6 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "table_diff_snapshots",
     "embed_label_centroids",
     "pipeline_end_to_end",
+    "stream_countmin_topk",
 )
 
 
