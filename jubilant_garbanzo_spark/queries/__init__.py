@@ -140,6 +140,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_label_centroids",
     "pipeline_end_to_end",
     "stream_countmin_topk",
+    "stream_session_dynamic_gap",
 )
 
 

@@ -718,3 +718,79 @@ def stream_countmin_topk(spark, sf_dir):
         .orderBy(F.desc("est"), F.asc("key"))
         .limit(10)
     )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    # Same gaps-and-islands convention as stream_session_window's
+    # oracle, generalized: the session's running end is the MAX of
+    # (ts_j + gap_j) over prior members (a plain lag suffices only for
+    # constant gaps), and an event starts a new session iff its ts is
+    # strictly past that running end.
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   ts + CASE WHEN event_type = 'error'
+                             THEN INTERVAL 5 MINUTE
+                             ELSE INTERVAL 30 MINUTE END AS ev_end
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts, event_id, ev_end,
+                   CASE WHEN max(ev_end) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR ts > max(ev_end) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM g
+        ), sess AS (
+            SELECT user_id, ts, ev_end,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ev_end), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session-window", "dynamic-gap"),
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """TRUE dynamic-gap session windows on the live streaming engine:
+    the inactivity gap is a per-event EXPRESSION (5 min after an
+    error, 30 min otherwise — errors close sessions fast), the
+    capability `session_window` gains over a constant gap. Sessions
+    are merged unions of per-event [ts, ts+gap) intervals, so the
+    batch twin needs a running MAX of event ends, not a lag — the
+    generalized gaps-and-islands.
+
+    Scale shape: identical to fixed-gap sessionization — one
+    user-keyed shuffle into the session-window state store; gap
+    evaluation is a row-local expression with zero extra state.
+    """
+    s = read_events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = s.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = run_available_now(agg, output_mode="complete", name_prefix="dynsession")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
