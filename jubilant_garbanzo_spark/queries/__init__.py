@@ -141,6 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_end_to_end",
     "stream_countmin_topk",
     "stream_session_dynamic_gap",
+    "agg_mode_deterministic",
 )
 
 

@@ -658,3 +658,55 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("est"), F.asc("key"))
         .limit(15)
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        SELECT user_id, event_type AS mode_event_type, cnt AS mode_count
+        FROM (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC,
+                                               event_type ASC) AS rn
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        WHERE rn = 1
+    """,
+    tags=("agg", "mode", "deterministic"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic per-group mode (most frequent event type per
+    user, ties broken by value order). Spark's built-in ``mode()`` and
+    ``max_by()`` return an ARBITRARY element on ties — fine for one
+    engine, fatal for reproducible pipelines and cross-engine oracles
+    — so the engine's mode is the two-level form: count per
+    (group, value), then a rank-1 window with a total tie order. Same
+    determinism policy as the sampling family (module docstring of
+    queries/quality.py).
+
+    Scale shape: the count is a map-side-combinable aggregate on
+    (user, value); the window ranks over the tiny per-user value set
+    (≤ |distinct values| rows per user) with a WindowGroupLimit
+    cutoff — no second data-sized shuffle (the window reuses the
+    aggregate's hash partitioning prefix).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
