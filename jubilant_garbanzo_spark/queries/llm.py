@@ -450,8 +450,14 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
     :func:`_seeded_embeddings` adds on the Spark side, so the
     positive path of the threshold queries is exercised (the synthetic
     fixture's embeddings are random — max pairwise candidate cosine
-    ≈ 0.51 at every SF, so un-seeded near-dup thresholds never fire)."""
-    bands = S.hyperplane_band_sql("v", dim)
+    ≈ 0.51 at every SF, so un-seeded near-dup thresholds never fire).
+
+    Band width is corpus-adaptive (round-6: ``ab.bits`` =
+    ``adaptive_bits(count(v))``, integer-exact on both engines): the
+    SQL packs each band's full MAX_BITS planes and truncates by
+    integer division, which equals the Spark side packing only the
+    first ``bits`` planes."""
+    bands = S.hyperplane_band_sql("v", dim, "ab.bits")
     band_cols = ",\n                   ".join(
         f"{expr} AS b{i}" for i, expr in enumerate(bands)
     )
@@ -468,10 +474,12 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             {seed_union}
+        ), ab AS (
+            SELECT {S.adaptive_bits_sql("(SELECT count(*) FROM v)")} AS bits
         ), sig AS (
             SELECT vec_id, v,
                    {band_cols}
-            FROM v
+            FROM v, ab
         )
     """
 
@@ -506,10 +514,11 @@ _BAND_MATCH = " OR ".join(f"a.b{i} = b.b{i}" for i in range(S.N_SIG_BANDS))
 )
 def embed_similarity_join(spark, sf_dir):
     """Pairwise cosine ≥ 0.9 among hyperplane-LSH candidates (pairs
-    sharing ≥1 of 4 signature bands) — bounded buckets by geometry,
-    not by a fixed blocking column. Runs over the probe-seeded corpus
-    (see ``_seeded_embeddings``) so the ≥-threshold branch is
-    exercised, not just the empty case."""
+    sharing ≥1 of 4 signature bands) — band width corpus-adaptive
+    (``adaptive_bits``: expected bucket ≤ 32), so candidates grow
+    ~linearly in N, not quadratically (round-5 scale-killer fix).
+    Runs over the probe-seeded corpus (see ``_seeded_embeddings``) so
+    the ≥-threshold branch is exercised, not just the empty case."""
     return S.similarity_join(_seeded_embeddings(spark, sf_dir), threshold=0.9)
 
 
@@ -758,8 +767,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup: any vector cosine-≥0.99 to a
     lower-id hyperplane-LSH candidate is a duplicate of that keeper —
     the semantic-dedup pass that catches paraphrases exact/MinHash
-    dedup cannot. At cos 0.99 the 4×4-band signature catches a true
-    pair w.p. ≈ 0.999 (sign-agreement per plane ≈ 0.955). Runs over
+    dedup cannot. Exact copies (the seeded probes, cos = 1) always
+    collide — identical vectors have identical signatures at any
+    adaptive band width; near-exact pairs collide w.p. → 1. Runs over
     the probe-seeded corpus (``_seeded_embeddings``) so real
     duplicates exist and the keeper-election path is exercised."""
     pairs = S.similarity_join(_seeded_embeddings(spark, sf_dir), threshold=0.99)

@@ -280,17 +280,36 @@ def test_ngram_prefix_filter_is_lossless_and_bounded(spark, sf_dir):
         assert naive, "fixture should contain qualifying near-dup pairs"
 
 
+def test_adaptive_bits_bounds_bucket_growth():
+    """The geometry formula itself: expected bucket population
+    N / 2^bits stays ≤ TARGET_BUCKET for every corpus size up to the
+    MAX_BITS saturation point, and bits is monotone in N — the
+    by-construction fix for the round-5 quadratic candidate blowup."""
+    prev = 0
+    for n in [1, 10, 500, 505, 2000, 2005, 6000, 20005, 100_000, 1_000_000]:
+        bits = S.adaptive_bits(n)
+        assert S.MIN_BITS <= bits <= S.MAX_BITS
+        assert bits >= prev
+        prev = bits
+        if n > S.TARGET_BUCKET * 2**S.MIN_BITS and bits < S.MAX_BITS:
+            assert n / 2**bits <= S.TARGET_BUCKET, (n, bits)
+    # Exact power-of-two boundaries must not flap (integer arithmetic).
+    assert S.adaptive_bits(S.TARGET_BUCKET * 32) == 5
+    assert S.adaptive_bits(S.TARGET_BUCKET * 32 + 1) == 6
+
+
 def test_hyperplane_band_buckets_bounded(spark, sf_dir):
     """Candidate buckets must be bounded by signature geometry: every
     (band, key) bucket well under the corpus size, and each band using
-    a healthy share of its 2^BITS_PER_BAND key space — the property the
-    removed label-column blocking could not guarantee."""
+    a healthy share of its 2^bits key space — the property the removed
+    label-column blocking could not guarantee."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
+    bits = S.adaptive_bits(n)
     banded = e.select(
         "vec_id",
         F.posexplode(
-            S.hyperplane_band_keys(S.as_double(F.col("embedding")), 64)
+            S.hyperplane_band_keys(S.as_double(F.col("embedding")), 64, bits)
         ).alias("band", "key"),
     )
     sizes = banded.groupBy("band", "key").count()
