@@ -59,96 +59,77 @@ def register(
 #: proven green in a prior round's CORRECTNESS_r{N}.json don't need the
 #: slot again, so each round this list rotates the not-yet-driver-verified
 #: queries (plus any whose implementation/oracle changed this round) into
-#: the window. Round 5: the 17 new queries (graph analytics, SCD2, TWA,
-#: interval overlap, exact-moment regression, HLL union, weighted
-#: sampling, mergeSchema, Z-order, bigram PMI, χ², unigram logprob,
-#: shingle containment, dedup-within-watermark, stream-stream left
-#: outer, NOT-IN-NULL subquery), the 4 newly-oracled approximate/streaming
-#: queries (VERDICT r4 items 4/6/7), the queries whose bodies changed
-#: (seeded similarity fixtures, knn_join API, multimodal kernel guards,
-#: dedup operator rework, subquery SET removal), and EVERY live
-#: streaming query — their shared source (runner.read_events_stream)
-#: was rewritten for the native-timestamp fixture layout this round.
-#: A second round-5 wave (retrieval, CMS sketch, sequence analytics,
-#: validation, BFS, grouped-agg seam, snapshot diff, centroids,
-#: pipeline composite, streaming CMS, dynamic-gap sessions,
-#: deterministic mode) grew the list past the 50-entry window; the
-#: in-window order front-loads one representative per new family and
-#: the spillover adjudication sits at the list tail.
+#: the window. Round 6, exactly 50 entries, three tiers:
+#:
+#: 1. Never driver-checked (drains the round-5 window spillover and adds
+#:    the six new derived-partsupp TPC-H queries) — restores the
+#:    every-query-has-a-driver-green-row invariant.
+#: 2. Changed this round: adaptive LSH band geometry
+#:    (embed_similarity_join / dedup_embedding_cosine / embed_ann_lsh),
+#:    string-serialized outputs (text_inverted_index — the r5 driver
+#:    ERR — and embed_label_centroids, tier 1), the scd2 event_id
+#:    tiebreak, the newly-oracled multimodal_feature_extract, and the
+#:    foreachBatch distributed-merge refactor (stream_foreachbatch,
+#:    stream_countmin_topk in tier 1); stream_parquet_sink rides along
+#:    per the r5 adjudication.
+#: 3. Stale-evidence refresh: the 19 queries whose only driver green is
+#:    round-1 vintage, then the oldest round-2 rows, filling the window
+#:    to exactly 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # new in round 5 (second wave: retrieval / sketch / validation /
-    # sequence family + the grouped-agg pandas seam + BFS)
-    "graph_bfs_hops",
-    "text_bm25_rank",
-    "text_inverted_index",
-    "agg_countmin_heavy_hitters",
-    "event_markov_transitions",
-    "event_pattern_match",
-    "validate_referential_integrity",
-    "pandas_grouped_agg_seam",
-    # new in round 5
-    "graph_pagerank",
-    "graph_triangle_count",
-    "timeseries_time_weighted_avg",
-    "scd2_from_events",
-    "join_interval_overlap",
-    "agg_regression_exact_moments",
-    "agg_hll_sketch_union",
-    "sample_weighted_priority",
-    "source_mergeschema",
-    "stream_dedup_within_watermark",
-    "text_bigram_pmi",
-    "subquery_not_in_null",
-    "stream_stream_left_outer",
-    "text_chi2_terms",
-    "text_unigram_logprob",
-    "sink_zorder_parquet",
-    "dedup_shingle_containment",
-    "source_python_datasource",
-    "udtf_ngram_explode",
-    # newly-oracled this round (rows-only → full/partial oracle)
-    "stream_watermark_append",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "embed_ann_ivf",
-    # bodies changed after their last driver-green row
-    "embed_similarity_join",
-    "dedup_embedding_cosine",
-    "embed_knn_join",
-    "subquery_in_uncorrelated",
-    "multimodal_decode",
-    "multimodal_resize",
-    "dedup_cluster_cc",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_incremental",
-    # shared streaming source rewritten (native-timestamp fixture)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_foreachbatch",
-    "stream_stateful_running_count",
-    # Positions 51+ — past the driver's 50-entry window; queued first
-    # for the r6 rotation. Conscious adjudication: with 57 new/changed
-    # queries this round the window must spill. stream_parquet_sink's
-    # only r5 change is the shared streaming source rewrite, which the
-    # 8 in-window stream_* queries exercise through the identical code
-    # path; the rest are wave-2 queries that landed after the window
-    # filled (their families' first representatives are in-window).
-    # All seven pass the local strict differential gate
-    # (tests/test_oracle_differential.py, same compare as the driver)
-    # on every pytest run meanwhile.
-    "stream_parquet_sink",
+    # -- tier 1: never driver-checked ------------------------------------
     "table_diff_snapshots",
     "embed_label_centroids",
     "pipeline_end_to_end",
     "stream_countmin_topk",
     "stream_session_dynamic_gap",
     "agg_mode_deterministic",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relation",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    # -- tier 2: changed in round 6 --------------------------------------
+    "text_inverted_index",
+    "embed_similarity_join",
+    "dedup_embedding_cosine",
+    "embed_ann_lsh",
+    "scd2_from_events",
+    "multimodal_feature_extract",
+    "stream_foreachbatch",
+    "stream_parquet_sink",
+    # -- tier 3: stale-evidence refresh (round-1 vintage first) ----------
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_self_pairs",
+    "join_broadcast_star",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "dedup_exact",
+    "dedup_exact_by_fingerprint",
+    "text_stats",
+    "text_lang_filter",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count_regex",
+    "text_term_frequency",
+    "embed_norms",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "text_chunking",
+    # round-2 vintage
+    "trending_topk",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frames",
+    "window_range_frame",
+    "window_topn_per_group",
+    "scan_projection",
+    "filter_comparison",
+    "filter_in_between_like",
+    "filter_null_logic",
+    "string_functions",
 )
 
 

@@ -467,20 +467,20 @@ def timeseries_time_weighted_avg(spark, sf_dir):
                    ) AS prev_type
             FROM events
         ), changes AS (
-            SELECT user_id, event_type, ts
+            SELECT user_id, event_type, ts, event_id
             FROM ordered
             WHERE prev_type IS NULL OR event_type <> prev_type
         )
         SELECT user_id, event_type,
                CAST(row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) AS BIGINT) AS version,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
                strftime(lead(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                ), '%Y-%m-%d %H:%M:%S') AS valid_to,
                lead(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                ) IS NULL AS is_current
         FROM changes
     """,
@@ -514,9 +514,11 @@ def scd2_from_events(spark, sf_dir):
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    wc = Window.partitionBy("user_id").orderBy("ts")
+    # event_id carried through as the tiebreak: same-ts change rows
+    # would otherwise get engine-arbitrary version/valid_to assignment.
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",

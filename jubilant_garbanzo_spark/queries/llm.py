@@ -1476,7 +1476,9 @@ def udtf_ngram_explode(spark, sf_dir):
         )
         SELECT label,
                CAST(max(n) AS BIGINT) AS n_vectors,
-               list(cdim ORDER BY pos) AS centroid,
+               array_to_string(
+                   list(CAST(CAST(cdim AS DECIMAL(28,6)) AS VARCHAR)
+                        ORDER BY pos), ',') AS centroid,
                round(CAST(sum(numer) AS DOUBLE)
                      / (CAST(max(n) AS DOUBLE) * 1000000000000.0), 6)
                    AS inertia
@@ -1507,6 +1509,11 @@ def embed_label_centroids(spark, sf_dir):
     per-label reassembly collects dim-bounded arrays. At 100 TB this
     is the textbook two-phase vector mean — no driver collect, no
     per-row Python.
+
+    The centroid is emitted as a comma-joined DECIMAL(28,6)-rendered
+    string (both engines print decimals identically), because
+    array-typed output columns are unhashable in the driver's
+    canonicalizer (the agg_collect_list_set round-1 lesson).
     """
     e = load_table(spark, sf_dir, "embeddings")
     dec = "DECIMAL(38,0)"
@@ -1538,9 +1545,12 @@ def embed_label_centroids(spark, sf_dir):
         dim.groupBy("label")
         .agg(
             F.max("n").cast("bigint").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
-                lambda s: s["cdim"],
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
+                    lambda s: s["cdim"].cast("decimal(28,6)").cast("string"),
+                ),
             ).alias("centroid"),
             F.round(
                 F.sum("numer").cast("double")

@@ -162,7 +162,8 @@ def text_bm25_rank(spark, sf_dir):
     oracle="""
         SELECT tok,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-               list_sort(list(DISTINCT doc_id)) AS postings
+               array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                   AS postings
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
               FROM documents)
         WHERE length(tok) > 1
@@ -181,7 +182,10 @@ def text_inverted_index(spark, sf_dir):
     by the same banding/sharding applied to LSH buckets (a token's
     postings can be range-sharded by doc_id into segment files, the
     standard segmented-index layout); df aggregates map-side. Postings
-    are sorted for deterministic output and delta-encodable storage.
+    are sorted for deterministic output and delta-encodable storage,
+    and emitted comma-joined — array-typed output columns are not
+    hashable by the driver's canonicalizer (the round-1
+    agg_collect_list_set lesson; this cost the round-5 driver row).
     """
     d = load_table(spark, sf_dir, "documents")
     return (
@@ -190,6 +194,8 @@ def text_inverted_index(spark, sf_dir):
         .groupBy("tok")
         .agg(
             F.count_distinct("doc_id").cast("bigint").alias("df"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias(
+                "postings"
+            ),
         )
     )

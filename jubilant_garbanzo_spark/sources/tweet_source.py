@@ -124,6 +124,13 @@ class TweetStreamReader(DataSourceStreamReader):
         return {"offset": self._head}
 
     def partitions(self, start, end):
+        # Restart safety: a fresh reader instance starts with _head=0,
+        # but Spark replans from the CHECKPOINTED start offset — clamp
+        # the head forward so the next latestOffset() never reports an
+        # offset behind a committed start (which would stall/rewind the
+        # stream). The source stays deterministic: ids are a pure
+        # function of offset, so replanned batches are byte-identical.
+        self._head = max(self._head, start["offset"], end["offset"])
         return [_Slice(start["offset"], end["offset"])]
 
     def read(self, partition: _Slice):

@@ -54,6 +54,9 @@ QUERIES = (
     "dedup_ngram_jaccard",
     "embed_similarity_join",
     "dedup_cluster_cc",
+    "graph_pagerank",
+    "graph_bfs_hops",
+    "join_interval_overlap",
 )
 ID_STRIDE = 10_000_000
 
@@ -118,6 +121,51 @@ def generate(spark, scale: int, dest: str) -> None:
     # Single files named <table>.parquet so load_table() finds them.
     out_docs.coalesce(4).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
     out_vecs.coalesce(4).write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+
+    # Iterative-family inputs (round-6: scale slopes for pagerank/BFS/
+    # interval-overlap). Facts replicate with key strides — each replica
+    # is a disjoint copy of the entity graph collapsing onto the SAME
+    # 25-nation dim, so edge derivation (the expensive fact-join chain)
+    # scales linearly while local structure is preserved. Events shift
+    # by r*400 days with fresh user ids: per-hour concurrency stays
+    # constant (the realistic shape — a corpus 10x bigger spans more
+    # time, it does not pack 10x the users into the same hour), so
+    # interval-overlap candidate density per session is scale-invariant.
+    from jubilant_garbanzo_spark.catalog import load_table
+
+    keyed = {
+        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+        "orders": ("o_orderkey", "o_custkey"),
+        "customer": ("c_custkey",),
+        "supplier": ("s_suppkey",),
+    }
+    for table, keys in keyed.items():
+        base = spark.read.parquet(f"{BASE}/{table}.parquet")
+        parts = [base]
+        for r in range(1, scale):
+            p = base
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + r * ID_STRIDE)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(4).write.mode("overwrite").parquet(f"{dest}/{table}.parquet")
+    spark.read.parquet(f"{BASE}/nation.parquet").write.mode("overwrite").parquet(
+        f"{dest}/nation.parquet"
+    )
+    ev = load_table(spark, BASE, "events")
+    ev_parts = [ev]
+    for r in range(1, scale):
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + r * ID_STRIDE)
+            .withColumn("user_id", F.col("user_id") + r * ID_STRIDE)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {r * 400} DAYS"))
+        )
+    out_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        out_ev = out_ev.unionByName(p)
+    out_ev.coalesce(4).write.mode("overwrite").parquet(f"{dest}/events.parquet")
 
 
 def candidate_counts(spark, sf_dir: str) -> dict:

@@ -310,8 +310,8 @@ def test_triangle_join_never_cartesian(spark, sf_dir):
 
 
 def test_interval_overlap_is_blocked_equi_join(spark, sf_dir):
-    """The session-overlap join must candidate-generate via the day-key
-    equi-join (blocking), never a quadratic theta join."""
+    """The session-overlap join must candidate-generate via the
+    hour-bucket equi-join (blocking), never a quadratic theta join."""
     df = q(spark, sf_dir, "join_interval_overlap")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
