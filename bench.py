@@ -65,6 +65,11 @@ HEADLINE: tuple[str, ...] = (
     "fuzzy_name_match",  # blocked edit-distance entity resolution
     "agg_countmin_heavy_hitters",  # r5 wave-2: from-scratch CMS sketch
     "graph_bfs_hops",  # r5 wave-2: iterative frontier propagation
+    # Round-6 additions (VERDICT r5 item 4): the heaviest of the six
+    # derived-partsupp TPC-H queries — q9's full 6-table join tree and
+    # q21's semi/anti-join pair over three lineitem passes.
+    "tpch_q9_product_profit",
+    "tpch_q21_suppliers_kept_waiting",
 )
 
 

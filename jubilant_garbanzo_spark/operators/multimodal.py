@@ -214,7 +214,12 @@ def extract_features(
     embedding model forward pass (same mapInPandas batch shape and
     ``array<double>`` output a real encoder would produce). Unlike the
     decode/resize kernels there is no ``kernel='real'`` here: a real
-    encoder needs model weights, not just an image library."""
+    encoder needs model weights, not just an image library.
+
+    Weights are the RAW IEEE division count/total — a single int/int
+    division is bit-identical on numpy, Spark, and DuckDB, which makes
+    the query hash-oracle-able; rounding here would instead pit
+    numpy's half-even against SQL half-away at decimal ties."""
     import numpy as np
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -227,7 +232,7 @@ def extract_features(
                     np.frombuffer(b, dtype=np.uint8) // (256 // dim),
                     minlength=dim,
                 )[:dim]
-                return (counts / counts.sum()).round(6).tolist()
+                return (counts / counts.sum()).tolist()
 
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "features": pdf[bin_col].map(hist)}

@@ -734,15 +734,46 @@ def multimodal_resize(spark, sf_dir):
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # byte-histogram features: no tractable SQL twin;
-    # numpy-reference equality is unit-tested in tests/test_llm_ops.py
+    # Full oracle (round 6, formerly the registry's last rows-only
+    # query): with dim=16, a byte's bucket is exactly its high hex
+    # nibble, so DuckDB can rebuild the histogram from
+    # hex(encode(text)) — and the weight is a single int/int IEEE
+    # division, bit-identical to the numpy kernel without rounding.
+    # The doc_id × bucket grid left-joins the counts so empty payloads
+    # still emit 16 zero rows, matching the kernel's guard.
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   hex(encode(coalesce(text, ''))) AS h,
+                   octet_length(encode(coalesce(text, ''))) AS n
+            FROM documents
+        ), grid AS (
+            SELECT doc_id, n, CAST(g.b AS INT) AS bucket
+            FROM meta, (SELECT unnest(range(0, 16)) AS b) g
+        ), counts AS (
+            SELECT doc_id,
+                   strpos('0123456789ABCDEF',
+                          substr(h, 2 * CAST(t.i AS INT) + 1, 1)) - 1
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM meta, UNNEST(range(0, n)) AS t(i)
+            GROUP BY 1, 2
+        )
+        SELECT g.doc_id, g.bucket,
+               CASE WHEN g.n = 0 THEN 0.0
+                    ELSE coalesce(c.c, 0) / CAST(g.n AS DOUBLE)
+               END AS weight
+        FROM grid g
+        LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+    """,
     tags=("llm", "multimodal", "pandas-udf", "embedding"),
 )
 def multimodal_feature_extract(spark, sf_dir):
     """Feature-extraction plumbing (mapInPandas → array<double>): the
     L1-normalized 16-bucket byte histogram stand-in for an encoder
-    forward pass. Returned flattened (doc_id, bucket, weight) and
-    rounded so the rows-only check is deterministic."""
+    forward pass. Returned flattened (doc_id, bucket, weight); weights
+    are raw single-division doubles, bit-equal across engines (see
+    operators/multimodal.extract_features)."""
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     feats = M.extract_features(payloads, dim=16)

@@ -347,19 +347,27 @@ def stream_stream_join(spark, sf_dir):
 def stream_foreachbatch(spark, sf_dir):
     """foreachBatch custom sink (the Structured Streaming twin of the
     reference's ``foreachRDD`` console printer, ``main.scala:51-55``):
-    per-batch partial counts are merged driver-side into a final total,
-    which must equal the batch GROUP BY regardless of how availableNow
-    split the micro-batches."""
-    totals: dict[str, int] = {}
+    each micro-batch APPENDS its partial GROUP BY to a parquet side
+    table and the final answer is a distributed re-aggregation of the
+    partials — the merge never touches the driver (round-6 fix of the
+    adjudicated driver-dict pattern), so it holds for unbounded
+    keyspaces, exactly the 100 TB shape where foreachBatch feeds a
+    warehouse table that a batch job folds."""
+    import tempfile
+
+    partials_dir = tempfile.mkdtemp(prefix="jg_feb_partials_")
 
     def merge_batch(batch_df, batch_id):
-        for row in batch_df.groupBy("event_type").count().collect():
-            totals[row["event_type"]] = totals.get(row["event_type"], 0) + row["count"]
+        batch_df.groupBy("event_type").count().write.mode("append").parquet(
+            partials_dir
+        )
 
     s = read_events_stream(spark, sf_dir)
     run_foreach_batch(s, merge_batch, name_prefix="feb")
-    return spark.createDataFrame(
-        [(k, v) for k, v in sorted(totals.items())], "event_type string, cnt long"
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("event_type")
+        .agg(F.sum("count").cast("long").alias("cnt"))
     )
 
 
@@ -664,37 +672,39 @@ def stream_countmin_topk(spark, sf_dir):
 
     This is the reference's trending top-K (main.scala:47-52) rebuilt
     on sketch state: same output shape, but the state is O(d·w)
-    independent of key cardinality. The driver-side merge touches only
-    the pre-aggregated 512-cell grid per batch (the adjudicated
-    bounded-foreachBatch pattern, like stream_foreachbatch); at
-    100 TB the same merge runs as a groupBy over per-batch sketch
-    parquet. Exact counts are joined in ONLY to audit the estimate at
-    test scale (guarantee_ok pins est >= exact).
+    independent of key cardinality. Each micro-batch APPENDS its
+    ≤512-cell grid to a parquet side table; the final sketch is a
+    distributed cellwise-sum groupBy over the partials (round-6 fix:
+    the merge no longer passes through a driver dict — the same
+    per-batch-sketch-parquet + fold shape this docstring always
+    claimed for 100 TB). Exact counts are joined in ONLY to audit the
+    estimate at test scale (guarantee_ok pins est >= exact).
     """
-    cells: dict[tuple[int, int], int] = {}
+    import tempfile
+
+    partials_dir = tempfile.mkdtemp(prefix="jg_cms_partials_")
 
     def merge_batch(batch_df, batch_id):
         depths = F.explode(
             F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))
         ).alias("depth")
-        grid = (
+        (
             batch_df.select(F.col("user_id").alias("key"))
             .select("key", depths)
             .withColumn("bucket", _cms_bucket_spark(F.col("depth"), F.col("key")))
             .groupBy("depth", "bucket")
             .count()
-            .collect()
+            .write.mode("append")
+            .parquet(partials_dir)
         )
-        for r in grid:
-            c = (r["depth"], r["bucket"])
-            cells[c] = cells.get(c, 0) + r["count"]
 
     s = read_events_stream(spark, sf_dir)
     run_foreach_batch(s, merge_batch, name_prefix="cms")
 
-    sketch = spark.createDataFrame(
-        [(d, b, int(c)) for (d, b), c in sorted(cells.items())],
-        "depth int, bucket bigint, cnt long",
+    sketch = (
+        spark.read.parquet(partials_dir)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("count").cast("long").alias("cnt"))
     )
     exact = (
         load_table(spark, sf_dir, "events")

@@ -221,7 +221,7 @@ def test_feature_extract_matches_numpy_reference(spark):
         counts = np.bincount(
             np.frombuffer(payload, dtype=np.uint8) // 16, minlength=16
         )[:16]
-        expect = (counts / counts.sum()).round(6).tolist()
+        expect = (counts / counts.sum()).tolist()
         assert got[doc_id] == expect
         assert abs(sum(got[doc_id]) - 1.0) < 1e-4
 
