@@ -74,7 +74,8 @@ def register(
 #:    per the r5 adjudication.
 #: 3. Stale-evidence refresh: the 19 queries whose only driver green is
 #:    round-1 vintage, then the oldest round-2 rows, filling the window
-#:    to exactly 50.
+#:    to exactly 50 (two round-2 refreshes yielded their slots to the
+#:    round-6 wave-2 queries timeseries_ewma / pandas_scalar_iter_seam).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- tier 1: never driver-checked ------------------------------------
     "table_diff_snapshots",
@@ -98,6 +99,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_feature_extract",
     "stream_foreachbatch",
     "stream_parquet_sink",
+    # round-6 wave 2 (new queries — take the last two tier-3 slots)
+    "timeseries_ewma",
+    "pandas_scalar_iter_seam",
     # -- tier 3: stale-evidence refresh (round-1 vintage first) ----------
     "join_cross",
     "join_theta_range",
@@ -128,8 +132,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_projection",
     "filter_comparison",
     "filter_in_between_like",
-    "filter_null_logic",
-    "string_functions",
 )
 
 

@@ -800,3 +800,62 @@ def event_pattern_match(spark, sf_dir):
         )
         .filter(F.col("n_matches") >= 1)
     )
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_points,
+               round(list_reduce(vals,
+                                 (acc, x) -> acc * 0.75 + x * 0.25), 6)
+                   AS ewma
+        FROM s
+    """,
+    tags=("analytics", "timeseries", "ewma", "recursive"),
+)
+def timeseries_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (α = 1/4, seeded with the first observation) — the recursive
+    smoothing primitive under anomaly baselines and trend features,
+    and a sequence shape no plain window frame expresses (each state
+    depends on ALL predecessors, not a bounded frame).
+
+    Cross-engine float discipline: the recurrence is a strict
+    left-to-right fold over the (ts, event_id)-ordered value list —
+    Spark ``aggregate`` seeded with element 1 over the tail, DuckDB
+    ``list_reduce`` (which seeds with the first element by
+    definition) — the identical IEEE op sequence on both engines, with
+    α = 0.25 exactly representable in binary. One shuffle on user_id;
+    per-user state is the value list (bounded by events-per-user; at
+    100 TB the same recurrence runs incrementally as new partitions
+    arrive, folding from the stored last EWMA).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"].cast("double"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").cast("bigint").alias("n_points"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+                    " element_at(vals, 1),"
+                    " (acc, x) -> acc * 0.75 + x * 0.25)"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )

@@ -747,3 +747,43 @@ def pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("stage_no")
     )
+
+
+@register(
+    "pandas_scalar_iter_seam",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'))
+                    AS BIGINT) AS n_alnum,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_raw
+        FROM documents
+    """,
+    tags=("llm", "pandas-udf", "scalar-iter"),
+)
+def pandas_scalar_iter_seam(spark, sf_dir):
+    """Iterator-form scalar ``@pandas_udf`` (SCALAR_ITER) seam — the
+    fifth Arrow seam type, completing the §2c matrix (scalar,
+    grouped-agg, mapInPandas, applyInPandas/WithState, UDTF, and THIS).
+    Its reason to exist is per-worker one-time setup amortized across
+    all Arrow batches — the model-load lifecycle of a real encoder —
+    here stood in by a compiled regex (functions/scalariter.py).
+
+    Exactness: the UDF emits exact int64 character counts, so the
+    DuckDB regexp twin matches bit-for-bit with no float discipline
+    needed at all.
+
+    Scale shape: embarrassingly parallel map over Arrow batches; the
+    amortization is exactly what makes Python-side inference viable at
+    100 TB (setup cost ÷ batches-per-worker → 0), and the plain scalar
+    form would re-pay it per batch."""
+    from jubilant_garbanzo_spark.functions.scalariter import alnum_count_iter
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        alnum_count_iter(F.col("text")).alias("n_alnum"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias(
+            "n_chars_raw"
+        ),
+    )

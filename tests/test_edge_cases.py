@@ -124,3 +124,65 @@ def test_exact_sum_is_partition_and_order_independent(spark, cents, seed):
         ).repartition(n_parts)
         got = df.agg(exact_sum(F.col("x")).alias("s")).first()["s"]
         assert got == pytest.approx(truth, abs=1e-9)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+def test_adaptive_bits_properties(n):
+    """Property: the adaptive LSH band width always stays in
+    [MIN_BITS, MAX_BITS], and whenever it is not clamped the implied
+    expected bucket population n/2^bits is within (T/2, T] — the
+    invariant that makes hyperplane candidate pairs grow linearly."""
+    from jubilant_garbanzo_spark.operators import similarity as S
+
+    bits = S.adaptive_bits(n)
+    assert S.MIN_BITS <= bits <= S.MAX_BITS
+    unclamped = (
+        n > S.TARGET_BUCKET * 2**S.MIN_BITS and bits < S.MAX_BITS
+    )
+    if unclamped:
+        assert n <= S.TARGET_BUCKET * 2**bits
+        assert n > S.TARGET_BUCKET * 2 ** (bits - 1)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(min_value=0, max_value=10**9))
+def test_adaptive_bits_matches_duckdb_twin(n):
+    """The SQL twin must agree with the Python formula on EVERY n,
+    including exact power-of-two boundaries (both sides are pure
+    integer arithmetic — that is the point)."""
+    import duckdb
+
+    from jubilant_garbanzo_spark.operators import similarity as S
+
+    sql_bits = duckdb.sql(
+        f"SELECT {S.adaptive_bits_sql(str(n))}"
+    ).fetchone()[0]
+    assert sql_bits == S.adaptive_bits(n), n
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_fold_matches_duckdb_reduce(values):
+    """timeseries_ewma's fold discipline: Spark's aggregate(slice, v1,
+    ...) and DuckDB's list_reduce are the same left fold. Pure-python
+    replay of the Spark expression vs the actual DuckDB list_reduce
+    must agree BIT-FOR-BIT (α=0.25 exact in binary, same IEEE op
+    order)."""
+    import duckdb
+
+    acc = values[0]
+    for x in values[1:]:
+        acc = acc * 0.75 + x * 0.25
+    got = duckdb.sql(
+        "SELECT list_reduce(CAST(? AS DOUBLE[]), (a, x) -> a * 0.75 + x * 0.25)",
+        params=[values],
+    ).fetchone()[0]
+    assert got == acc, (values, got, acc)
