@@ -439,3 +439,74 @@ def test_bfs_rounds_are_equi_joins(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
+
+
+def test_q9_broadcasts_everything_but_the_order_join(spark, sf_dir):
+    """The derived-partsupp q9: the only shuffle join allowed is
+    lineitem⋈orders (fact-fact on orderkey); part, partsupp, supplier,
+    and nation must all arrive broadcast — at 100 TB they are the
+    dimension tier (partsupp is 4·|part| rows, still dimension-sized
+    next to lineitem)."""
+    df = q(spark, sf_dir, "tpch_q9_product_profit")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    # BroadcastNestedLoopJoin appears only as the 1-row |supplier|-count
+    # crossJoin inside the partsupp derivation — benign by construction.
+    shuffled = [
+        s
+        for s in strategies
+        if s not in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    ]
+    assert len(shuffled) <= 1, strategies
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    """q21's EXISTS/NOT EXISTS must decorrelate to left-semi/left-anti
+    equi-joins on l_orderkey with the supplier inequality as residual —
+    never a nested-loop or cartesian plan."""
+    df = q(spark, sf_dir, "tpch_q21_suppliers_kept_waiting")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert uses_take_ordered(df)
+
+
+def test_q2_part_filter_pushed(spark, sf_dir):
+    """q2's part predicate (p_size <= 15 AND p_type = 'LARGE') must
+    reach the parquet scan so row-group stats prune before the
+    partsupp join."""
+    df = q(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed, pushed
+    assert "p_type" in pushed, pushed
+
+
+def test_q20_aggregates_lineitem_before_join(spark, sf_dir):
+    """q20 must partial-aggregate the date-pruned lineitem scan
+    map-side (the shipped-per-(part,supplier) rollup) and push the
+    l_shipdate range into the scan."""
+    df = q(spark, sf_dir, "tpch_q20_potential_promotion")
+    assert has_partial_aggregate(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """timeseries_ewma is one hash aggregate over user_id: exactly one
+    Exchange (plus AQE reads), and the fold itself stays inside
+    whole-stage codegen — no Python, no window, no second shuffle."""
+    df = q(spark, sf_dir, "timeseries_ewma")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    assert "pythonUDF" not in plan, plan[:2000]
+
+
+def test_scalar_iter_seam_is_arrow_batched(spark, sf_dir):
+    """The SCALAR_ITER seam must plan as ArrowEvalPython (vectorized
+    Arrow transfer), not BatchEvalPython (pickled rows)."""
+    df = q(spark, sf_dir, "pandas_scalar_iter_seam")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
