@@ -406,3 +406,46 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont == {(2, 1): 1.0}, cont
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == [], jac
+
+
+def test_adaptive_lsh_recall_at_higher_bits(spark):
+    """The round-6 adaptive geometry must not silently destroy recall:
+    on a corpus big enough to push the band width ABOVE the minimum
+    (4000 vectors -> 7 bits/band), seeded near-exact duplicate pairs
+    (tiny perturbation of one coordinate, cosine > 0.9999) must still
+    collide in >= one band and survive similarity_join, and exact
+    copies must ALWAYS collide (identical vectors => identical
+    signatures at any width)."""
+    import math
+
+    n, dim = 4000, 16
+    bits = S.adaptive_bits(n)
+    assert bits > S.MIN_BITS, bits
+
+    def vec(i: int) -> list[float]:
+        # deterministic unit-ish vectors spread over the sphere
+        return [
+            math.sin(0.1 * i + 0.7 * j) + 0.01 * ((i * 31 + j * 17) % 7)
+            for j in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(n - 20)]
+    # 10 exact copies + 10 near-exact (one coordinate nudged by 1e-4)
+    for k in range(10):
+        rows.append((10_000 + k, vec(k)))
+        w = vec(10 + k)
+        w[0] += 1e-4
+        rows.append((20_000 + k, w))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in S.similarity_join(
+            df, threshold=0.9999, dim=dim
+        ).collect()
+    }
+    exact_found = sum(1 for k in range(10) if (k, 10_000 + k) in pairs)
+    near_found = sum(1 for k in range(10) if (10 + k, 20_000 + k) in pairs)
+    assert exact_found == 10, (exact_found, sorted(pairs)[:20])
+    # near-exact pairs: sign-agreement per plane ~1 at cosine 0.9999;
+    # allow one unlucky miss out of ten rather than flake
+    assert near_found >= 9, (near_found, sorted(pairs)[:20])
