@@ -74,8 +74,9 @@ def register(
 #:    per the r5 adjudication.
 #: 3. Stale-evidence refresh: the 19 queries whose only driver green is
 #:    round-1 vintage, then the oldest round-2 rows, filling the window
-#:    to exactly 50 (two round-2 refreshes yielded their slots to the
-#:    round-6 wave-2 queries timeseries_ewma / pandas_scalar_iter_seam).
+#:    to exactly 50 (four round-2 refreshes yielded their slots to the
+#:    round-6 wave-2 queries: timeseries_ewma, pandas_scalar_iter_seam,
+#:    join_null_safe, set_union_missing_columns).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- tier 1: never driver-checked ------------------------------------
     "table_diff_snapshots",
@@ -99,9 +100,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_feature_extract",
     "stream_foreachbatch",
     "stream_parquet_sink",
-    # round-6 wave 2 (new queries — take the last two tier-3 slots)
+    # round-6 wave 2 (new queries — take the last four tier-3 slots)
     "timeseries_ewma",
     "pandas_scalar_iter_seam",
+    "join_null_safe",
+    "set_union_missing_columns",
     # -- tier 3: stale-evidence refresh (round-1 vintage first) ----------
     "join_cross",
     "join_theta_range",
@@ -130,8 +133,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_topn_per_group",
     "scan_projection",
-    "filter_comparison",
-    "filter_in_between_like",
 )
 
 

@@ -454,3 +454,48 @@ def join_dpp_partitioned(spark, sf_dir):
             exact_sum(F.col("o_totalprice")).alias("price_sum"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH e AS (
+            SELECT event_id,
+                   NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          % 7, 0) AS key
+            FROM events
+        ), d AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS group_n
+            FROM e GROUP BY key
+        )
+        SELECT e.event_id, e.key, d.group_n
+        FROM e JOIN d ON e.key IS NOT DISTINCT FROM d.key
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): a
+    derived nullable key (props.k % 7, 0 mapped to NULL) joined back to
+    its own per-key aggregate, where the NULL group is a LEGITIMATE key
+    value that must match its NULL dimension row — the semantics a
+    plain equi-join silently drops. Distinct join-operator surface from
+    join_inner: Spark plans ``eqNullSafe`` as a hash join on the
+    null-coalesced key, so the null-safe form keeps equi-join scale
+    behavior (no nested-loop fallback).
+
+    Scale shape: aggregate then join on the same key — one shuffle
+    partitioning serves both; the dim side is group-count-sized and
+    broadcastable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "nullif(cast(get_json_object(props, '$.k') as bigint) % 7, 0)"
+        ).alias("key"),
+    )
+    dim = ev.groupBy(F.col("key").alias("dkey")).agg(
+        F.count("*").cast("bigint").alias("group_n")
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.key.eqNullSafe(dim.dkey))
+        .select("event_id", "key", "group_n")
+    )

@@ -184,3 +184,36 @@ def set_intersect_all(spark, sf_dir):
         F.col("l_returnflag").alias("flag")
     )
     return a.intersectAll(b)
+
+
+@register(
+    "set_union_missing_columns",
+    oracle="""
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey + 1000000 AS id, s_name AS name, s_nationkey
+        FROM supplier
+    """,
+    tags=("setop", "union", "schema-evolution"),
+)
+def set_union_missing_columns(spark, sf_dir):
+    """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
+    over two entity projections with disjoint extra columns (customers
+    carry acctbal, suppliers carry nationkey) — each side's missing
+    column fills with NULL, the append pattern every long-lived table
+    with added columns needs. DuckDB twin: ``UNION ALL BY NAME``.
+
+    Scale shape: pure narrow union — no shuffle at all; the column
+    reconciliation is a metadata operation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1000000).alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("s_nationkey"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)

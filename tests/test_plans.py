@@ -510,3 +510,22 @@ def test_scalar_iter_seam_is_arrow_batched(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must keep equi-join scale behavior: Spark plans the
+    null-coalesced key as a hash join, never a nested-loop scan of the
+    dim per row."""
+    df = q(spark, sf_dir, "join_null_safe")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+
+
+def test_union_missing_columns_no_shuffle(spark, sf_dir):
+    """Schema-evolution union is a metadata operation plus append —
+    the plan must contain no Exchange at all."""
+    df = q(spark, sf_dir, "set_union_missing_columns")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
