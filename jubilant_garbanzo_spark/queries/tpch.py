@@ -786,8 +786,6 @@ _LATE = (
     "((l_orderkey * 3 + l_linenumber * 7) % 30 + 1)"
     " > ((l_orderkey * 5 + l_linenumber * 11) % 35 - 3)"
 )
-_LATE_SQL = _LATE  # identical integer expression is valid DuckDB SQL
-
 
 def _partsupp(spark, sf_dir):
     """The derived partsupp DataFrame: (ps_partkey, ps_suppkey,

@@ -325,3 +325,19 @@ def test_python_datasource_stream_drains_exactly(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_tweet_stream_reader_clamps_after_restart():
+    """Checkpoint-restart offset contract (round-6 advice fix): a FRESH
+    reader instance starts with head 0, but once Spark replans from
+    checkpointed offsets, latestOffset() must never report an offset
+    behind a committed start — that would stall or rewind the stream."""
+    from jubilant_garbanzo_spark.sources.tweet_source import TweetStreamReader
+
+    r = TweetStreamReader({"rows_per_batch": "100", "rows": "1000"})
+    # simulate post-restart replan from a checkpointed batch (300, 400]
+    r.partitions({"offset": 300}, {"offset": 400})
+    nxt = r.latestOffset()["offset"]
+    assert nxt >= 400, nxt
+    # and it keeps advancing monotonically from there
+    assert r.latestOffset()["offset"] >= nxt
