@@ -765,10 +765,11 @@ def tpch_q22(spark, sf_dir):
 # tables with pure integer arithmetic, so the derivation is part of the
 # differential check itself:
 #
-# - partsupp: dbgen's own public supplier-assignment formula (TPC-H
-#   spec §4.2.3: ps_suppkey = (ps_partkey + i·(S/4 + (ps_partkey−1)/S))
-#   mod S + 1 for i in 0..3, S = |supplier| — guarantees 4 DISTINCT
-#   suppliers per part), with LCG-style ps_availqty and integer-CENTS
+# - partsupp: dbgen's public supplier-assignment shape (TPC-H spec
+#   §4.2.3), with the per-i stride fixed at floor(S/4) so the 4
+#   suppliers per part are PROVABLY distinct at any supplier count
+#   (dbgen's literal stride degenerates at the fixtures' tiny S; see
+#   _PS_SUPPKEY), plus LCG-style ps_availqty and integer-CENTS
 #   ps_supplycost. Cost stays in cents through every aggregate (the
 #   functions/money.py discipline) and becomes a double only in final
 #   projections, so sums are exact under any partial-agg tree.
@@ -778,8 +779,17 @@ def tpch_q22(spark, sf_dir):
 #   comparing the two deltas — no derived date ever crosses an engine
 #   boundary.
 
-#: dbgen supplier-of-part formula; {i} = 0..3, s = |supplier|.
-_PS_SUPPKEY = "((p_partkey + i * (s DIV 4 + (p_partkey - 1) DIV s)) % s) + 1"
+#: Supplier-of-part formula; i = 0..3, s = |supplier|. dbgen's §4.2.3
+#: SHAPE (part-dependent rotation + per-i stride), but with the stride
+#: fixed to floor(s/4): {i·floor(s/4) : i=0..3} is distinct mod s for
+#: ANY s >= 4 (3·floor(s/4) < s), where dbgen's literal stride
+#: s/4 + (p-1)/s degenerates at small s (e.g. s=10, parts 81-90: stride
+#: ≡ 0 mod s, all four suppliers collapse — caught by the hypothesis
+#: property test in tests/test_edge_cases.py).
+_PS_SUPPKEY = (
+    "((p_partkey - 1 + (p_partkey - 1) DIV s"
+    " + i * greatest(s DIV 4, 1)) % s) + 1"
+)
 
 #: q21 lateness, reduced to integer deltas off the shared l_shipdate base.
 _LATE = (
@@ -818,7 +828,8 @@ def _partsupp(spark, sf_dir):
 
 
 _PS_SUPPKEY_SQL = (
-    "((p_partkey + i.i * (sc.s // 4 + (p_partkey - 1) // sc.s)) % sc.s) + 1"
+    "((p_partkey - 1 + (p_partkey - 1) // sc.s"
+    " + i.i * greatest(sc.s // 4, 1)) % sc.s) + 1"
 )
 
 #: DuckDB twin of :func:`_partsupp` as a WITH-clause member.

@@ -57,6 +57,9 @@ QUERIES = (
     "graph_pagerank",
     "graph_bfs_hops",
     "join_interval_overlap",
+    # round-6: the ANN probe path shares the adaptive band geometry —
+    # measure it too (round-5 verdict demoted it on posting-list growth)
+    "embed_ann_lsh",
 )
 ID_STRIDE = 10_000_000
 

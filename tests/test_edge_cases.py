@@ -186,3 +186,25 @@ def test_ewma_fold_matches_duckdb_reduce(values):
         params=[values],
     ).fetchone()[0]
     assert got == acc, (values, got, acc)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=1, max_value=10**7),
+    st.sampled_from([10, 100, 1000, 10_000, 25, 4, 7]),
+)
+def test_derived_partsupp_suppliers_distinct(p_partkey, n_supp):
+    """The supplier-assignment formula used by the derived partsupp
+    (dbgen §4.2.3 shape, stride fixed at floor(S/4)) must yield 4
+    DISTINCT in-range suppliers for every part at every supplier count
+    — the property q9/q16/q20's per-(part,supplier) joins rely on.
+    (This test CAUGHT the original literal-dbgen stride collapsing at
+    the fixtures' tiny S, e.g. S=10 parts 81-90 -> one supplier.)"""
+    s = n_supp
+    keys = {
+        ((p_partkey - 1 + (p_partkey - 1) // s + i * max(s // 4, 1)) % s)
+        + 1
+        for i in range(4)
+    }
+    assert len(keys) == min(4, s), (p_partkey, s, keys)
+    assert all(1 <= k <= s for k in keys)
