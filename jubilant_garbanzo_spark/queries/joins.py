@@ -499,3 +499,106 @@ def join_null_safe(spark, sf_dir):
         ev.join(F.broadcast(dim), ev.key.eqNullSafe(dim.dkey))
         .select("event_id", "key", "group_n")
     )
+
+
+#: Bloom geometry for join_bloom_prefilter: m bits as 32-bit words in
+#: BIGINT cells (max shift 31 — safe from signed-overflow on BOTH
+#: engines), K independent md5-derived hash functions.
+_BLOOM_BITS = 8192
+_BLOOM_WORD = 32
+_BLOOM_K = 3
+
+
+def _bloom_pos(key, i: int):
+    """Hash function i: md5(key || ':' || i) hex prefix → bit position.
+
+    Same 2-universal md5 idiom as operators/dedup.py:92 — one md5 per
+    (key, i), hex→int via conv, modulo the bit-array size. DuckDB twin:
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT % m``.
+    """
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(i))))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % _BLOOM_BITS
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+        SELECT l.l_partkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100.0) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS revenue
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey AND p.p_size = 25)
+        GROUP BY l.l_partkey
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join with a relational Bloom-filter prefilter: revenue per
+    part restricted to parts with ``p_size = 25``.
+
+    Spark's native runtime bloom filter (``bloom_filter_agg`` /
+    ``might_contain``) is optimizer-internal and threshold-gated, so
+    the engine builds the same structure from first-class relational
+    ops — making it available at ANY size and fully DuckDB-replayable:
+
+    1. BUILD: each qualifying p_partkey sets K=3 md5-derived bit
+       positions; ``groupBy(word) → bit_or(1 << bit)`` folds them into
+       a 256-row (word, bits) bitmap table — a map-side-combinable
+       aggregate whose output size is fixed by the geometry (m/32
+       rows), independent of build-side row count.
+    2. PROBE: lineitem flows through K chained BROADCAST joins on the
+       word index, keeping a row only if all K bits are set. No
+       shuffle, no explode — each filter is a map-side hash-join
+       against a 256-row table, so at 100 TB the probe scan is pruned
+       in place before any wide join.
+    3. VERIFY: survivors (true matches + bloom false positives) hit an
+       exact broadcast left-semi join against the build keys.
+
+    The oracle is the NAIVE semi-join, so the driver's hash compare
+    proves the bloom+verify pipeline is lossless (the
+    dedup_ngram_jaccard filter-losslessness discipline).
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = part.filter(F.col("p_size") == 25).select("p_partkey")
+
+    def word_and_mask(pos_col):
+        word = (pos_col / F.lit(_BLOOM_WORD)).cast("int")
+        bit = (pos_col % _BLOOM_WORD).cast("int")
+        # 2^bit as BIGINT; exact (bit ≤ 31 « the 2^53 double mantissa).
+        # F.shiftleft only takes a literal shift, not a Column.
+        mask = F.pow(F.lit(2.0), bit.cast("double")).cast("bigint")
+        return word, mask
+
+    bitmap = None
+    for i in range(_BLOOM_K):
+        w, m = word_and_mask(_bloom_pos(F.col("p_partkey"), i))
+        part_bits = keys.select(w.alias("word"), m.alias("m"))
+        bitmap = part_bits if bitmap is None else bitmap.unionByName(part_bits)
+    words = bitmap.groupBy("word").agg(F.bit_or("m").alias("bits"))
+
+    probe = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    for i in range(_BLOOM_K):
+        w, m = word_and_mask(_bloom_pos(F.col("l_partkey"), i))
+        bm = words.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+        )
+        probe = probe.join(F.broadcast(bm), w == F.col(f"w{i}"), "inner").filter(
+            F.col(f"b{i}").bitwiseAND(m) != 0
+        )
+
+    verified = probe.join(
+        F.broadcast(keys), probe.l_partkey == keys.p_partkey, "left_semi"
+    )
+    return verified.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        exact_sum(F.col("rev")).alias("revenue"),
+    )
