@@ -859,3 +859,129 @@ def timeseries_ewma(spark, sf_dir):
             ).alias("ewma"),
         )
     )
+
+
+@register(
+    "timeseries_interval_coverage",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + (((CAST(round(value * 1000000.0) AS BIGINT) % 90000000)
+                       + 90000000) % 90000000) + 30000000 AS e
+            FROM events
+        ), swept AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max_e
+            FROM iv
+        ), flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END AS new_island
+            FROM swept
+        ), islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ), per_island AS (
+            SELECT user_id, island,
+                   max(e) - min(s) AS covered_us,
+                   count(*) AS n_events
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(covered_us) AS BIGINT) / 1000000.0 AS covered_sec
+        FROM per_island GROUP BY user_id
+    """,
+    tags=("analytics", "timeseries", "interval"),
+)
+def timeseries_interval_coverage(spark, sf_dir):
+    """Union-length of overlapping per-user time intervals (total
+    "coverage" seconds) via the classic sweep-line-as-window-functions
+    formulation — the primitive under uptime/SLA accounting, ad
+    exposure time, and merged-session duration.
+
+    Each event opens an interval [ts, ts + 30..120 s) with a
+    value-derived deterministic duration (integer µs; pmod keeps
+    negative values well-defined on both engines). The sweep:
+
+    1. running ``max(end)`` over rows strictly BEFORE the current one
+       (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING);
+    2. an interval opens a NEW island iff its start exceeds that
+       running max (no overlap with anything earlier);
+    3. cumulative sum of the island flags numbers the islands;
+    4. per-island coverage is ``max(end) - min(start)`` — exact
+       integer µs, one double division at the very end.
+
+    Scale shape: two window passes + two aggregations, everything
+    partitioned by user_id — a single shuffle partitioning serves all
+    four steps (Catalyst reuses the hash partitioning; no extra
+    Exchange between the windows and the groupBys). No explode: the
+    sweep is O(n log n) sort-based per key, vs the O(n²) self-join a
+    naive overlap-merge would cost — the same blocked-vs-naive
+    discipline as join_interval_overlap, here with ZERO candidate
+    pairs at all.
+
+    Window order is (s, event_id) — the repo-wide event_id tiebreak —
+    for the prev-max pass; the island-numbering pass orders by (s, e),
+    which is tie-safe because same-(s,e) rows land in the same island
+    regardless of order (the flag is 0 for every duplicate after the
+    first and the cumulative sum is order-insensitive across equal
+    rows).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.pmod(
+                F.round(F.col("value") * 1000000.0).cast("bigint"),
+                F.lit(90000000),
+            )
+            + 30000000
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = ev.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e").over(w_prev).alias("prev_max_e"),
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = swept.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered_us"),
+        F.count("*").alias("n_events"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        (F.sum("covered_us").cast("bigint") / 1000000.0).alias("covered_sec"),
+    )
