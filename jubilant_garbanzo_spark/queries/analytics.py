@@ -985,3 +985,99 @@ def timeseries_interval_coverage(spark, sf_dir):
         F.sum("n_events").cast("bigint").alias("n_events"),
         (F.sum("covered_us").cast("bigint") / 1000000.0).alias("covered_sec"),
     )
+
+
+@register(
+    "assoc_copurchase_lift",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), n AS (
+            SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items
+        ), item_cnt AS (
+            SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY pk
+        ), pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b,
+                   CAST(count(*) AS BIGINT) AS cnt_ab
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        )
+        SELECT p.part_a, p.part_b, p.cnt_ab,
+               ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+               round(CAST(p.cnt_ab * n.n_baskets AS DOUBLE)
+                     / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift,
+               round(CAST(p.cnt_ab AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6)
+                   AS confidence_a_to_b
+        FROM pairs p
+        CROSS JOIN n
+        JOIN item_cnt ca ON ca.pk = p.part_a
+        JOIN item_cnt cb ON cb.pk = p.part_b
+        WHERE p.cnt_ab >= 2
+        ORDER BY lift DESC, p.part_a ASC, p.part_b ASC
+        LIMIT 20
+    """,
+    tags=("analytics", "association", "market-basket"),
+)
+def assoc_copurchase_lift(spark, sf_dir):
+    """Market-basket association mining over order baskets: top-20
+    co-purchased part pairs by lift, with support counts and
+    confidence — the A-priori 2-itemset pass every recommender /
+    assortment pipeline starts from.
+
+    Scale shape: the pair generation is a SELF-JOIN ON THE BASKET KEY,
+    not on items — baskets are bounded (≤7 lineitems per order in this
+    schema), so the explode factor is ≤ C(7,2) = 21 per basket,
+    linear in basket count at ANY corpus size. This is the same
+    bounded-blocking discipline as dedup_ngram_jaccard: never join on
+    the popular side. Item counts re-attach via two equi-joins keyed
+    on partkey (AQE plans broadcast when the part dimension fits, a
+    shuffle join otherwise); the basket total is a 1-row broadcast
+    cross join. Exact integer counts everywhere; lift/confidence are
+    single int/int IEEE divisions rounded to 6, and the top-20 order
+    (lift, part_a, part_b) is total so both engines pick identical
+    rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_baskets = items.select(
+        F.count_distinct("ok").cast("bigint").alias("n_baskets")
+    )
+    item_cnt = items.groupBy("pk").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok_b) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= 2)
+    )
+    ca = item_cnt.select(F.col("pk").alias("pk_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("pk").alias("pk_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.crossJoin(F.broadcast(n_baskets))
+        .join(ca, F.col("part_a") == F.col("pk_a"))
+        .join(cb, F.col("part_b") == F.col("pk_b"))
+        .select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                (F.col("cnt_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("cnt_ab").cast("double") / F.col("cnt_a").cast("double"),
+                6,
+            ).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
