@@ -9,6 +9,7 @@ full range-partitioned sort followed by ``take(10)``.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -217,3 +218,79 @@ def set_union_missing_columns(spark, sf_dir):
         F.col("s_nationkey").alias("s_nationkey"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "ids_global_row_number",
+    oracle="""
+        WITH numbered AS (
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 64 AS BIGINT) AS bucket,
+                   row_number() OVER (
+                       ORDER BY o_orderkey % 64, o_orderkey
+                   ) AS global_rn
+            FROM orders
+        )
+        SELECT o_orderkey, bucket, CAST(global_rn AS BIGINT) AS global_rn
+        FROM numbered
+        WHERE global_rn % 100 = 1 OR global_rn = (SELECT count(*) FROM orders)
+    """,
+    tags=("sort", "scale", "row-number"),
+)
+def ids_global_row_number(spark, sf_dir):
+    """Dense global row numbering WITHOUT a global single-partition
+    window — the scalable replacement for ``row_number() OVER (ORDER BY ...)``,
+    whose empty PARTITION BY funnels the entire table through one task.
+
+    Two-phase (the classic distributed offset pattern):
+
+    1. bucket every row by a key prefix (``o_orderkey % 64``) and
+       count rows per bucket — a 64-row map-side-combinable aggregate;
+    2. turn counts into bucket start offsets with a window over the
+       64-ROW COUNTS TABLE (the only "global" window touches 64 rows,
+       never the data);
+    3. within-bucket ``row_number`` (shuffle partitioned BY bucket,
+       each task sorts only its bucket) + broadcast the offsets back.
+
+    global_rn = offset(bucket) + rn equals exactly
+    ``row_number() OVER (ORDER BY bucket, key)`` — the oracle computes
+    THAT directly with DuckDB's global window, proving the
+    decomposition. Emitted every-100th row (plus the last) to keep
+    the compare set small while still covering every bucket boundary.
+
+    At 100 TB: phase 1 is one reduce over 64 cells; phase 3's sort is
+    per-bucket (raise the bucket count to keep buckets
+    executor-sized); nothing ever single-tasks the table. Same reason
+    ``monotonically_increasing_id`` is NOT used: its values depend on
+    physical partitioning, which is neither stable nor
+    oracle-checkable.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    bucketed = o.select(
+        "o_orderkey", (F.col("o_orderkey") % 64).cast("bigint").alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        F.col("bucket").alias("obucket"),
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
+    total = o.agg(F.count("*").alias("total"))
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), F.col("bucket") == F.col("obucket"))
+        .select(
+            "o_orderkey",
+            "bucket",
+            (F.col("offset") + F.col("rn")).cast("bigint").alias("global_rn"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(
+            ((F.col("global_rn") % 100) == 1)
+            | (F.col("global_rn") == F.col("total"))
+        )
+        .select("o_orderkey", "bucket", "global_rn")
+    )
