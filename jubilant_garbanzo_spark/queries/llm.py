@@ -1591,3 +1591,199 @@ def embed_label_centroids(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _kmeans_assign_sql(centroids_cte: str, tag: str) -> str:
+    """One Lloyd assignment step as DuckDB CTE text (see embed_kmeans_lloyd)."""
+    return f"""
+        d{tag} AS (
+            SELECT v.vec_id, c.cid,
+                   sum((v.q - c.qc) * (v.q - c.qc)) AS dist
+            FROM v JOIN {centroids_cte} c ON v.pos = c.pos
+            GROUP BY v.vec_id, c.cid
+        ), a{tag} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist, cid
+                       ) AS rn
+                FROM d{tag}
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_update_sql(assign_cte: str, out_cte: str) -> str:
+    """One Lloyd update step: round-half-up centroid via the shifted
+    integer floor-division (identical semantics on both engines)."""
+    return f"""
+        {out_cte} AS (
+            SELECT a.cid, v.pos,
+                   CAST(((2 * sum(v.q) + count(*) * 4000000 + count(*))
+                         // (2 * count(*))) - 2000000 AS BIGINT) AS qc
+            FROM v JOIN {assign_cte} a USING (vec_id)
+            GROUP BY a.cid, v.pos
+        )"""
+
+
+@register(
+    "embed_kmeans_lloyd",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        ), v AS (
+            SELECT vec_id, r.i - 1 AS pos,
+                   CAST(round(ev[r.i] * 1000000.0) AS BIGINT) AS q
+            FROM e, UNNEST(range(1, len(ev) + 1)) AS r(i)
+        ), seeds AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+        ), c0 AS (
+            SELECT s.cid, v.pos, v.q AS qc FROM v JOIN seeds s USING (vec_id)
+        ), {_kmeans_assign_sql('c0', '1')}, {_kmeans_update_sql('a1', 'c1')},
+        {_kmeans_assign_sql('c1', '2')}, {_kmeans_update_sql('a2', 'c2')},
+        fin AS (
+            SELECT a.cid, v.vec_id, v.pos, v.q, c.qc
+            FROM v JOIN a2 a USING (vec_id)
+            JOIN c2 c ON c.cid = a.cid AND c.pos = v.pos
+        ), inertia AS (
+            SELECT cid, CAST(sum((q - qc) * (q - qc)) AS BIGINT) AS inertia_q2
+            FROM fin GROUP BY cid
+        ), members AS (
+            SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM a2 GROUP BY cid
+        ), cent AS (
+            SELECT cid,
+                   array_to_string(
+                       list(CAST(qc AS VARCHAR) ORDER BY pos), ',')
+                       AS centroid_q
+            FROM c2 GROUP BY cid
+        )
+        SELECT m.cid AS cluster_id, m.n_vectors, cent.centroid_q,
+               i.inertia_q2
+        FROM members m
+        JOIN cent ON cent.cid = m.cid
+        JOIN inertia i ON i.cid = m.cid
+    """,
+    tags=("llm", "embedding", "cluster", "iterative"),
+)
+def embed_kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=4, two full assign→update
+    iterations) over the embedding corpus, EXACT on both engines — the
+    iterative clustering workhorse under corpus curation, semantic
+    sharding, and IVF index training (embed_ann_ivf's coarse quantizer
+    is exactly this loop's output).
+
+    Determinism, the hard part of oracle-ing k-means:
+
+    - coordinates quantize to integer millionths once, up front (the
+      embed_label_centroids idiom) — every distance is an exact BIGINT
+      sum of squares, comparable without float ties;
+    - seeds are the k smallest vec_ids (no RNG — the repo-wide
+      deterministic-mode discipline);
+    - assignment tie-break: (dist, cid) lexicographic min;
+    - the update rounds the mean back to integer millionths with a
+      SHIFTED INTEGER FLOOR DIVISION — (2·Σq' + n) div (2n) on
+      non-negative-shifted sums — because Spark's DIV truncates toward
+      zero while DuckDB's // floors; shifting by +2·10⁶ per element
+      makes every operand positive, where the two agree exactly. No
+      round(double) anywhere in the loop.
+
+    Scale shape: each iteration is (1) a broadcast join of the k×dim
+    centroid table against the exploded coordinates + a map-side
+    combinable (vec, cid) aggregate, and (2) a (cid, pos) aggregate of
+    k·dim output cells — the canonical 100-TB k-means step. Iterations
+    are statically unrolled (2 passes), so lineage stays bounded
+    without checkpointing; outputs are ALL integers (centroid in
+    quantized millionths, inertia in squared millionths), so the
+    driver hash has zero float surface.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "xv")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("xv") * 1000000.0).cast("bigint").alias("q"),
+    )
+    from pyspark.sql import Window as W
+
+    seeds = (
+        e.select("vec_id")
+        .orderBy("vec_id")
+        .limit(4)
+        .select(
+            "vec_id",
+            (F.row_number().over(W.orderBy("vec_id")) - 1)
+            .cast("bigint")
+            .alias("cid"),
+        )
+    )
+    cent = x.join(F.broadcast(seeds), "vec_id").select(
+        "cid", "pos", F.col("q").alias("qc")
+    )
+
+    def assign(c):
+        # integer multiply, not **, which would promote to double
+        d = (
+            x.join(F.broadcast(c), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
+                ).alias("dist")
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid"))["cid"].alias("cid")
+        )
+
+    a = None
+    for _ in range(2):
+        a = assign(cent)
+        m = x.join(a, "vec_id").groupBy("cid", "pos").agg(
+            F.sum("q").alias("sq"), F.count("*").alias("n")
+        )
+        cent = m.select(
+            "cid",
+            "pos",
+            (
+                F.expr("(2 * sq + n * 4000000 + n) DIV (2 * n)") - 2000000
+            )
+            .cast("bigint")
+            .alias("qc"),
+        )
+
+    final_assign = a
+    fin = (
+        x.join(final_assign, "vec_id")
+        .join(cent.withColumnRenamed("qc", "qf"), ["cid", "pos"])
+    )
+    inertia = fin.groupBy("cid").agg(
+        F.sum((F.col("q") - F.col("qf")) * (F.col("q") - F.col("qf")))
+        .cast("bigint")
+        .alias("inertia_q2")
+    )
+    members = final_assign.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    cent_str = cent.groupBy("cid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "qc"))),
+                lambda s: s["qc"].cast("string"),
+            ),
+        ).alias("centroid_q")
+    )
+    return (
+        members.join(cent_str, "cid")
+        .join(inertia, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            "centroid_q",
+            "inertia_q2",
+        )
+    )
