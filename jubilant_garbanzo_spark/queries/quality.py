@@ -848,3 +848,114 @@ def table_diff_snapshots(spark, sf_dir):
             | (F.col("old_value") != F.col("new_value"))
         )
     )
+
+
+def _checksum_sql(table: str, canon: str) -> str:
+    """One table's checksum row as DuckDB SQL (see validate_table_checksum)."""
+    return f"""
+        SELECT '{table}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+               CAST(sum(h % 1000003) AS BIGINT) AS modsum_checksum
+        FROM (
+            SELECT ('0x' || substr(md5({canon}), 1, 15))::BIGINT AS h
+            FROM {table}
+        )
+    """
+
+
+@register(
+    "validate_table_checksum",
+    oracle=" UNION ALL ".join(
+        [
+            _checksum_sql(
+                "orders",
+                "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+                "CAST(round(o_totalprice * 100.0) AS BIGINT), "
+                "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)",
+            ),
+            _checksum_sql(
+                "customer",
+                "concat_ws('|', c_custkey, c_name, c_nationkey, "
+                "CAST(round(c_acctbal * 100.0) AS BIGINT), c_mktsegment)",
+            ),
+            _checksum_sql(
+                "supplier",
+                "concat_ws('|', s_suppkey, s_name, s_nationkey, "
+                "CAST(round(s_acctbal * 100.0) AS BIGINT))",
+            ),
+        ]
+    ),
+    tags=("quality", "validation", "checksum"),
+)
+def validate_table_checksum(spark, sf_dir):
+    """Order-insensitive cross-engine table checksums — the
+    reconciliation primitive for "did the migration/replication copy
+    every row bit-for-bit?" at fleet scale, where sorting 100 TB to
+    diff it is not an option.
+
+    Per table: canonicalize each row to one string (integers and
+    strings verbatim, money as exact cents, timestamps formatted —
+    never raw doubles, whose text rendering differs across engines),
+    md5 it, take a 60-bit integer, and fold with TWO commutative
+    channels:
+
+    - ``bit_xor`` — order-insensitive, overflow-free at ANY row count,
+      but blind to duplicate-pair insertions;
+    - ``sum(h % 1000003)`` — catches what xor cancels; bounded by
+      10⁶·n so BIGINT-safe past 10¹² rows.
+
+    Both channels are map-side-combinable single-pass aggregates (one
+    reduce to 1 row per table; no shuffle of data rows, no sort).
+    Differential value: the driver compare proves Spark's and DuckDB's
+    md5/string/rounding pipelines agree byte-for-byte on every row of
+    three tables — a much stronger engine-equivalence check than any
+    single query's output.
+    """
+    cents = lambda c: F.round(F.col(c) * 100.0).cast("bigint")  # noqa: E731
+
+    def one(table: str, canon) -> "F.DataFrame":
+        t = load_table(spark, sf_dir, table)
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        return t.select(h.alias("h")).agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_checksum"),
+            F.sum(F.col("h") % 1000003).cast("bigint").alias("modsum_checksum"),
+        )
+
+    o = one(
+        "orders",
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice"),
+            F.date_format(F.col("o_orderdate").cast("timestamp"),
+                          "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        ),
+    )
+    c = one(
+        "customer",
+        F.concat_ws(
+            "|",
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            cents("c_acctbal"),
+            F.col("c_mktsegment"),
+        ),
+    )
+    s = one(
+        "supplier",
+        F.concat_ws(
+            "|",
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("s_nationkey"),
+            cents("s_acctbal"),
+        ),
+    )
+    return o.unionByName(c).unionByName(s)
