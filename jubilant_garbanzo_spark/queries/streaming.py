@@ -804,3 +804,70 @@ def stream_session_dynamic_gap(spark, sf_dir):
         ),
         "n_events",
     )
+
+
+@register(
+    "stream_chained_agg",
+    oracle="""
+        WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        w10 AS (
+            SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w10s,
+                   event_type, count(*) AS cnt10
+            FROM events GROUP BY 1, 2
+        ), wh AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, w10s) AS whs, event_type,
+                   CAST(sum(cnt10) AS BIGINT) AS total,
+                   CAST(max(cnt10) AS BIGINT) AS peak,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM w10 GROUP BY 1, 2
+        )
+        SELECT strftime(whs, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, total, peak, n_windows
+        FROM wh, wm
+        WHERE whs + INTERVAL 1 HOUR <= w
+    """,
+    tags=("streaming", "window-agg", "chained-stateful"),
+)
+def stream_chained_agg(spark, sf_dir):
+    """TWO stateful aggregations chained in ONE streaming query —
+    10-minute tumbling counts re-aggregated into hourly totals /
+    peak / window counts — the multi-stateful-operator pipeline
+    (Spark 3.4+/4.x) that previously required two queries glued by an
+    intermediate sink.
+
+    ``window_time()`` turns the first aggregate's window into an
+    event-time column (window.end − 1 µs) so the second ``window()``
+    can legally re-window it under the SAME watermark; append mode
+    emits an hourly row once the watermark (max event time − 10 min,
+    deterministic under availableNow) passes the hour's end. The
+    oracle mirrors both layers in batch SQL and gates on that final
+    watermark — pinned empirically: the streamed result equals the
+    gated batch twin exactly (only the in-flight final hour is
+    withheld).
+
+    Scale shape: state is two window stores keyed by (window, type) —
+    the first sized by active 10-min windows, the second by active
+    hours; both prune on watermark advance. One shuffle per aggregate,
+    each map-side-combined first. The single-query form also removes
+    the intermediate sink's write-amplification and its at-least-once
+    seam — exactly-once now spans BOTH layers from one checkpoint.
+    """
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    w1 = s.groupBy(
+        F.window("ts", "10 minutes").alias("w10"), "event_type"
+    ).agg(F.count("*").alias("cnt10"))
+    w2 = w1.groupBy(
+        F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type"
+    ).agg(
+        F.sum("cnt10").cast("bigint").alias("total"),
+        F.max("cnt10").cast("bigint").alias("peak"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    )
+    out = w2.select(
+        F.date_format("wh.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "total",
+        "peak",
+        "n_windows",
+    )
+    return run_available_now(out, output_mode="append")
