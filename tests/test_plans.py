@@ -529,3 +529,70 @@ def test_union_missing_columns_no_shuffle(spark, sf_dir):
     df = q(spark, sf_dir, "set_union_missing_columns")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bloom_prefilter_all_joins_broadcast(spark, sf_dir):
+    """join_bloom_prefilter's probe path must be pure broadcast: three
+    bitmap-word joins + the exact-verify semi join. A SortMergeJoin
+    here would shuffle the 100-TB probe side the filter exists to
+    protect."""
+    df = q(spark, sf_dir, "join_bloom_prefilter")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_interval_coverage_single_shuffle(spark, sf_dir):
+    """The sweep-line claim is structural: both window passes and both
+    aggregations reuse ONE user_id hash partitioning — exactly one
+    Exchange in the executed plan, and no global sort."""
+    df = q(spark, sf_dir, "timeseries_interval_coverage")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_kmeans_no_cartesian_and_jvm_side(spark, sf_dir):
+    """Every k-means distance join must be keyed (broadcast on the
+    k×dim centroid table or hash on vec_id) — no cartesian explosion —
+    and the whole loop stays in the JVM (no Python eval node)."""
+    df = q(spark, sf_dir, "embed_kmeans_lloyd")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_global_row_number_no_global_data_sort(spark, sf_dir):
+    """The data-side window must be hash-partitioned by bucket; the
+    only single-partition exchanges feed the 64-row offsets window and
+    the 1-row total — never the data. No range partitioning (which a
+    global row_number window would require)."""
+    df = q(spark, sf_dir, "ids_global_row_number")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") >= 1, plan[:2000]
+    assert plan.count("Exchange SinglePartition") <= 2, plan[:2000]
+
+
+def test_checksum_no_row_shuffle(spark, sf_dir):
+    """Table checksums are single-pass global aggregates: map-side
+    partials per table, then a 1-row-per-partition SinglePartition
+    exchange — never a hash repartition of data rows."""
+    df = q(spark, sf_dir, "validate_table_checksum")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert has_partial_aggregate(df), "expected partial aggregation"
+
+
+def test_copurchase_no_cartesian(spark, sf_dir):
+    """Pair generation must join on the basket key (bounded fanout);
+    the only nested-loop join allowed is the broadcast of the 1-row
+    basket total."""
+    df = q(spark, sf_dir, "assoc_copurchase_lift")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "CartesianProduct" not in strategies, strategies
