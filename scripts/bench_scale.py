@@ -60,6 +60,10 @@ QUERIES = (
     # round-6: the ANN probe path shares the adaptive band geometry —
     # measure it too (round-5 verdict demoted it on posting-list growth)
     "embed_ann_lsh",
+    # round-6 wave-3: the new iterative operator (fixed 2 Lloyd passes —
+    # slope should be ~linear) and the basket self-join (bounded fanout)
+    "embed_kmeans_lloyd",
+    "assoc_copurchase_lift",
 )
 ID_STRIDE = 10_000_000
 
