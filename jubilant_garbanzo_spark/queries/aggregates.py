@@ -710,3 +710,103 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "agg_exact_median_histogram",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag AS flag,
+                   CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+            FROM lineitem
+        ), ranked AS (
+            SELECT flag, cents,
+                   row_number() OVER (
+                       PARTITION BY flag ORDER BY cents
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY flag) AS n
+            FROM q
+        )
+        SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(max(cents) AS BIGINT) / 100.0 AS median_price
+        FROM ranked
+        WHERE rn = (n + 1) // 2
+        GROUP BY flag
+    """,
+    tags=("agg", "median", "scale"),
+)
+def agg_exact_median_histogram(spark, sf_dir):
+    """EXACT per-group median (lower median, rank ⌈n/2⌉) WITHOUT
+    sorting the data — the two-phase histogram-pruning pattern that
+    replaces a 100-TB global sort with one tiny-bucket sort:
+
+    1. quantize to exact cents and count rows per (group, $100
+       bucket) — one map-side-combinable aggregate;
+    2. cumulative-sum the BUCKET HISTOGRAM (a window over ~price
+       range / $100 rows per group, thousands at most, data-size
+       independent) to find the single bucket whose rank span
+       contains the median rank k = (n+1) div 2;
+    3. re-scan ONLY that bucket's rows (broadcast the 1-row-per-group
+       target bucket; the filter prunes everything else map-side) and
+       row_number within it — ranks are bucket-local + the bucket's
+       start offset, so the global k-th value falls out of a sort
+       over ~1/buckets of one group's data.
+
+    Equal cents values make the rank-k VALUE well-defined regardless
+    of tie order, so no tiebreak is needed for determinism. The
+    oracle computes the same rank-k element with a full global window
+    — proving the pruned two-phase walk finds exactly it. (The
+    approx twin is agg_percentile_approx's KLL bound; this one is
+    bit-exact.)
+
+    At 100 TB: phase 1 shuffles counts, not rows; phase 2's window
+    touches histogram cells only; phase 3 sorts ≤ one bucket per
+    group. Same offsets discipline as ids_global_row_number.
+    """
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    hist = q.groupBy(
+        "flag", (F.col("cents") / 10000).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("bn"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "bucket",
+        (F.sum("bn").over(w) - F.col("bn")).alias("start_rank"),
+        F.sum("bn").over(w).alias("end_rank"),
+        F.sum("bn").over(wn).alias("n"),
+    )
+    target = cum.filter(
+        (F.col("start_rank") < F.floor((F.col("n") + 1) / 2))
+        & (F.floor((F.col("n") + 1) / 2) <= F.col("end_rank"))
+    ).select(
+        F.col("flag").alias("tflag"),
+        "bucket",
+        "start_rank",
+        F.floor((F.col("n") + 1) / 2).cast("bigint").alias("krank"),
+        F.col("n").alias("n_rows"),
+    )
+    in_bucket = q.join(
+        F.broadcast(target),
+        (q.flag == F.col("tflag"))
+        & ((F.col("cents") / 10000).cast("bigint") == F.col("bucket")),
+    )
+    wb = Window.partitionBy("tflag").orderBy("cents")
+    return (
+        in_bucket.withColumn("rib", F.row_number().over(wb))
+        .filter(F.col("start_rank") + F.col("rib") == F.col("krank"))
+        .select(
+            "flag",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("cents") / 100.0).alias("median_price"),
+        )
+    )
