@@ -309,3 +309,132 @@ def graph_bfs_hops(spark, sf_dir):
         .select(F.col("n_name").alias("nation"), "hops")
         .orderBy("hops", "nation")
     )
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as DuckDB CTE text."""
+    return f"""
+        v{out} AS (
+            SELECT e.src AS node, p.label, CAST(sum(e.w) AS BIGINT) AS wsum
+            FROM und e JOIN {prev} p ON e.dst = p.node
+            GROUP BY e.src, p.label
+        ), b{out} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY wsum DESC, label ASC
+                       ) AS rn
+                FROM v{out}
+            ) WHERE rn = 1
+        ), {out} AS (
+            SELECT p.node, coalesce(b.label, p.label) AS label
+            FROM {prev} p LEFT JOIN b{out} b ON b.node = p.node
+        )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH edges AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ), und AS (
+            SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+                SELECT src, dst, w FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM edges
+            ) GROUP BY src, dst
+        ), l0 AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS node,
+                   CAST(n_nationkey AS BIGINT) AS label
+            FROM nation
+        ), {_lpa_iter_sql('l0', 'l1')}, {_lpa_iter_sql('l1', 'l2')}
+        SELECT node, label AS community
+        FROM l2
+    """,
+    tags=("graph", "community", "iterative"),
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (2 fixed
+    rounds) over the undirected nation trade graph — the
+    linear-per-round community algorithm (Raghavan et al. 2007) that
+    complements PageRank (influence) and connected components
+    (reachability) in the graph tier.
+
+    Vanilla LPA is famously nondeterministic (random update order,
+    random tie-breaks); this formulation is exactly reproducible, so
+    an ITERATIVE community algorithm gets a full value-hash oracle:
+
+    - synchronous rounds (all nodes update from the PREVIOUS round's
+      labels — no order dependence);
+    - deterministic argmax: heaviest incident-weight label wins, ties
+      to the SMALLEST label (row_number over (wsum DESC, label ASC) /
+      min(struct(-wsum, label)) — same total order on both engines);
+    - integer weights (trade counts) — no float vote sums;
+    - isolated nodes keep their own label via the left-join coalesce.
+
+    Scale shape: identical skeleton to pagerank_fixed — the fact-join
+    edge derivation dominates; each round is one equi-join of the
+    edge list against the (node, label) vector (AQE broadcasts it
+    when small) + one (node, label) partial-agg vote count + one
+    argmin. Two statically-unrolled rounds keep lineage bounded; the
+    self-edge filter (src ≠ dst) stops nations trading with
+    themselves from trivially self-voting every round.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    und = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    labels = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("node"),
+        F.col("n_nationkey").cast("bigint").alias("label"),
+    )
+    for _ in range(2):
+        votes = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("vnode"), "label")
+            .agg(F.sum("w").cast("bigint").alias("wsum"))
+        )
+        best = votes.groupBy("vnode").agg(
+            F.min(F.struct((-F.col("wsum")).alias("neg"), F.col("label")))[
+                "label"
+            ].alias("blabel")
+        )
+        labels = (
+            labels.join(best, labels.node == best.vnode, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("blabel"), F.col("label")).alias("label"),
+            )
+        )
+    return labels.select("node", F.col("label").alias("community"))
