@@ -959,3 +959,138 @@ def validate_table_checksum(spark, sf_dir):
         ),
     )
     return o.unionByName(c).unionByName(s)
+
+
+@register(
+    "profile_psi_drift",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CASE WHEN epoch_us(ts) * 2
+                             < (SELECT min(epoch_us(ts)) + max(epoch_us(ts))
+                                FROM events)
+                        THEN 0 ELSE 1 END AS period,
+                   least(greatest(CAST(floor(value / 10.0) AS BIGINT),
+                                  -1), 10) AS bucket
+            FROM events
+        ), cnt AS (
+            SELECT event_type, bucket,
+                   CAST(count(*) FILTER (period = 0) AS BIGINT) AS c_early,
+                   CAST(count(*) FILTER (period = 1) AS BIGINT) AS c_late
+            FROM b GROUP BY event_type, bucket
+        ), grid AS (
+            SELECT t.event_type, g.bucket,
+                   coalesce(c.c_early, 0) AS c_early,
+                   coalesce(c.c_late, 0) AS c_late
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT CAST(r.range AS BIGINT) AS bucket
+                        FROM range(-1, 11) r) g
+            LEFT JOIN cnt c
+              ON c.event_type = t.event_type AND c.bucket = g.bucket
+        ), tot AS (
+            SELECT event_type,
+                   CAST(sum(c_early) AS BIGINT) AS n_early,
+                   CAST(sum(c_late) AS BIGINT) AS n_late
+            FROM grid GROUP BY event_type
+        ), contrib AS (
+            SELECT g.event_type, t.n_early, t.n_late,
+                   CAST(round((
+                       ((g.c_early + 0.5) / (t.n_early + 6.0)
+                        - (g.c_late + 0.5) / (t.n_late + 6.0))
+                       * ln(((g.c_early + 0.5) / (t.n_early + 6.0))
+                            / ((g.c_late + 0.5) / (t.n_late + 6.0)))
+                   ) * 1000000000.0) AS BIGINT) AS cq
+            FROM grid g JOIN tot t ON t.event_type = g.event_type
+        )
+        SELECT event_type, n_early, n_late,
+               round(CAST(sum(cq) AS BIGINT) / 1000000000.0, 6) AS psi,
+               CAST(sum(cq) AS BIGINT) > 200000000000 AS drift_flag
+        FROM contrib
+        GROUP BY event_type, n_early, n_late
+    """,
+    tags=("quality", "profiling", "drift"),
+)
+def profile_psi_drift(spark, sf_dir):
+    """Population Stability Index between the early and late halves of
+    the event stream, per event_type — THE production drift monitor
+    for feature/label distributions (PSI > 0.2 = actionable drift).
+
+    Determinism engineering (a float-heavy metric made hash-exact):
+
+    - the time split is integer µs arithmetic (2·ts < min+max — no
+      float midpoint);
+    - the value histogram is a FIXED 12-cell grid ([-1..10], $10-wide
+      cells, outliers clamped into the edge cells), enumerated
+      explicitly and zero-filled so both engines see identical cells
+      — absent cells still contribute under smoothing when the half
+      sizes differ;
+    - add-half (Laplace 0.5) smoothing keeps every ratio finite with
+      12·0.5 = 6.0 added mass in each denominator;
+    - each cell's PSI term is ONE identical IEEE expression, then
+      QUANTIZED to integer nano-units before the sum — the 12-term
+      float sum would otherwise be partial-agg-order dependent; the
+      integer sum is order-free, divided and rounded once.
+
+    Scale shape: one pass builds (type, period, cell) counts
+    (map-side combinable); the grid join is against a 12-row
+    broadcast; the 1-row min/max ts aggregate travels as a broadcast
+    scalar. Nothing shuffles data rows by value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = ev.agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx")
+    )
+    b = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.when(us * 2 < F.col("mn") + F.col("mx"), 0)
+            .otherwise(1)
+            .alias("period"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / 10.0).cast("bigint"), F.lit(-1)
+                ),
+                F.lit(10),
+            ).alias("bucket"),
+        )
+    )
+    cnt = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_early"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_late"),
+    )
+    types = ev.select("event_type").distinct()
+    buckets = spark.range(-1, 11).select(F.col("id").alias("bucket"))
+    grid = (
+        types.crossJoin(F.broadcast(buckets))
+        .join(cnt, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("c_early", F.lit(0)).alias("c_early"),
+            F.coalesce("c_late", F.lit(0)).alias("c_late"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c_early").cast("bigint").alias("n_early"),
+        F.sum("c_late").cast("bigint").alias("n_late"),
+    )
+    p1 = (F.col("c_early") + 0.5) / (F.col("n_early") + 6.0)
+    p2 = (F.col("c_late") + 0.5) / (F.col("n_late") + 6.0)
+    contrib = grid.join(tot, "event_type").select(
+        "event_type",
+        "n_early",
+        "n_late",
+        F.round(((p1 - p2) * F.log(p1 / p2)) * 1000000000.0)
+        .cast("bigint")
+        .alias("cq"),
+    )
+    return contrib.groupBy("event_type", "n_early", "n_late").agg(
+        F.round(F.sum("cq").cast("bigint") / 1000000000.0, 6).alias("psi"),
+        (F.sum("cq").cast("bigint") > 200000000000).alias("drift_flag"),
+    )
