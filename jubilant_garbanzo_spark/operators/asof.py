@@ -33,6 +33,8 @@ def asof_join(
     right_value_cols: list[str],
     tie_break: str | None = None,
     how: str = "left",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """As-of join ``left`` with ``right`` on key ``on``.
 
@@ -41,9 +43,26 @@ def asof_join(
     such row and ``how='left'``). ``tie_break``: a right column that
     resolves equal-``right_ts`` ties deterministically (max wins).
     ``how='inner'`` drops left rows with no match.
+
+    ``direction='forward'`` flips the inequality (EARLIEST right row
+    with ``right_ts >= left_ts`` — "next event after"), implemented as
+    the same union-sort walk traversed in descending time order.
+    ``tolerance_us`` (timestamp columns only) nulls the match when the
+    matched right row is further than that many microseconds from the
+    left row — pandas ``merge_asof(direction=..., tolerance=...)``
+    parity, still one shuffle + one sorted window, never a range join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
-    tagged_right_vals = [f"__r_{c}" for c in right_value_cols]
+    # Internally always carry the matched right timestamp (for the
+    # tolerance distance test); it is emitted only if the caller asked.
+    carry_cols = (
+        right_value_cols
+        if right_ts in right_value_cols
+        else [*right_value_cols, right_ts]
+    )
+    tagged_right_vals = [f"__r_{c}" for c in carry_cols]
 
     l_tagged = left.select(
         F.col(on).alias("__key"),
@@ -52,7 +71,7 @@ def asof_join(
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(rc)
-          for c, rc in zip(right_value_cols, tagged_right_vals)],
+          for c, rc in zip(carry_cols, tagged_right_vals)],
     )
     r_tagged = right.select(
         F.col(on).alias("__key"),
@@ -60,14 +79,18 @@ def asof_join(
         F.lit(0).alias("__side"),
         (F.col(tie_break).cast("long") if tie_break else F.lit(0)).alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(rc) for c, rc in zip(right_value_cols, tagged_right_vals)],
+        *[F.col(c).alias(rc) for c, rc in zip(carry_cols, tagged_right_vals)],
     )
 
-    # Right rows sort before left rows at equal __t → "<=" semantics;
-    # __tie orders equal-timestamp right rows so `last` is deterministic.
+    # Right rows sort before left rows at equal __t → "<=" (or ">=" when
+    # walking forward) semantics; __tie orders equal-timestamp right
+    # rows so `last` is deterministic. Forward = the same walk over
+    # descending time: the carried value is then the SMALLEST right_ts
+    # that is >= the left row's time.
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .orderBy(t_order, F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
@@ -77,12 +100,21 @@ def asof_join(
             for rc in tagged_right_vals
         ],
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        lt = F.unix_micros(F.col("__t").cast("timestamp"))
+        rt = F.unix_micros(F.col(f"__carry___r_{right_ts}").cast("timestamp"))
+        delta = (lt - rt) if direction == "backward" else (rt - lt)
+        within = F.col(f"__carry___r_{right_ts}").isNotNull() & (
+            delta <= F.lit(tolerance_us)
+        )
+        for c in carry_cols:
+            out = out.withColumn(
+                f"__carry___r_{c}", F.when(within, F.col(f"__carry___r_{c}"))
+            )
+    out = out.select(
         *left_cols,
-        *[
-            F.col(f"__carry___r_{c}").alias(c)
-            for c in right_value_cols
-        ],
+        *[F.col(f"__carry___r_{c}").alias(c) for c in right_value_cols],
     )
     if how == "inner":
         out = out.filter(F.col(right_value_cols[0]).isNotNull())

@@ -602,3 +602,84 @@ def join_bloom_prefilter(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_lines"),
         exact_sum(F.col("rev")).alias("revenue"),
     )
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               m.purchase_id,
+               strftime(m.pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               CASE WHEN m.pts IS NOT NULL
+                    THEN (epoch_us(m.pts) - epoch_us(c.ts)) / 1000000.0
+               END AS latency_s
+        FROM events c
+        LEFT JOIN LATERAL (
+            SELECT p.event_id AS purchase_id, p.ts AS pts
+            FROM events p
+            WHERE p.user_id = c.user_id
+              AND p.event_type = 'purchase'
+              AND p.ts >= c.ts
+              AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+            ORDER BY p.ts ASC, p.event_id DESC
+            LIMIT 1
+        ) m ON true
+        WHERE c.event_type = 'click'
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_forward_tolerance(spark, sf_dir):
+    """Forward as-of join with a tolerance: for every click, the NEXT
+    purchase by the same user within 30 minutes (click-to-conversion
+    attribution — pandas ``merge_asof(direction='forward',
+    tolerance=...)`` parity, which plain Spark lacks).
+
+    Runs on the asof_join operator's union-sort walk traversed in
+    DESCENDING time (operators/asof.py): one shuffle on user_id, one
+    sorted window, tolerance applied as a null-out predicate on the
+    carried match — never a per-pair range join. The oracle is the
+    NAIVE formulation (LATERAL first-qualifying-row per click), so the
+    driver compare proves the walk + tolerance equals it row-for-row.
+    Equal-timestamp ties resolve to the max purchase event_id on both
+    engines (operator: max __tie wins; oracle: ORDER BY ts, event_id
+    DESC).
+
+    At 100 TB the lateral form is O(clicks × purchases-per-user);
+    the walk is O((clicks + purchases) log) per user — same single
+    partitioning as every other keyed window in the engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_value_cols=["pts", "purchase_id"],
+        tie_break="purchase_id",
+        direction="forward",
+        tolerance_us=1800 * 1000000,
+    )
+    lat = (
+        F.unix_micros(F.col("pts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / 1000000.0
+    return j.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "purchase_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.when(F.col("pts").isNotNull(), lat).alias("latency_s"),
+    )
