@@ -72,13 +72,17 @@ def register(
 #:    foreachBatch distributed-merge refactor (stream_foreachbatch,
 #:    stream_countmin_topk in tier 1); stream_parquet_sink rides along
 #:    per the r5 adjudication.
-#: 3. Stale-evidence refresh: the 19 queries whose only driver green is
-#:    round-1 vintage, then the oldest round-2 rows, filling the window
-#:    to exactly 50 (four round-2 refreshes yielded their slots to the
-#:    round-6 wave-2 queries: timeseries_ewma, pandas_scalar_iter_seam,
-#:    join_null_safe, set_union_missing_columns).
+#: 3. Round-6 wave 3 (12 brand-new queries — never driver-checked, so
+#:    they outrank stale-evidence refreshes; the as-of operator also
+#:    changed this round, so `join_asof` itself stays in tier 4).
+#: 4. Stale-evidence refresh: round-1-vintage rows, filling the window
+#:    to exactly 50. The refreshes displaced by wave 3 (text_stats,
+#:    text_lang_id, text_quality_score, text_token_count_regex,
+#:    embed_norms, and the seven round-2-vintage window/scan rows) are
+#:    queued for round 7 — all are green in the local strict gate and
+#:    carry older driver greens, so no query is evidence-free.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- tier 1: never driver-checked ------------------------------------
+    # -- tier 1: never driver-checked (queued from round 5) --------------
     "table_diff_snapshots",
     "embed_label_centroids",
     "pipeline_end_to_end",
@@ -100,12 +104,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_feature_extract",
     "stream_foreachbatch",
     "stream_parquet_sink",
-    # round-6 wave 2 (new queries — take the last four tier-3 slots)
+    # round-6 wave 2 (new queries)
     "timeseries_ewma",
     "pandas_scalar_iter_seam",
     "join_null_safe",
     "set_union_missing_columns",
-    # -- tier 3: stale-evidence refresh (round-1 vintage first) ----------
+    # -- tier 3: round-6 wave 3 (new queries + changed asof operator) ----
+    "join_bloom_prefilter",
+    "timeseries_interval_coverage",
+    "assoc_copurchase_lift",
+    "ids_global_row_number",
+    "embed_kmeans_lloyd",
+    "validate_table_checksum",
+    "stream_chained_agg",
+    "join_point_in_time_scd2",
+    "agg_exact_median_histogram",
+    "graph_label_propagation",
+    "profile_psi_drift",
+    "join_asof_forward_tolerance",
+    # -- tier 4: stale-evidence refresh (round-1 vintage) ----------------
     "join_cross",
     "join_theta_range",
     "join_asof",
@@ -115,24 +132,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "dedup_exact",
     "dedup_exact_by_fingerprint",
-    "text_stats",
     "text_lang_filter",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count_regex",
     "text_term_frequency",
-    "embed_norms",
     "multimodal_binary_meta",
     "multimodal_frame_sample",
     "text_chunking",
-    # round-2 vintage
-    "trending_topk",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frames",
-    "window_range_frame",
-    "window_topn_per_group",
-    "scan_projection",
 )
 
 
