@@ -208,3 +208,108 @@ def test_derived_partsupp_suppliers_distinct(p_partkey, n_supp):
     }
     assert len(keys) == min(4, s), (p_partkey, s, keys)
     assert all(1 <= k <= s for k in keys)
+
+
+# ---------------------------------------------------------------------------
+# asof_join forward direction + tolerance (round-6 wave-3 extension)
+# ---------------------------------------------------------------------------
+
+ASOF_L = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("lts", T.TimestampType()),
+        T.StructField("lid", T.LongType()),
+    ]
+)
+ASOF_R = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("rts", T.TimestampType()),
+        T.StructField("rid", T.LongType()),
+    ]
+)
+
+
+def _asof(spark, left_rows, right_rows, **kw):
+    from jubilant_garbanzo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(left_rows, ASOF_L)
+    right = spark.createDataFrame(right_rows, ASOF_R)
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        right_value_cols=["rid"],
+        tie_break="rid",
+        **kw,
+    )
+    return {r.lid: r.rid for r in out.collect()}
+
+
+def test_asof_forward_picks_next_not_prev(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    got = _asof(
+        spark,
+        [(1, t(10), 100)],
+        [(1, t(5), 1), (1, t(20), 2), (1, t(30), 3)],
+        direction="forward",
+    )
+    assert got == {100: 2}  # earliest right >= left, not the latest before
+
+
+def test_asof_forward_equal_ts_is_inclusive_max_tie(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    got = _asof(
+        spark,
+        [(1, t(10), 100)],
+        [(1, t(10), 7), (1, t(10), 9), (1, t(25), 1)],
+        direction="forward",
+    )
+    assert got == {100: 9}  # >= includes equal ts; max rid wins the tie
+
+
+def test_asof_tolerance_boundary_and_miss(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    # match 5 s ahead with a 5 s tolerance -> kept (inclusive boundary);
+    # match 6 s ahead with a 5 s tolerance -> nulled out
+    got = _asof(
+        spark,
+        [(1, t(10), 100), (2, t(10), 200)],
+        [(1, t(15), 1), (2, t(16), 2)],
+        direction="forward",
+        tolerance_us=5_000_000,
+    )
+    assert got == {100: 1, 200: None}
+
+
+def test_asof_backward_tolerance_nulls_stale_match(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    got = _asof(
+        spark,
+        [(1, t(30), 100)],
+        [(1, t(5), 1)],
+        tolerance_us=10_000_000,
+    )
+    assert got == {100: None}  # 25 s stale > 10 s tolerance
+
+
+def test_asof_backward_unchanged_without_tolerance(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    got = _asof(
+        spark,
+        [(1, t(30), 100), (1, t(3), 101)],
+        [(1, t(5), 1), (1, t(20), 2)],
+    )
+    assert got == {100: 2, 101: None}
