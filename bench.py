@@ -70,6 +70,14 @@ HEADLINE: tuple[str, ...] = (
     # q21's semi/anti-join pair over three lineitem passes.
     "tpch_q9_product_profit",
     "tpch_q21_suppliers_kept_waiting",
+    # Round-6 wave-3 additions: the heaviest new operators — the
+    # iterative k-means loop, the LPA community rounds over the derived
+    # trade graph, the basket self-join, and the bloom-prefiltered semi
+    # join (regression-protects the broadcast-chain plan).
+    "embed_kmeans_lloyd",
+    "graph_label_propagation",
+    "assoc_copurchase_lift",
+    "join_bloom_prefilter",
 )
 
 
