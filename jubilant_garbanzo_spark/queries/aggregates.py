@@ -810,3 +810,140 @@ def agg_exact_median_histogram(spark, sf_dir):
             (F.col("cents") / 100.0).alias("median_price"),
         )
     )
+
+
+@register(
+    "agg_incremental_maintenance",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS total_value,
+               CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-20'
+                                        THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_batches
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "incremental", "materialized-view"),
+)
+def agg_incremental_maintenance(spark, sf_dir):
+    """Incremental materialized-view maintenance: a per-event_type
+    aggregate maintained as BASE PARTIALS (events before 2024-01-20)
+    merged with DELTA PARTIALS (events after) — never re-scanning the
+    base — must equal the full recompute, which is exactly what the
+    oracle computes.
+
+    The merge works because every maintained statistic is a
+    COMMUTATIVE MONOID in exact integer space: counts add, micro-unit
+    value sums add (the money.py idiom — a float sum would NOT merge
+    reproducibly), and batch presence adds. This is the algebraic core
+    of every incremental pipeline: at 100 TB you aggregate yesterday
+    once, store cell-level partials, and fold in today's delta —
+    turning a full-history scan into a delta scan + a partial-sized
+    merge. Spark's own partial/final hash aggregation is the same
+    algebra within one query; this materializes it ACROSS queries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df, batch_id):
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("pn"),
+            F.sum(F.round(F.col("value") * 1000000.0).cast("bigint"))
+            .cast("bigint")
+            .alias("pv"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+
+    base = partials(ev.filter(F.col("ts").cast("timestamp") < cutoff), 0)
+    delta = partials(ev.filter(F.col("ts").cast("timestamp") >= cutoff), 1)
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            (F.sum("pv").cast("bigint") / 1000000.0).alias("total_value"),
+            F.count_distinct("batch_id").cast("bigint").alias("n_batches"),
+        )
+    )
+
+
+@register(
+    "agg_hll_intersection",
+    oracle="""
+        WITH a AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ), b AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_exact_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_exact_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM a WHERE user_id IN (SELECT user_id FROM b))
+                   AS n_exact_both,
+               TRUE AS within_bound
+    """,
+    tags=("agg", "sketch", "approx", "hll"),
+)
+def agg_hll_intersection(spark, sf_dir):
+    """Cohort-overlap estimation from MERGEABLE sketches only:
+    |clickers ∩ purchasers| via inclusion-exclusion of three HLL
+    estimates (|A| + |B| − |A∪B|) — the pattern that answers audience
+    overlap questions across tenants/days WITHOUT co-shuffling raw ids
+    (the sketches are ≤16 KB; the union is a sketch merge, not a set
+    union).
+
+    The bound is checked in-query against the exact intersection
+    (distinct-user semi join): inclusion-exclusion compounds the
+    per-sketch error, so the tolerance is 10 % of |A∪B| + 1 — wider
+    than the single-sketch 5 % bound agg_hll_sketch_union pins. The
+    oracle fixes the three exact cardinalities and the bound verdict,
+    so a broken merge or estimate turns the row red.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    sk = (
+        a.select(F.lit("a").alias("side"), "user_id")
+        .unionByName(b.select(F.lit("b").alias("side"), "user_id"))
+        .groupBy("side")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    ests = sk.agg(
+        F.sum(
+            F.when(
+                F.col("side") == "a", F.hll_sketch_estimate(F.col("sk"))
+            ).otherwise(F.lit(0))
+        ).alias("est_a"),
+        F.sum(
+            F.when(
+                F.col("side") == "b", F.hll_sketch_estimate(F.col("sk"))
+            ).otherwise(F.lit(0))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    ea = a.select("user_id").distinct()
+    eb = b.select("user_id").distinct()
+    exact = (
+        ea.agg(F.count("*").cast("bigint").alias("n_exact_a"))
+        .crossJoin(eb.agg(F.count("*").cast("bigint").alias("n_exact_b")))
+        .crossJoin(
+            ea.join(eb, "user_id", "left_semi").agg(
+                F.count("*").cast("bigint").alias("n_exact_both")
+            )
+        )
+    )
+    return ests.crossJoin(exact).select(
+        "n_exact_a",
+        "n_exact_b",
+        "n_exact_both",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - F.col("n_exact_both")
+            )
+            * F.lit(10)
+            <= (F.col("est_union") + F.lit(10))
+        ).alias("within_bound"),
+    )

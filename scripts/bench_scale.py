@@ -64,6 +64,12 @@ QUERIES = (
     # slope should be ~linear) and the basket self-join (bounded fanout)
     "embed_kmeans_lloyd",
     "assoc_copurchase_lift",
+    # wave-3 window-pass operators: iterative LPA rounds over the derived
+    # trade graph, the sweep-line coverage, and the union-walk PIT join —
+    # all should ride the single-shuffle window cost (~linear)
+    "graph_label_propagation",
+    "timeseries_interval_coverage",
+    "join_point_in_time_scd2",
 )
 ID_STRIDE = 10_000_000
 
