@@ -313,3 +313,98 @@ def test_asof_backward_unchanged_without_tolerance(spark):
         [(1, t(5), 1), (1, t(20), 2)],
     )
     assert got == {100: 2, 101: None}
+
+
+# ---------------------------------------------------------------------------
+# Wave-3 degenerate inputs via a synthetic sf_dir (fixture-shaped parquet)
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(spark, path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/embeddings.parquet")
+
+
+def test_kmeans_identical_vectors_collapse_to_seed_zero(spark, tmp_path):
+    """All-identical corpus: every distance tie resolves to cluster 0,
+    the other three seed clusters lose all members and vanish, and the
+    inertia is exactly zero."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = [(i, [0.25, -0.5, 0.125, 1.0], 0) for i in range(8)]
+    _write_embeddings(spark, str(tmp_path), rows)
+    out = load_all()["embed_kmeans_lloyd"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cluster_id == 0 and r.n_vectors == 8 and r.inertia_q2 == 0
+    assert r.centroid_q == "250000,-500000,125000,1000000"
+
+
+def test_kmeans_two_tight_groups_split(spark, tmp_path):
+    """Two well-separated blobs with k=4 seeds: the blobs end up in
+    different clusters and inertia stays zero within each blob."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    a = [(i, [0.0, 0.0], 0) for i in range(3)]
+    b = [(10 + i, [1.0, 1.0], 1) for i in range(3)]
+    _write_embeddings(spark, str(tmp_path), a + b)
+    out = {
+        r.cluster_id: r
+        for r in load_all()["embed_kmeans_lloyd"].fn(spark, str(tmp_path)).collect()
+    }
+    # seeds 0,1,2 are identical zero-vectors; seed 3 is the first b row
+    sizes = sorted(r.n_vectors for r in out.values())
+    assert sizes == [3, 3]
+    assert all(r.inertia_q2 == 0 for r in out.values())
+
+
+def _write_events(spark, path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+
+
+def test_interval_coverage_single_event_and_merge(spark, tmp_path):
+    """One event = one island of exactly its own duration; two events
+    whose intervals overlap merge into one island whose length is the
+    union, not the sum."""
+    import datetime as dt
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: value 0.0 -> duration exactly 30 s
+        (1, t0, 1, "view", 0.0, "{}"),
+        # user 2: two 30 s intervals starting 10 s apart -> union 40 s
+        (2, t0, 2, "view", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=10), 2, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        r.user_id: r
+        for r in load_all()["timeseries_interval_coverage"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].n_islands == 1 and out[1].covered_sec == 30.0
+    assert out[2].n_islands == 1 and out[2].covered_sec == 40.0
+    assert out[2].n_events == 2
