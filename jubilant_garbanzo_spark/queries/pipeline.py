@@ -787,3 +787,83 @@ def pandas_scalar_iter_seam(spark, sf_dir):
             "n_chars_raw"
         ),
     )
+
+
+@register(
+    "pipeline_shard_binpack",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS hx,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+                       AS bucket
+            FROM documents
+        ), packed AS (
+            SELECT bucket, doc_id, n_chars,
+                   coalesce(sum(n_chars) OVER (
+                       PARTITION BY bucket ORDER BY hx, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS chars_before
+            FROM h
+        ), assigned AS (
+            SELECT bucket * 1000 + chars_before // 100000 AS shard_id,
+                   doc_id, n_chars
+            FROM packed
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM assigned GROUP BY shard_id
+    """,
+    tags=("pipeline", "shard", "binpack"),
+)
+def pipeline_shard_binpack(spark, sf_dir):
+    """Greedy training-shard assignment: pack documents into
+    ~100 k-char shards — the op that turns a cleaned corpus into the
+    fixed-size files a dataloader streams. Docs are ordered by
+    md5(doc_id) so shard composition is decorrelated from ingest
+    order (no time-locality skew inside a shard), then start-offset
+    bin-packed: a doc opens a new shard when the chars BEFORE it
+    cross the budget, so every shard holds ≥1 doc and at most
+    budget + max_doc_chars.
+
+    Scale shape: sharding is PER HASH BUCKET (first md5 nibble, 16
+    ways here; thousands at fleet scale) — each bucket's cumulative
+    sum is an independent partitioned window, so there is no global
+    sort and no single-partition bottleneck; shard ids are
+    bucket-prefixed (bucket·1000 + local index), globally unique
+    without coordination. Same offsets discipline as
+    ids_global_row_number, applied to the pipeline's writer stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        hx.alias("hx"),
+        F.conv(F.substring(hx, 1, 1), 16, 10).cast("bigint").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hx", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = h.select(
+        "bucket",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("chars_before"),
+    )
+    assigned = packed.select(
+        (F.col("bucket") * 1000 + (F.col("chars_before") / 100000).cast("bigint"))
+        .cast("bigint")
+        .alias("shard_id"),
+        "doc_id",
+        "n_chars",
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
