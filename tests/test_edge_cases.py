@@ -408,3 +408,88 @@ def test_interval_coverage_single_event_and_merge(spark, tmp_path):
     assert out[1].n_islands == 1 and out[1].covered_sec == 30.0
     assert out[2].n_islands == 1 and out[2].covered_sec == 40.0
     assert out[2].n_events == 2
+
+
+def test_checksum_modsum_channel_catches_xor_blind_duplication(spark, tmp_path):
+    """Inserting a row TWICE leaves the xor channel unchanged (pairs
+    cancel) but moves the mod-sum channel — the documented reason
+    validate_table_checksum carries both."""
+    import pyspark.sql.types as T2
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    order_schema = T2.StructType(
+        [
+            T2.StructField("o_orderkey", T2.LongType()),
+            T2.StructField("o_custkey", T2.LongType()),
+            T2.StructField("o_orderstatus", T2.StringType()),
+            T2.StructField("o_totalprice", T2.DoubleType()),
+            T2.StructField("o_orderdate", T2.TimestampType()),
+            T2.StructField("o_orderpriority", T2.StringType()),
+        ]
+    )
+    cust_schema = T2.StructType(
+        [
+            T2.StructField("c_custkey", T2.LongType()),
+            T2.StructField("c_name", T2.StringType()),
+            T2.StructField("c_nationkey", T2.LongType()),
+            T2.StructField("c_acctbal", T2.DoubleType()),
+            T2.StructField("c_mktsegment", T2.StringType()),
+        ]
+    )
+    supp_schema = T2.StructType(
+        [
+            T2.StructField("s_suppkey", T2.LongType()),
+            T2.StructField("s_name", T2.StringType()),
+            T2.StructField("s_nationkey", T2.LongType()),
+            T2.StructField("s_acctbal", T2.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    base = [(1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "F", 20.0, dt.datetime(2024, 1, 2), "2-HIGH")]
+    dup_pair = base + [base[0], base[0]]  # row 1 inserted twice more
+
+    def write(rows, path):
+        spark.createDataFrame(rows, order_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/orders.parquet")
+        spark.createDataFrame(
+            [(1, "c", 1, 0.0, "BUILDING")], cust_schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+        spark.createDataFrame(
+            [(1, "s", 1, 0.0)], supp_schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/supplier.parquet")
+
+    fn = load_all()["validate_table_checksum"].fn
+    write(base, f"{tmp_path}/a")
+    write(dup_pair, f"{tmp_path}/b")
+    a = {r.table_name: r for r in fn(spark, f"{tmp_path}/a").collect()}
+    b = {r.table_name: r for r in fn(spark, f"{tmp_path}/b").collect()}
+    assert a["orders"].xor_checksum == b["orders"].xor_checksum  # xor blind
+    assert a["orders"].modsum_checksum != b["orders"].modsum_checksum
+    assert a["orders"].n_rows != b["orders"].n_rows
+
+
+def test_pit_join_purchase_before_any_status_is_unknown(spark, tmp_path):
+    """A purchase with no prior status event must surface as 'unknown',
+    and a status change AFTER the purchase must not leak backward."""
+    import datetime as dt
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "purchase", 5.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "signup", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "purchase", 6.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        r.purchase_id: r.status_at_purchase
+        for r in load_all()["join_point_in_time_scd2"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {1: "unknown", 3: "signup"}
