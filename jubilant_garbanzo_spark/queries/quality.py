@@ -1094,3 +1094,92 @@ def profile_psi_drift(spark, sf_dir):
         F.round(F.sum("cq").cast("bigint") / 1000000000.0, 6).alias("psi"),
         (F.sum("cq").cast("bigint") > 200000000000).alias("drift_flag"),
     )
+
+
+@register(
+    "validate_order_totals",
+    oracle="""
+        WITH line_sums AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 100.0) AS BIGINT))
+                        AS BIGINT) AS recomputed_cents
+            FROM lineitem GROUP BY l_orderkey
+        ), joined AS (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100.0) AS BIGINT)
+                       AS stated_cents,
+                   ls.recomputed_cents
+            FROM orders o LEFT JOIN line_sums ls
+              ON ls.l_orderkey = o.o_orderkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(recomputed_cents) AS BIGINT) AS n_with_lines,
+               CAST(count(*) FILTER (recomputed_cents = stated_cents)
+                    AS BIGINT) AS n_exact_match,
+               CAST(count(*) FILTER (recomputed_cents IS NOT NULL
+                                     AND abs(recomputed_cents - stated_cents)
+                                         <= 100) AS BIGINT)
+                   AS n_within_one_unit,
+               CAST(max(abs(recomputed_cents - stated_cents)) AS BIGINT)
+                   AS max_abs_diff_cents
+        FROM joined
+    """,
+    tags=("quality", "validation", "reconciliation"),
+)
+def validate_order_totals(spark, sf_dir):
+    """Cross-table business-rule audit: does each order's stated
+    o_totalprice equal the charge recomputed from its lineitems
+    (extendedprice · (1−discount) · (1+tax))? — the reconciliation
+    every warehouse runs between a header table and its detail table
+    after ingest.
+
+    All arithmetic is exact cents (one identical IEEE product per
+    line, then integer sums), so match counts are bit-stable on both
+    engines. Orders with no lineitems are counted separately (LEFT
+    join + count(recomputed)), not silently dropped. The fixture's
+    totals are synthetic, so mismatches are EXPECTED — the audit's
+    value is that both engines agree exactly on every bucket and on
+    the worst absolute discrepancy.
+
+    Scale shape: the detail side aggregates to one row per order
+    BEFORE the join (partial agg + one shuffle on orderkey — never
+    join-then-aggregate, which would shuffle every line against the
+    header); the final audit is a 1-row global aggregate of booleans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    charge_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100.0
+    ).cast("bigint")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(charge_cents).cast("bigint").alias("recomputed_cents")
+    )
+    joined = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias(
+            "stated_cents"
+        ),
+    ).join(line_sums, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    diff = F.abs(F.col("recomputed_cents") - F.col("stated_cents"))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count("recomputed_cents").cast("bigint").alias("n_with_lines"),
+        F.sum(
+            F.when(F.col("recomputed_cents") == F.col("stated_cents"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_exact_match"),
+        F.sum(
+            F.when(
+                F.col("recomputed_cents").isNotNull() & (diff <= 100), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_one_unit"),
+        F.max(diff).cast("bigint").alias("max_abs_diff_cents"),
+    )
