@@ -423,3 +423,68 @@ def source_python_datasource(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "tag")
     )
+
+
+@register(
+    "sink_python_datasource_writer",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("sink", "python-datasource", "connector"),
+)
+def sink_python_datasource_writer(spark, sf_dir):
+    """Roundtrip through the engine's OWN custom SINK — the Spark 4
+    Python DataSource writer API (``sources/jsonl_sink.py``): aggregate
+    orders per status, write JSON-lines via ``format("jsonl_sink")``
+    (per-partition executor writes, task-attempt-unique files, an
+    atomic driver-side commit manifest + _SUCCESS), read the files
+    back with a schema'd JSON scan, and re-emit. The oracle aggregates
+    the source table directly, so the hash match proves the custom
+    commit protocol loses and duplicates NOTHING.
+
+    Written values are integers and strings only (cents, status) —
+    raw float JSON rendering is not cross-engine byte-stable.
+
+    Completes the connector surface: tweet_source proved the Python
+    DataSource READER (batch partitions) and STREAM READER (offsets +
+    exactly-once drain); this proves the WRITER third of the V2
+    contract. At scale each task streams its partition straight to
+    its own file — no driver fan-in; the commit message carries only
+    (file, count) metadata.
+    """
+    import os
+
+    from jubilant_garbanzo_spark.sources import formats as FMT
+    from jubilant_garbanzo_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    out = os.path.join(
+        FMT.EXPORT_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        "orders_by_status_jsonl",
+    )
+
+    def write(path: str) -> None:
+        agg.write.format("jsonl_sink").option("path", path).mode(
+            "append"
+        ).save()
+
+    FMT.materialize_once(out, write)
+    schema = "status string, n_orders bigint, total_cents bigint"
+    return (
+        spark.read.schema(schema)
+        .json(f"{out}/part-*.jsonl")
+        .select("status", "n_orders", "total_cents")
+    )

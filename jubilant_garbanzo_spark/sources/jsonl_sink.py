@@ -1,0 +1,94 @@
+"""Custom Python DataSource WRITER (Spark 4 DataSource V2 Python API).
+
+The reader/stream side of the connector surface is proven by
+``sources/tweet_source.py`` (batch partitions + offset-tracked stream);
+this is the missing third verb — a SINK implemented against
+``DataSourceWriter``: per-partition ``write(iterator)`` on executors,
+a ``WriterCommitMessage`` per task, and an all-or-nothing ``commit``
+on the driver that publishes a ``_SUCCESS`` manifest (files from
+aborted/failed task attempts are never listed, so readers see an
+atomic result — the same commit-protocol shape as Spark's file sinks).
+
+Format: JSON Lines, one file per input partition. Written values
+should be integers/strings (callers quantize money to cents) so the
+roundtrip is byte-deterministic — raw float JSON rendering would not
+be.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    n_rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        # Executor-side: one file per task attempt. The attempt-unique
+        # name means a retried task never corrupts a committed file —
+        # only files named in commit()'s manifest are part of the
+        # dataset.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}-{attempt}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _FileCommit(file=name, n_rows=n)
+
+    def commit(self, messages):
+        # Driver-side, runs once after every task succeeded: publish
+        # the manifest. Readers that honor the manifest see all-or-
+        # nothing output.
+        manifest = {
+            "files": sorted(m.file for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        # Leave data files for forensics; the absent _SUCCESS marker is
+        # what readers key on.
+        pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotent registration of the sink with a SparkSession."""
+    spark.dataSource.register(JsonlSinkDataSource)
