@@ -596,3 +596,33 @@ def test_copurchase_no_cartesian(spark, sf_dir):
     strategies = join_strategies(df)
     assert strategies, "no joins found in plan"
     assert "CartesianProduct" not in strategies, strategies
+
+
+def test_pit_join_single_shuffle_no_range_join(spark, sf_dir):
+    """The point-in-time join must be ONE user_id hash partitioning
+    serving the union and the window — no join operator at all (the
+    range-join formulation it replaces would show here)."""
+    df = q(spark, sf_dir, "join_point_in_time_scd2")
+    assert join_strategies(df) == [], join_strategies(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_asof_forward_tolerance_single_shuffle(spark, sf_dir):
+    """Forward as-of with tolerance keeps the union-sort cost model:
+    one hash Exchange, no joins, no global sort."""
+    df = q(spark, sf_dir, "join_asof_forward_tolerance")
+    assert join_strategies(df) == [], join_strategies(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_shard_binpack_no_global_sort(spark, sf_dir):
+    """Shard assignment must stay per-bucket parallel: hash-partitioned
+    windows only — no single-partition exchange, no range sort."""
+    df = q(spark, sf_dir, "pipeline_shard_binpack")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
