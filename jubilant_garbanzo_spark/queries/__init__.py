@@ -122,21 +122,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "profile_psi_drift",
     "join_asof_forward_tolerance",
-    # -- tier 4: stale-evidence refresh (round-1 vintage) ----------------
-    "join_cross",
-    "join_theta_range",
+    # round-6 wave 4 (new queries; displaced five more tier-4 refreshes)
+    "agg_incremental_maintenance",
+    "agg_hll_intersection",
+    "pipeline_shard_binpack",
+    "validate_order_totals",
+    "sink_python_datasource_writer",
+    # -- tier 4: stale-evidence refresh (round-1 vintage; join_asof
+    #    stays because its operator body changed this round) ------------
     "join_asof",
-    "join_self_pairs",
     "join_broadcast_star",
     "join_bucketed_colocated",
     "join_salted_skew",
-    "dedup_exact",
     "dedup_exact_by_fingerprint",
     "text_lang_filter",
     "text_term_frequency",
     "multimodal_binary_meta",
     "multimodal_frame_sample",
-    "text_chunking",
 )
 
 
