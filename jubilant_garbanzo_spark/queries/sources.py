@@ -488,3 +488,86 @@ def sink_python_datasource_writer(spark, sf_dir):
         .json(f"{out}/part-*.jsonl")
         .select("status", "n_orders", "total_cents")
     )
+
+
+@register(
+    "stream_python_datasource_sink",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("streaming", "sink", "python-datasource", "connector"),
+)
+def stream_python_datasource_sink(spark, sf_dir):
+    """A LIVE streaming query writing through the engine's custom
+    Python sink: readStream(events) → purchase filter → cents
+    projection → ``writeStream.format("jsonl_sink")`` with
+    availableNow, then read the emitted JSON-lines back and aggregate
+    — the hash match against direct SQL proves the per-batch commit
+    protocol (``JsonlStreamWriter.commit(messages, batchId)``)
+    delivered every row exactly once.
+
+    This closes the connector matrix: tweet_source proved the batch
+    READER and offset-tracked STREAM READER; jsonl_sink's batch WRITER
+    proved atomic manifest commits; this is the STREAM WRITER — the
+    fourth verb of the Spark 4 Python DataSource V2 contract, run
+    through the real streaming engine (checkpointed micro-batches, a
+    commit per batch), not foreachBatch glue.
+
+    Written values are integers only (ids + cents) for byte-stable
+    JSON. At scale each micro-batch partition streams straight to its
+    own attempt-named file; replayed batches republish the same
+    deterministic manifest (sink-side idempotence under the streaming
+    commit log).
+    """
+    import os
+    import tempfile
+
+    from jubilant_garbanzo_spark.sources import formats as FMT
+    from jubilant_garbanzo_spark.sources.jsonl_sink import register_jsonl_sink
+    from jubilant_garbanzo_spark.streaming.runner import read_events_stream
+
+    register_jsonl_sink(spark)
+    out = os.path.join(
+        FMT.EXPORT_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        "purchases_stream_jsonl",
+    )
+
+    def write(path: str) -> None:
+        s = read_events_stream(spark, sf_dir)
+        proj = s.filter(F.col("event_type") == "purchase").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+        checkpoint = tempfile.mkdtemp(prefix="jg_ckpt_pysink_")
+        q = (
+            proj.writeStream.format("jsonl_sink")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize_once keys on _SUCCESS; the stream writer publishes
+        # per-batch manifests, so mark overall completion here (the
+        # stream has fully drained once awaitTermination returns).
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    FMT.materialize_once(out, write)
+    schema = "event_id bigint, user_id bigint, cents bigint"
+    return (
+        spark.read.schema(schema)
+        .json(f"{out}/stream-part-*.jsonl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )

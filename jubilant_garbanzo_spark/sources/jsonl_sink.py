@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -80,6 +81,52 @@ class JsonlWriter(DataSourceWriter):
         pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: one commit per micro-batch. Files are named
+    (batch, partition, attempt)-unique; the per-batch manifest is the
+    exactly-once seam — a replayed batch (restart between executor
+    write and checkpoint commit) overwrites its OWN manifest with the
+    same deterministic content rather than double-publishing, which is
+    precisely the sink-side idempotence Structured Streaming's commit
+    log expects of a V2 sink.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        name = f"stream-part-{pid:05d}-{attempt}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _FileCommit(file=name, n_rows=n)
+
+    def commit(self, messages, batchId: int):
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.file for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(
+            os.path.join(self.path, f"_BATCH_{batchId}.json"), "w"
+        ) as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages, batchId: int):
+        pass
+
+
 class JsonlSinkDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -87,6 +134,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamWriter(self.options)
 
 
 def register_jsonl_sink(spark) -> None:
