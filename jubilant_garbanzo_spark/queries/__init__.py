@@ -128,6 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_shard_binpack",
     "validate_order_totals",
     "sink_python_datasource_writer",
+    "stream_python_datasource_sink",
     # -- tier 4: stale-evidence refresh (round-1 vintage; join_asof
     #    stays because its operator body changed this round) ------------
     "join_asof",
@@ -138,7 +139,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_filter",
     "text_term_frequency",
     "multimodal_binary_meta",
-    "multimodal_frame_sample",
 )
 
 
