@@ -1787,3 +1787,71 @@ def embed_kmeans_lloyd(spark, sf_dir):
             "inertia_q2",
         )
     )
+
+
+@register(
+    "text_langid_eval",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('the', 'of', 'and'))) AS en_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('el', 'la', 'de')))   AS es_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('der', 'die', 'das'))) AS de_hits
+            FROM documents
+        ), pred AS (
+            SELECT lang AS declared_lang,
+                   CASE WHEN greatest(en_hits, es_hits, de_hits) = 0
+                            THEN 'und'
+                        WHEN en_hits = greatest(en_hits, es_hits, de_hits)
+                            THEN 'en'
+                        WHEN es_hits = greatest(en_hits, es_hits, de_hits)
+                            THEN 'es'
+                        ELSE 'de' END AS predicted_lang
+            FROM scored
+        )
+        SELECT declared_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(count(*)) OVER (PARTITION BY declared_lang)
+                            AS DOUBLE), 6) AS share_of_declared
+        FROM pred
+        GROUP BY declared_lang, predicted_lang
+    """,
+    tags=("llm", "text", "langid", "evaluation"),
+)
+def text_langid_eval(spark, sf_dir):
+    """Classifier evaluation as a query: the confusion matrix of the
+    stopword language-ID heuristic against the declared label, with
+    each cell's share of its declared-language row (the per-class
+    recall diagonal) — the evaluation loop every corpus-filter model
+    ships with, run at corpus scale without collecting predictions.
+
+    Composes the text_lang_id scoring expression with a count
+    aggregate and ONE window over the (|langs|²-bounded) confusion
+    cells — the window touches at most 16 rows regardless of corpus
+    size. Shares are exact-integer ratios rounded once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    pred = d.select(
+        F.col("lang").alias("declared_lang"),
+        TX.lang_id_heuristic(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = W.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("share_of_declared"),
+    )
