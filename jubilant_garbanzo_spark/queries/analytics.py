@@ -1176,3 +1176,75 @@ def join_point_in_time_scd2(spark, sf_dir):
         ),
         "amount",
     )
+
+
+@register(
+    "timeseries_backtest_seasonal_naive",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL 1 HOUR, ts) AS h,
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, h, cents,
+                   lag(cents, 24) OVER (
+                       PARTITION BY event_type ORDER BY h
+                   ) AS forecast_cents
+            FROM hourly
+        )
+        SELECT event_type,
+               CAST(count(forecast_cents) AS BIGINT) AS n_forecasts,
+               round(CAST(sum(abs(cents - forecast_cents)) AS DOUBLE)
+                     / (100.0 * CAST(count(forecast_cents) AS DOUBLE)), 6)
+                   AS mae,
+               CAST(max(abs(cents - forecast_cents)) AS BIGINT) / 100.0
+                   AS worst_abs_error
+        FROM lagged
+        GROUP BY event_type
+    """,
+    tags=("analytics", "timeseries", "backtest"),
+)
+def timeseries_backtest_seasonal_naive(spark, sf_dir):
+    """Forecast backtesting as a query: the seasonal-naive model
+    (predict this hour = same hour yesterday, lag 24 on the hourly
+    series) scored by MAE and worst absolute error per event_type —
+    the baseline every forecasting pipeline must beat, evaluated over
+    the whole history in one pass.
+
+    CAVEAT the lag-24 encodes: the offset is 24 OBSERVED hourly rows,
+    which equals 24 wall-clock hours only while every hour has
+    traffic — true for this fixture; on sparse series, gap-fill first
+    (timeseries_gapfill is exactly that op).
+
+    Scale shape: hourly downsample is a map-side-combinable aggregate
+    collapsing the fact table to |types|·|hours| cells; the lag window
+    and MAE run over cells, not events. Exact cents throughout; two
+    final divisions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 24).over(w).alias("forecast_cents"),
+    )
+    err = F.abs(F.col("cents") - F.col("forecast_cents"))
+    return lagged.groupBy("event_type").agg(
+        F.count("forecast_cents").cast("bigint").alias("n_forecasts"),
+        F.round(
+            F.sum(err).cast("double")
+            / (100.0 * F.count("forecast_cents").cast("double")),
+            6,
+        ).alias("mae"),
+        (F.max(err).cast("bigint") / 100.0).alias("worst_abs_error"),
+    )

@@ -1183,3 +1183,83 @@ def validate_order_totals(spark, sf_dir):
         .alias("n_within_one_unit"),
         F.max(diff).cast("bigint").alias("max_abs_diff_cents"),
     )
+
+
+@register(
+    "sample_bootstrap_means",
+    oracle="""
+        WITH reps AS (
+            SELECT CAST(r.range AS BIGINT) AS rep FROM range(0, 5) r
+        ), weighted AS (
+            SELECT e.event_type, reps.rep,
+                   CAST(round(e.value * 1000000.0) AS BIGINT) AS micros,
+                   CASE WHEN (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                               || ':' || CAST(reps.rep AS VARCHAR)), 1, 8))
+                              ::BIGINT % 1000) < 368 THEN 0
+                        WHEN (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                               || ':' || CAST(reps.rep AS VARCHAR)), 1, 8))
+                              ::BIGINT % 1000) < 736 THEN 1
+                        ELSE 2 END AS w
+            FROM events e CROSS JOIN reps
+        )
+        SELECT event_type, rep,
+               CAST(sum(w) AS BIGINT) AS resampled_n,
+               round(CAST(sum(w * micros) AS DOUBLE)
+                     / (1000000.0 * CAST(sum(w) AS DOUBLE)), 6)
+                   AS resampled_mean
+        FROM weighted
+        GROUP BY event_type, rep
+    """,
+    tags=("quality", "sampling", "bootstrap"),
+)
+def sample_bootstrap_means(spark, sf_dir):
+    """Poisson(1)-style bootstrap WITHOUT randomness: five resampled
+    means of `value` per event_type, where each row's weight in
+    replicate b is a deterministic md5 draw from {0,1,2} with
+    probabilities (.368, .368, .264) — the truncated-Poisson(1)
+    multinomial used by online bootstrap systems. Resampled means
+    across replicates give the error bar every data-quality dashboard
+    wants, computed in ONE pass over the data per replicate batch (a
+    5-row broadcast cross join; no per-replicate rescans, no shuffles
+    of raw rows — weights travel inside the aggregate).
+
+    Exactness: micro-unit integer values, integer weights, exact
+    weighted sums; ONE double division + round at the end. The usual
+    reason bootstrap is untestable — RNG — is engineered out the same
+    way every sampler in this repo is (md5-threshold determinism,
+    sample_stratified_hash lineage).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(0, 5).select(F.col("id").cast("bigint").alias("rep"))
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    weighted = ev.crossJoin(F.broadcast(reps)).select(
+        "event_type",
+        "rep",
+        F.round(F.col("value") * 1000000.0).cast("bigint").alias("micros"),
+        F.when(draw < 368, 0).when(draw < 736, 1).otherwise(2).alias("w"),
+    )
+    return weighted.groupBy("event_type", "rep").agg(
+        F.sum("w").cast("bigint").alias("resampled_n"),
+        F.round(
+            F.sum(F.col("w") * F.col("micros")).cast("double")
+            / (1000000.0 * F.sum("w").cast("double")),
+            6,
+        ).alias("resampled_mean"),
+    )
