@@ -129,13 +129,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "validate_order_totals",
     "sink_python_datasource_writer",
     "stream_python_datasource_sink",
+    "agg_bitmap_exact_distinct",
+    "text_langid_eval",
+    "sample_bootstrap_means",
+    "timeseries_backtest_seasonal_naive",
     # -- tier 4: stale-evidence refresh (round-1 vintage; join_asof
-    #    stays because its operator body changed this round) ------------
+    #    stays because its operator body changed this round; the
+    #    plan-gated join refreshes yielded their slots to wave 4) -------
     "join_asof",
-    "join_broadcast_star",
-    "join_bucketed_colocated",
-    "join_salted_skew",
-    "dedup_exact_by_fingerprint",
     "text_lang_filter",
     "text_term_frequency",
     "multimodal_binary_meta",
