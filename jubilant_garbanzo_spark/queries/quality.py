@@ -1263,3 +1263,65 @@ def sample_bootstrap_means(spark, sf_dir):
             6,
         ).alias("resampled_mean"),
     )
+
+
+@register(
+    "quality_benford_digits",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS d
+            FROM orders WHERE o_totalprice > 0
+        ), counts AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+        )
+        SELECT c.d AS leading_digit, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                   AS observed_p,
+               round(ln(1.0 + 1.0 / c.d) / ln(10.0), 6) AS benford_p,
+               round(CAST(t.total AS DOUBLE)
+                     * (CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                        - ln(1.0 + 1.0 / c.d) / ln(10.0))
+                     * (CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                        - ln(1.0 + 1.0 / c.d) / ln(10.0))
+                     / (ln(1.0 + 1.0 / c.d) / ln(10.0)), 6)
+                   AS chi2_term
+        FROM counts c, tot t
+    """,
+    tags=("quality", "audit", "benford"),
+)
+def quality_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the forensic
+    screen for fabricated or truncated monetary data (real
+    transaction amounts follow P(d) = log10(1 + 1/d); synthetic
+    uniform generators, like this fixture's, flunk it visibly). Emits
+    per-digit observed vs Benford probability and the χ² contribution,
+    so the reader sees WHICH digits deviate, not just a verdict.
+
+    Determinism: the leading digit comes from the exact-cents INTEGER
+    rendered as a string (both engines print BIGINT identically) —
+    never from float formatting. The probabilities and χ² terms are
+    identical single IEEE expressions rounded once; the 9-row digit
+    table and 1-row total travel as broadcast scalars.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    ben = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(ben, 6).alias("benford_p"),
+        F.round(
+            F.col("total").cast("double") * (obs - ben) * (obs - ben) / ben, 6
+        ).alias("chi2_term"),
+    )
