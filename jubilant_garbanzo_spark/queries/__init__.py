@@ -133,13 +133,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_langid_eval",
     "sample_bootstrap_means",
     "timeseries_backtest_seasonal_naive",
+    "graph_sssp_bellman_ford",
     # -- tier 4: stale-evidence refresh (round-1 vintage; join_asof
     #    stays because its operator body changed this round; the
     #    plan-gated join refreshes yielded their slots to wave 4) -------
     "join_asof",
     "text_lang_filter",
     "text_term_frequency",
-    "multimodal_binary_meta",
 )
 
 

@@ -438,3 +438,117 @@ def graph_label_propagation(spark, sf_dir):
             )
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def _sssp_round_sql(prev: str, out: str) -> str:
+    """One Bellman-Ford relaxation round as DuckDB CTE text."""
+    return f"""
+        c{out} AS (
+            SELECT e.dst AS node, p.dist + e.cost AS dist
+            FROM und_w e JOIN {prev} p ON e.src = p.node
+            UNION ALL
+            SELECT node, dist FROM {prev}
+        ), {out} AS (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM c{out} GROUP BY node
+        )"""
+
+
+@register(
+    "graph_sssp_bellman_ford",
+    oracle=f"""
+        WITH edges AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ), und_w AS (
+            SELECT src, dst,
+                   CAST((1000000 + sum(w) - 1) // sum(w) AS BIGINT) AS cost
+            FROM (
+                SELECT src, dst, w FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM edges
+            ) GROUP BY src, dst
+        ), d0 AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        ), {_sssp_round_sql('d0', 'd1')}, {_sssp_round_sql('d1', 'd2')},
+        {_sssp_round_sql('d2', 'd3')}
+        SELECT node, dist AS min_cost FROM d3
+    """,
+    tags=("graph", "sssp", "iterative"),
+)
+def graph_sssp_bellman_ford(spark, sf_dir):
+    """Single-source weighted shortest paths (Bellman-Ford, 3 unrolled
+    relaxation rounds) from nation 0 over the undirected trade graph,
+    with edge cost = ⌈10⁶ / trade-count⌉ (strong trade = cheap hop) —
+    the min-plus counterpart of graph_bfs_hops' hop counting, and the
+    sixth algorithm in the graph tier (PageRank / triangles / CC /
+    BFS / LPA / SSSP).
+
+    Determinism: integer ceil-division costs (DuckDB ``//`` == Spark
+    DIV on positive operands), integer min-plus distances — no float
+    accumulation, so the iterative fixpoint hash-oracles exactly like
+    PageRank. Nodes unreached within 3 rounds are absent (frontier
+    semantics, not NULL-infinity rows).
+
+    Scale shape per round: one equi-join of the edge list against the
+    current distance vector (AQE broadcasts it — |nodes| rows) + a
+    map-side-combinable min per node. Statically unrolled rounds keep
+    lineage bounded; a diameter-bound loop with localCheckpoint every
+    k rounds is the production form (operators/graphs.py pagerank
+    discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    und_w = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.expr("CAST((1000000 + sum(w) - 1) DIV sum(w) AS BIGINT)").alias(
+                "cost"
+            )
+        )
+        # the fact-join edge derivation must run ONCE, not once per
+        # relaxation round; eager localCheckpoint also truncates the
+        # growing min-plus lineage (operators/graphs.py pagerank
+        # discipline — the measured 15.8 s lazy-lineage failure mode)
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
+    for _ in range(3):
+        cand = und_w.join(dist, und_w.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .coalesce(1)
+        )
+    return dist.select("node", F.col("dist").alias("min_cost"))
