@@ -206,3 +206,57 @@ def window_topn_per_group(spark, sf_dir):
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_last_hour,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) / 100.0 AS value_last_hour
+        FROM events
+    """,
+    tags=("window", "range-frame", "time"),
+)
+def window_time_range_frame(spark, sf_dir):
+    """TIME-based RANGE frame: for every event, the count and
+    exact-cents value sum of the SAME USER's events in the trailing
+    hour — the rolling-window-by-duration (not by row count) that
+    window_range_frame's numeric version can't express and that
+    dashboards ask for constantly ("activity in the last N minutes as
+    of each event").
+
+    Frame arithmetic runs on integer epoch-µs (3 600 000 000 µs = 1 h)
+    so the RANGE bound is exact and identical on both engines — Spark's
+    rangeBetween takes longs, DuckDB's RANGE takes the ORDER BY
+    expression's type; putting BOTH on epoch_us makes them the same
+    frame. Equal-timestamp rows share a frame in RANGE semantics (every
+    peer is included), so no tie-break is needed for determinism.
+
+    Scale shape: one user_id shuffle + per-partition sort; the frame
+    is evaluated with a sliding two-pointer over the sorted run (no
+    per-row rescans). The streaming twins are the watermarked window
+    aggregates; this is the ad-hoc batch form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600000000, 0)
+    )
+    cents = F.round(F.col("value") * 100.0).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        (F.sum(cents).over(w).cast("bigint") / 100.0).alias("value_last_hour"),
+    )
