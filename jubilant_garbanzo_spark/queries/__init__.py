@@ -134,12 +134,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_bootstrap_means",
     "timeseries_backtest_seasonal_naive",
     "graph_sssp_bellman_ford",
-    # -- tier 4: stale-evidence refresh (round-1 vintage; join_asof
-    #    stays because its operator body changed this round; the
-    #    plan-gated join refreshes yielded their slots to wave 4) -------
+    "quality_benford_digits",
+    "window_time_range_frame",
+    # -- tier 4: join_asof stays because its operator body changed this
+    #    round. Every other refresh slot yielded to round-6 new queries:
+    #    the displaced round-1/2-vintage rows (join_cross,
+    #    join_theta_range, join_self_pairs, join_broadcast_star,
+    #    join_bucketed_colocated, join_salted_skew, dedup_exact,
+    #    dedup_exact_by_fingerprint, text_stats, text_lang_filter,
+    #    text_lang_id, text_quality_score, text_token_count_regex,
+    #    text_term_frequency, embed_norms, multimodal_binary_meta,
+    #    multimodal_frame_sample, text_chunking, trending_topk,
+    #    window_*, scan_projection) all carry older driver greens AND
+    #    current local-strict-gate greens; they queue for round 7.
     "join_asof",
-    "text_lang_filter",
-    "text_term_frequency",
 )
 
 
