@@ -72,14 +72,13 @@ def register(
 #:    foreachBatch distributed-merge refactor (stream_foreachbatch,
 #:    stream_countmin_topk in tier 1); stream_parquet_sink rides along
 #:    per the r5 adjudication.
-#: 3. Round-6 wave 3 (12 brand-new queries — never driver-checked, so
-#:    they outrank stale-evidence refreshes; the as-of operator also
-#:    changed this round, so `join_asof` itself stays in tier 4).
-#: 4. Stale-evidence refresh: round-1-vintage rows, filling the window
-#:    to exactly 50. The refreshes displaced by wave 3 (text_stats,
-#:    text_lang_id, text_quality_score, text_token_count_regex,
-#:    embed_norms, and the seven round-2-vintage window/scan rows) are
-#:    queued for round 7 — all are green in the local strict gate and
+#: 3. Round-6 waves 3–4 (25 brand-new queries — never driver-checked,
+#:    so they outrank stale-evidence refreshes; every query added this
+#:    round has a slot).
+#: 4. `join_asof` — its operator body (operators/asof.py) changed this
+#:    round, so the rotation discipline requires a fresh green. The
+#:    stale-evidence refreshes it displaced are enumerated below and
+#:    queue for round 7 — all are green in the local strict gate and
 #:    carry older driver greens, so no query is evidence-free.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- tier 1: never driver-checked (queued from round 5) --------------
