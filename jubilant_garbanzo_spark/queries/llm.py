@@ -1855,3 +1855,110 @@ def text_langid_eval(spark, sf_dir):
             6,
         ).alias("share_of_declared"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+        WITH tf AS (
+            SELECT lower(t.tok) AS term, CAST(count(*) AS BIGINT) AS freq
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+            GROUP BY lower(t.tok)
+        ), ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+            FROM tf
+        ), pts AS (
+            SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS x,
+                   CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS y
+            FROM ranked WHERE rnk <= 100
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * 1000000000.0), 6)
+                   AS log_intercept
+        FROM m
+    """,
+    tags=("llm", "text", "corpus-stats", "zipf"),
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) for the top-100 terms — the corpus-health
+    number (natural text ≈ −1; template/boilerplate-heavy or synthetic
+    corpora bend it) that large-scale curation dashboards track per
+    shard/source.
+
+    Determinism: rank order is total ((freq DESC, term ASC)); the two
+    logs are computed per point then QUANTIZED to integer nano-units,
+    so the regression moments (Σx, Σy, Σxy, Σx²) are exact integers
+    under any aggregation tree (the agg_regression_exact_moments
+    idiom; 128-bit on the DuckDB side, Spark DECIMAL(38,0) — Σx²
+    overflows BIGINT at ~(21·10⁹)², well inside 100 points' range);
+    slope and intercept are single rounded divisions.
+
+    Scale shape: term counting is the flagship explode+count; the
+    top-100 is a TakeOrdered over the term-frequency table (never a
+    full sort of the vocabulary); the fit itself touches 100 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower(F.col("tok")).alias("term"))
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    # TakeOrderedAndProject keeps the vocabulary sort distributed
+    # (per-partition top-100 heaps); the global row_number window then
+    # runs over exactly 100 rows.
+    top = tf.orderBy(F.desc("freq"), F.asc("term")).limit(100)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.desc("freq"), F.asc("term")))
+        .alias("rnk"),
+    )
+    dec = "decimal(38,0)"
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000000.0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000000.0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * 1000000000.0),
+            6,
+        ).alias("log_intercept"),
+    )
