@@ -530,3 +530,164 @@ def lateral_explode_tokens(spark, sf_dir):
         .filter(F.length("token") >= 6)
         .select("doc_id", "pos", "token")
     )
+
+
+@register(
+    "json_variant_type",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_max,
+               CAST(count(*) FILTER (
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+               ) AS BIGINT) AS n_even_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("json", "variant", "spark4"),
+)
+def json_variant_type(spark, sf_dir):
+    """The Spark 4 VARIANT type on the semi-structured path:
+    ``parse_json(props)`` → binary variant → typed ``variant_get``
+    extraction, aggregated per event_type. VARIANT stores parsed JSON
+    in a shredded binary encoding, so repeated field access skips
+    re-tokenizing the text — the engine-native answer to JSON-heavy
+    event tables that ``get_json_object`` (json_functions) re-parses
+    per call.
+
+    The oracle uses DuckDB's json_extract on the same documents —
+    equal hashes prove the variant path preserves values exactly.
+    Variant never appears in the OUTPUT schema (its binary encoding is
+    engine-private, the HLL-sketch rule); only typed extractions leave
+    the query.
+
+    Scale note: at 100 TB you'd materialize the parse once
+    (write the variant column to parquet — Spark 4 writes shredded
+    variant natively) and push ``variant_get`` into scans; here the
+    parse+extract runs inline on the fly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even_k"),
+        )
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                    FILTER (o_orderstatus = 'O') AS BIGINT) AS open_cents,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_jumbo
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "filter-clause", "spark4"),
+)
+def agg_filter_clause(spark, sf_dir):
+    """Modern aggregate-predicate surface in one query: ``count_if`` /
+    FILTER-clause conditional aggregation (count and sum under
+    different predicates in ONE pass — no self-joins, no second scan)
+    plus the boolean reducers ``bool_and`` / ``bool_or``. These stay
+    partial-aggregable: each executor folds its predicate-filtered
+    partials, so the multi-metric dashboard row costs exactly one
+    shuffle — the idiom that replaces N filtered subqueries at 100 TB.
+
+    NULL-sum discipline: a FILTER'd sum over zero matching rows is
+    NULL on both engines (left as-is, not coalesced — part of the
+    contract being proven).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr("count_if(o_orderstatus = 'F')").cast("bigint").alias(
+            "n_finished"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "O", cents))
+        .cast("bigint")
+        .alias("open_cents"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_totalprice > 400000)").alias("any_jumbo"),
+    )
+
+
+@register(
+    "string_collation_ci",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT upper(seg) AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT seg) AS BIGINT) AS n_raw_spellings,
+               CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_balance
+        FROM mixed
+        GROUP BY upper(seg)
+    """,
+    tags=("string", "collation", "spark4"),
+)
+def string_collation_ci(spark, sf_dir):
+    """Spark 4 COLLATION surface: group a deliberately mixed-case
+    segment column under ``COLLATE UNICODE_CI`` — 'building' and
+    'BUILDING' are ONE group to the collation-aware hash aggregate,
+    while ``count(DISTINCT seg)`` (binary collation) still sees both
+    spellings. The oracle normalizes with upper() — equal hashes prove
+    the collated grouping partitions rows exactly like explicit
+    normalization, without rewriting the data.
+
+    Why this matters at scale: collation-aware grouping/joins happen
+    IN the hash function (UTF8_LCASE/UNICODE_CI collation keys), so
+    no derived normalized column needs materializing or shuffling —
+    and unlike lower()-wrapping, the original spellings survive for
+    output. The group label leaves the query upper()-normalized
+    (collated strings pick a representative nondeterministically, the
+    tie-arbitrary max_by rule).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    cents = F.round(F.col("c_acctbal") * 100.0).cast("bigint")
+    return (
+        mixed.groupBy(F.expr("seg COLLATE UNICODE_CI").alias("seg_ci"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.count_distinct(F.expr("seg COLLATE UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_raw_spellings"),
+            (F.sum(cents).cast("bigint") / 100.0).alias("total_balance"),
+        )
+        .select(
+            F.upper(F.col("seg_ci")).alias("segment"),
+            "n_customers",
+            "n_raw_spellings",
+            "total_balance",
+        )
+    )

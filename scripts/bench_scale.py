@@ -70,6 +70,12 @@ QUERIES = (
     "graph_label_propagation",
     "timeseries_interval_coverage",
     "join_point_in_time_scd2",
+    # wave-4 offsets-pattern operators: two-phase median, bucketed
+    # bin-packing, bucket-offset row numbering — all should be ~linear
+    # (their only sorts are bucket-local)
+    "agg_exact_median_histogram",
+    "pipeline_shard_binpack",
+    "ids_global_row_number",
 )
 ID_STRIDE = 10_000_000
 
