@@ -691,3 +691,111 @@ def string_collation_ci(spark, sf_dir):
             "total_balance",
         )
     )
+
+
+@register(
+    "conditional_try_functions",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (
+                   CASE WHEN l_discount = 0 THEN NULL
+                        ELSE l_extendedprice / l_discount END IS NULL
+               ) AS BIGINT) AS n_div_null,
+               CAST(count(TRY_CAST(l_returnflag AS BIGINT)) AS BIGINT)
+                   AS n_castable,
+               CAST(sum(CAST(round(
+                   coalesce(CASE WHEN l_quantity = 0 THEN NULL
+                                 ELSE l_extendedprice / l_quantity END, 0.0)
+                   * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+                   AS unit_price_sum
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("conditional", "try-functions", "ansi-safety"),
+)
+def conditional_try_functions(spark, sf_dir):
+    """The ``try_`` error-safe function family (Spark 3.4+/4 ANSI
+    discipline): ``try_divide`` yields NULL instead of raising on
+    division by zero, ``try_cast`` yields NULL on malformed input —
+    the idioms that keep a 100 TB job from dying at hour 9 on one bad
+    row while STILL running under ANSI mode (where raw ``/`` and
+    ``CAST`` throw).
+
+    The oracle expresses the identical semantics with guarded CASE /
+    TRY_CAST (DuckDB's division by zero is NULL-on-guard here), so the
+    hash match pins try_divide's NULL contract exactly: per flag, how
+    many zero-discount rows produced NULL ratios, how many flag
+    strings survived a numeric try_cast (none — 'A'/'N'/'R'), and an
+    exact-cents sum over the null-coalesced unit price.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(
+                F.expr("try_divide(l_extendedprice, l_discount)").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.count(F.expr("try_cast(l_returnflag AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_castable"),
+        (
+            F.sum(
+                F.round(
+                    F.coalesce(
+                        F.expr("try_divide(l_extendedprice, l_quantity)"),
+                        F.lit(0.0),
+                    )
+                    * 100.0
+                ).cast("bigint")
+            ).cast("bigint")
+            / 100.0
+        ).alias("unit_price_sum"),
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT n.n_name, top.c_name, top.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) top ON true
+    """,
+    tags=("join", "lateral", "correlated"),
+)
+def join_lateral_topn(spark, sf_dir):
+    """True correlated LATERAL join (Spark 3.2+ SQL): for each nation,
+    the top-2 customers by balance — the per-row-subquery surface that
+    ``LATERAL VIEW explode`` (lateral_explode_tokens) does not cover.
+    Catalyst DECORRELATES the lateral subquery into a ranked window
+    join (DecorrelateInnerQuery), so the executed plan is the same
+    scalable shape as window_topn_per_group — no per-nation rescans of
+    customer, which is what a naive nested-loop lateral would do at
+    100 TB.
+
+    LIMIT inside the lateral is totally ordered (balance DESC, custkey
+    ASC) so both engines pick identical rows.
+    """
+    from jubilant_garbanzo_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_name, top.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) top
+        """
+    )
