@@ -72,9 +72,12 @@ def register(
 #:    foreachBatch distributed-merge refactor (stream_foreachbatch,
 #:    stream_countmin_topk in tier 1); stream_parquet_sink rides along
 #:    per the r5 adjudication.
-#: 3. Round-6 waves 3–4 (25 brand-new queries — never driver-checked,
-#:    so they outrank stale-evidence refreshes; every query added this
-#:    round has a slot).
+#: 3. Round-6 waves 3–4 (27 brand-new queries — never driver-checked,
+#:    so they outrank stale-evidence refreshes). Six late wave-4
+#:    queries did not fit the 50-slot window and queue for round 7
+#:    with local-strict-gate greens: text_zipf_slope,
+#:    json_variant_type, agg_filter_clause, string_collation_ci,
+#:    conditional_try_functions, join_lateral_topn.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and
