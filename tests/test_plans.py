@@ -626,3 +626,31 @@ def test_shard_binpack_no_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:2000]
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    """The correlated LATERAL subquery must decorrelate into a ranked
+    window + equi join — never a per-outer-row nested loop or
+    cartesian re-scan of customer."""
+    df = q(spark, sf_dir, "join_lateral_topn")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+
+
+def test_variant_path_stays_jvm_side(spark, sf_dir):
+    """parse_json/variant_get must run as JVM expressions (no Python
+    eval node) — the point of VARIANT over a pandas-UDF JSON parser."""
+    df = q(spark, sf_dir, "json_variant_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_zipf_top100_is_take_ordered(spark, sf_dir):
+    """The top-100 vocabulary cut must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global sort of the term table."""
+    df = q(spark, sf_dir, "text_zipf_slope")
+    assert uses_take_ordered(df), "expected TakeOrderedAndProject"
