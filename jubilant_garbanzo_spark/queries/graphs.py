@@ -542,7 +542,9 @@ def graph_sssp_bellman_ford(spark, sf_dir):
     )
     dist = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
     for _ in range(3):
-        cand = und_w.join(dist, und_w.src == dist.node).select(
+        # dist is ≤ |nodes| rows — broadcast it explicitly (the
+        # checkpointed edge RDD carries no stats, so AQE won't)
+        cand = und_w.join(F.broadcast(dist), und_w.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
         )
         dist = (
