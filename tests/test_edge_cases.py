@@ -493,3 +493,147 @@ def test_pit_join_purchase_before_any_status_is_unknown(spark, tmp_path):
         .collect()
     }
     assert out == {1: "unknown", 3: "signup"}
+
+
+# ---------------------------------------------------------------------------
+# Property tests for wave-3/4 operators: random inputs through the real
+# queries (synthetic fixture dirs), brute-force Python ground truths.
+# ---------------------------------------------------------------------------
+
+_PROP = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@settings(**_PROP)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=3600),  # start offset s
+            st.integers(min_value=0, max_value=200_000_000),  # value µs
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interval_coverage_matches_bruteforce(spark, tmp_path_factory, data):
+    """timeseries_interval_coverage == Python interval-merge on random
+    per-user interval sets (the sweep-line vs brute-force property)."""
+    import datetime as dt
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, "view", k / 1e6, "{}")
+        for i, (u, s, k) in enumerate(data)
+    ]
+    path = str(tmp_path_factory.mktemp("ivp"))
+    _write_events(spark, path, rows)
+    got = {
+        r.user_id: (r.n_islands, r.n_events, r.covered_sec)
+        for r in load_all()["timeseries_interval_coverage"]
+        .fn(spark, path)
+        .collect()
+    }
+    # brute force
+    per_user: dict = {}
+    base_us = int(base.timestamp()) * 1_000_000
+    for i, (u, s, k) in enumerate(data):
+        start = base_us + s * 1_000_000
+        dur = (round(k) % 90_000_000) + 30_000_000
+        per_user.setdefault(u, []).append((start, start + dur))
+    for u, ivs in per_user.items():
+        ivs.sort()
+        merged = []
+        for s0, e0 in ivs:
+            if merged and s0 <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e0)
+            else:
+                merged.append([s0, e0])
+        covered = sum(e - s for s, e in merged) / 1e6
+        assert got[u][0] == len(merged), (u, got[u], merged)
+        assert got[u][1] == len(ivs)
+        assert got[u][2] == pytest.approx(covered, abs=1e-6)
+
+
+@settings(**_PROP)
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["A", "N", "R"]),
+        st.lists(
+            st.integers(min_value=1, max_value=40_000_000),  # cents
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_exact_median_matches_sorted(spark, tmp_path_factory, groups):
+    """agg_exact_median_histogram's two-phase pruned walk == the sorted
+    lower median, on random grouped cents."""
+    import pyspark.sql.types as T2
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    schema = T2.StructType(
+        [
+            T2.StructField("l_returnflag", T2.StringType()),
+            T2.StructField("l_extendedprice", T2.DoubleType()),
+        ]
+    )
+    rows = [(g, c / 100.0) for g, cs in groups.items() for c in cs]
+    path = str(tmp_path_factory.mktemp("med"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/lineitem.parquet")
+    got = {
+        r.flag: (r.n_rows, r.median_price)
+        for r in load_all()["agg_exact_median_histogram"]
+        .fn(spark, path)
+        .collect()
+    }
+    for g, cs in groups.items():
+        srt = sorted(cs)
+        truth = srt[(len(srt) + 1) // 2 - 1] / 100.0
+        assert got[g][0] == len(cs)
+        assert got[g][1] == pytest.approx(truth, abs=1e-9), (g, srt)
+
+
+@settings(**_PROP)
+@given(
+    keys=st.sets(
+        st.integers(min_value=0, max_value=10**7), min_size=1, max_size=300
+    )
+)
+def test_global_row_number_matches_enumerate(spark, tmp_path_factory, keys):
+    """ids_global_row_number == enumerate over (key % 64, key) order,
+    for arbitrary unique key sets."""
+    import pyspark.sql.types as T2
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    schema = T2.StructType([T2.StructField("o_orderkey", T2.LongType())])
+    path = str(tmp_path_factory.mktemp("rn"))
+    spark.createDataFrame([(k,) for k in keys], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    got = {
+        r.o_orderkey: r.global_rn
+        for r in load_all()["ids_global_row_number"].fn(spark, path).collect()
+    }
+    ordered = sorted(keys, key=lambda k: (k % 64, k))
+    n = len(ordered)
+    want = {
+        k: i + 1
+        for i, k in enumerate(ordered)
+        if (i + 1) % 100 == 1 or (i + 1) == n
+    }
+    assert got == want
