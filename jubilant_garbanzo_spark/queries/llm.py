@@ -1962,3 +1962,135 @@ def text_zipf_slope(spark, sf_dir):
             6,
         ).alias("log_intercept"),
     )
+
+
+@register(
+    "text_bigram_avg_nll",
+    oracle="""
+        WITH toks0 AS (
+            SELECT doc_id, r.i AS rawpos,
+                   lower(string_split(text, ' ')[r.i]) AS tok
+            FROM documents,
+                 UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)
+        ), toks AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY rawpos
+                   ) AS pos
+            FROM toks0 WHERE tok <> ''
+        ), bg AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS w2
+            FROM toks
+        ), bigrams AS (
+            SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+        ), c2 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+            FROM bigrams GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS n1
+            FROM bigrams GROUP BY w1
+        ), v AS (
+            SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize FROM toks
+        ), scored AS (
+            SELECT b.doc_id,
+                   CAST(round(-ln(CAST(c2.n2 + 1 AS DOUBLE)
+                                  / CAST(c1.n1 + v.vsize AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS nll_q
+            FROM bigrams b
+            JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+            JOIN c1 ON c1.w1 = b.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(nll_q) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1000000000.0), 6)
+                   AS avg_nll
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text", "language-model", "quality"),
+)
+def text_bigram_avg_nll(spark, sf_dir):
+    """Per-document language-model score: average negative log
+    likelihood under an add-1-smoothed corpus BIGRAM model — the
+    perplexity-filtering primitive (ppl = e^avg_nll) that separates
+    fluent text from boilerplate/noise in every large-corpus curation
+    stack, here self-scored on the corpus's own model.
+
+    Determinism engineering:
+    - per-bigram −ln p is ONE identical IEEE expression, then
+      quantized to integer nano-nats BEFORE the per-doc sum (the
+      profile_psi_drift rule: float sums are aggregation-order-
+      dependent, integer sums are not); the output is avg_nll, not
+      e^avg_nll — exp() is deliberately left to the consumer so no
+      cross-libm exp lands in the hash;
+    - token positions are re-ranked AFTER empty-token filtering on
+      both engines, so bigram adjacency is identical;
+    - add-1 smoothing keeps every probability finite with exact
+      integer numerators/denominators.
+
+    Scale shape: bigram counting is two map-side-combinable
+    aggregates; the model joins back on (w1, w2) and (w1) — vocab-
+    sized tables that AQE broadcasts when small and shuffle-joins
+    otherwise; the per-doc reduce is one hash aggregate. No windows
+    over data beyond the per-doc lead().
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("rawpos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.lower(F.col("tok")).alias("tok"),
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rawpos"))
+            .alias("pos"),
+        )
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok")
+            .over(W.partitionBy("doc_id").orderBy("pos"))
+            .alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n2"))
+    c1 = bigrams.groupBy(F.col("w1").alias("cw1")).agg(
+        F.count("*").cast("bigint").alias("n1")
+    )
+    v = toks.agg(F.count_distinct("tok").cast("bigint").alias("vsize"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == F.col("cw1"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("n2") + 1).cast("double")
+                    / (F.col("n1") + F.col("vsize")).cast("double")
+                )
+                * 1000000000.0
+            )
+            .cast("bigint")
+            .alias("nll_q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("nll_q").cast("double")
+            / (F.count("*").cast("double") * 1000000000.0),
+            6,
+        ).alias("avg_nll"),
+    )
