@@ -75,9 +75,10 @@ def register(
 #: 3. Round-6 waves 3–4 (27 brand-new queries — never driver-checked,
 #:    so they outrank stale-evidence refreshes). Six late wave-4
 #:    queries did not fit the 50-slot window and queue for round 7
-#:    with local-strict-gate greens: text_zipf_slope,
-#:    json_variant_type, agg_filter_clause, string_collation_ci,
-#:    conditional_try_functions, join_lateral_topn.
+#:    with local-strict-gate greens (several also checked at sf0.1):
+#:    text_zipf_slope, json_variant_type, agg_filter_clause,
+#:    string_collation_ci, conditional_try_functions,
+#:    join_lateral_topn, text_bigram_avg_nll.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and
