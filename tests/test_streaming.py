@@ -385,3 +385,44 @@ def test_tweet_stream_reader_clamps_after_restart():
     assert nxt >= 400, nxt
     # and it keeps advancing monotonically from there
     assert r.latestOffset()["offset"] >= nxt
+
+
+def test_rocksdb_state_store_equals_default(spark, sf_dir):
+    """The RocksDB state store provider — the backend that keeps
+    streaming state on disk instead of executor heap, i.e. the one a
+    100 TB stateful job actually runs — must produce byte-identical
+    results to the default HDFS-backed store on the same windowed
+    aggregation. Providers swap per-query via session conf; state
+    layouts are checkpoint-private so equivalence is the whole
+    contract."""
+    import pyspark.sql.functions as F
+
+    from jubilant_garbanzo_spark.streaming.runner import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    def run(provider: str | None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            s = read_events_stream(spark, sf_dir)
+            agg = s.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            ).agg(F.count("*").alias("cnt"))
+            out = run_available_now(agg, output_mode="complete")
+            return sorted(
+                (str(r["w"]), r["event_type"], r["cnt"]) for r in out.collect()
+            )
+        finally:
+            if provider:
+                spark.conf.unset(key)
+
+    default_rows = run(None)
+    rocks_rows = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    assert default_rows == rocks_rows
+    assert len(rocks_rows) > 0
