@@ -10,6 +10,7 @@ them for every headline query shape.
 """
 
 from jubilant_garbanzo_spark.plans.inspect import (  # noqa: F401
+    advise,
     codegen_stage_count,
     formatted_plan,
     has_partial_aggregate,

@@ -654,3 +654,42 @@ def test_zipf_top100_is_take_ordered(spark, sf_dir):
     (per-partition heaps), not a global sort of the term table."""
     df = q(spark, sf_dir, "text_zipf_slope")
     assert uses_take_ordered(df), "expected TakeOrderedAndProject"
+
+
+def test_advisor_flags_known_antipatterns(spark, sf_dir):
+    """plans.advise must flag a row-pickling UDF and stay silent on a
+    clean pushed-filter scan."""
+    from pyspark.sql.functions import col, udf
+
+    from jubilant_garbanzo_spark.plans import advise
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    clean = li.filter(col("l_quantity") > 30).select("l_orderkey")
+    assert advise(clean) == []
+
+    bad = li.select(udf(lambda s: s, "string")(col("l_returnflag")).alias("f"))
+    assert "python-eval" in {f["code"] for f in advise(bad)}
+
+
+def test_advisor_headline_queries_have_no_warnings(spark, sf_dir):
+    """Every headline query must come back WARN-free from the advisor —
+    the same bar the individual plan gates enforce, swept across the
+    whole benched set (info-level findings, e.g. 1-row nested-loop
+    broadcasts, are allowed)."""
+    import importlib.util
+    from pathlib import Path
+
+    from jubilant_garbanzo_spark.plans import advise
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    offenders = {}
+    for name in mod.HEADLINE:
+        df = q(spark, sf_dir, name)
+        warns = [f for f in advise(df) if f["severity"] == "warn"]
+        if warns:
+            offenders[name] = [f["code"] for f in warns]
+    assert not offenders, offenders
