@@ -2094,3 +2094,147 @@ def text_bigram_avg_nll(spark, sf_dir):
             6,
         ).alias("avg_nll"),
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    """DuckDB twin of the sketch-accuracy audit: identical signatures
+    and banding as _minhash_lsh_oracle, plus the per-pair agreement
+    count and exact Jaccard."""
+    m = D.MINHASH_MODULUS
+    sig_cols = ",\n                   ".join(
+        f"min((h1 + {p} * h2m) % {m}) AS m{p}" for p in range(D.N_PERM)
+    )
+    bands = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * D.ROWS_PER_BAND + r} = b.m{b * D.ROWS_PER_BAND + r}"
+            for r in range(D.ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(D.N_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END"
+        for p in range(D.N_PERM)
+    )
+    jac = (
+        "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+        " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))"
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                        ELSE [text] END) AS sh
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM sh
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5(s), 17, 15))::BIGINT % {m} AS h2m
+            FROM ex
+        ), sig AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM h GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST({agree} AS BIGINT) AS match_count
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({bands})
+        )
+        SELECT c.id_a, c.id_b, c.match_count,
+               round(CAST(c.match_count AS DOUBLE) / {D.N_PERM}, 6)
+                   AS est_jaccard,
+               round({jac}, 6) AS exact_jaccard,
+               round(abs(CAST(c.match_count AS DOUBLE) / {D.N_PERM}
+                         - ({jac})), 6) AS abs_err,
+               abs(CAST(c.match_count AS DOUBLE) / {D.N_PERM} - ({jac}))
+                   <= 0.354 AS within_4sigma
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b
+    """
+
+
+@register(
+    "dedup_minhash_accuracy",
+    oracle=_minhash_accuracy_oracle(),
+    tags=("llm", "dedup", "sketch-audit"),
+)
+def dedup_minhash_accuracy(spark, sf_dir):
+    """Sketch-accuracy AUDIT for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement estimate of Jaccard
+    (matching components / 32) side-by-side with the EXACT shingle
+    Jaccard, the absolute error, and a 4σ bound verdict
+    (σ = √(J(1−J)/32) ≤ 0.088, so 0.354 bounds the worst case) — the
+    agg_hll_sketch_union discipline applied to MinHash: the sketch's
+    statistical contract is itself an oracle-checked output, not a
+    docstring claim.
+
+    Both engines derive identical signatures (md5 2-universal family),
+    so est/exact/error/verdict are all bit-equal — the driver hash
+    red-flags any drift in the hash family, the banding, or the
+    shingle construction.
+
+    Scale shape: same banded candidate generation as dedup_minhash_lsh
+    (never all-pairs); the agreement count is a 32-term integer sum on
+    the already-joined signature rows; exact Jaccard joins the two
+    bounded shingle arrays of candidate pairs only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingled = d.select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+    )
+    sigs = D.minhash_signatures(shingled, id_col="id")
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(D.N_PERM)],
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(D.N_PERM)],
+    )
+    band_match = None
+    for bi in range(D.N_BANDS):
+        cond = None
+        for r in range(D.ROWS_PER_BAND):
+            p = bi * D.ROWS_PER_BAND + r
+            c = F.col(f"a{p}") == F.col(f"b{p}")
+            cond = c if cond is None else (cond & c)
+        band_match = cond if band_match is None else (band_match | cond)
+    cand = a.join(b, (F.col("id_a") < F.col("id_b")) & band_match).select(
+        "id_a",
+        "id_b",
+        sum(
+            [
+                F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+                for p in range(D.N_PERM)
+            ],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("match_count"),
+    )
+    x = shingled.select(F.col("id").alias("xid"), F.col("sh").alias("xsh"))
+    y = shingled.select(F.col("id").alias("yid"), F.col("sh").alias("ysh"))
+    inter = F.size(F.array_intersect(F.col("xsh"), F.col("ysh")))
+    union = F.size(F.col("xsh")) + F.size(F.col("ysh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    est = F.col("match_count").cast("double") / F.lit(float(D.N_PERM))
+    return (
+        cand.join(x, F.col("id_a") == F.col("xid"))
+        .join(y, F.col("id_b") == F.col("yid"))
+        .select(
+            "id_a",
+            "id_b",
+            "match_count",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+            (F.abs(est - jac) <= 0.354).alias("within_4sigma"),
+        )
+    )
