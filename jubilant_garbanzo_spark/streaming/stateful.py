@@ -65,3 +65,76 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+#: Session gap for timeout_session_summary (event-time ms).
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _update_session(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Close a session when the watermark passes last-event + gap."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, _last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "closed_by": ["timeout"],
+            }
+        )
+        return
+    n, last_ms = (state.get if state.exists else (0, 0))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            batch_max = int(pdf["ts"].max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max)
+    state.update((n, last_ms))
+    # Event-time timeout: fires once the WATERMARK (not wall clock)
+    # passes last event + gap — deterministic under availableNow.
+    state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
+    yield pd.DataFrame(
+        {"user_id": [], "n_events": [], "closed_by": []}
+    ).astype({"user_id": "int64", "n_events": "int64", "closed_by": "object"})
+
+
+def timeout_session_summary(events: DataFrame) -> DataFrame:
+    """Sessions closed by EVENT-TIME TIMEOUT: one summary row per
+    (user, session) emitted only when the watermark passes the last
+    event + 30 min — the state-TTL pattern that keeps a 100 TB
+    stateful job's store bounded (keys that go quiet are flushed and
+    REMOVED, not retained forever like running_count_per_user's
+    lifetime counters).
+
+    ``events`` must already carry ``withWatermark("ts", ...)``.
+    Sessions still open when a bounded drain ends are deliberately
+    withheld (their timeout never fired) — the append-mode contract.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_session,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -76,6 +76,10 @@ QUERIES = (
     "agg_exact_median_histogram",
     "pipeline_shard_binpack",
     "ids_global_row_number",
+    # wave-4 corpus ops: bigram-LM scoring (vocab-sized model joins)
+    # and the sketch-accuracy audit (banded candidates + pair verify)
+    "text_bigram_avg_nll",
+    "dedup_minhash_accuracy",
 )
 ID_STRIDE = 10_000_000
 

@@ -426,3 +426,60 @@ def test_rocksdb_state_store_equals_default(spark, sf_dir):
     )
     assert default_rows == rocks_rows
     assert len(rocks_rows) > 0
+
+
+def test_event_time_timeout_closes_quiet_sessions(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: a user whose last
+    event is > gap behind the final watermark gets a session-summary
+    row (state flushed AND removed); a user still inside the gap stays
+    open and emits nothing — the deterministic availableNow timeout
+    semantics the state-TTL pattern relies on."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T2
+
+    from jubilant_garbanzo_spark.streaming.stateful import (
+        timeout_session_summary,
+    )
+    from jubilant_garbanzo_spark.streaming.runner import run_available_now
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("user_id", T2.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: three events, quiet since 00:10 -> must time out
+        (t0, 1),
+        (t0 + dt.timedelta(minutes=5), 1),
+        (t0 + dt.timedelta(minutes=10), 1),
+        # user 2: active just before the stream's max ts -> stays open
+        (t0 + dt.timedelta(hours=3), 2),
+        # watermark driver: pushes the final watermark far past
+        # user 1's last_event + 30min gap
+        (t0 + dt.timedelta(hours=3, minutes=5), 3),
+    ]
+    path = str(tmp_path / "sess_to")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_available_now(
+        timeout_session_summary(stream),
+        output_mode="append",
+        name_prefix="sess_to",
+    )
+    got = {
+        r.user_id: (r.n_events, r.closed_by)
+        for r in out.collect()
+    }
+    assert got.get(1) == (3, "timeout"), got
+    assert 2 not in got, got  # still inside the gap at final watermark
