@@ -78,7 +78,8 @@ def register(
 #:    with local-strict-gate greens (several also checked at sf0.1):
 #:    text_zipf_slope, json_variant_type, agg_filter_clause,
 #:    string_collation_ci, conditional_try_functions,
-#:    join_lateral_topn, text_bigram_avg_nll, dedup_minhash_accuracy.
+#:    join_lateral_topn, text_bigram_avg_nll, dedup_minhash_accuracy,
+#:    stream_session_ttl.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -871,3 +871,69 @@ def stream_chained_agg(spark, sf_dir):
         "n_windows",
     )
     return run_available_now(out, output_mode="append")
+
+
+@register(
+    "stream_session_ttl",
+    oracle="""
+        WITH wm AS (
+            SELECT epoch_us(max(ts)) // 1000 - 60000 AS w_ms FROM events
+        ), pts AS (
+            SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events
+        ), flagged AS (
+            SELECT user_id, ms,
+                   CASE WHEN ms - lag(ms) OVER (
+                            PARTITION BY user_id ORDER BY ms
+                        ) > 1800000 OR lag(ms) OVER (
+                            PARTITION BY user_id ORDER BY ms
+                        ) IS NULL THEN 1 ELSE 0 END AS new_sess
+            FROM pts
+        ), islands AS (
+            SELECT user_id, ms,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sess
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, sess,
+                   CAST(min(ms) AS BIGINT) AS session_start_ms,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(ms) AS last_ms,
+                   max(sess) OVER (PARTITION BY user_id) AS max_sess
+            FROM islands GROUP BY user_id, sess
+        )
+        SELECT user_id, session_start_ms, n_events,
+               CASE WHEN sess < max_sess THEN 'gap' ELSE 'timeout' END
+                   AS closed_by
+        FROM sessions, wm
+        WHERE sess < max_sess OR last_ms + 1800000 <= w_ms
+    """,
+    tags=("streaming", "stateful", "session", "ttl"),
+)
+def stream_session_ttl(spark, sf_dir):
+    """Custom-operator sessionization with state TTL, FULLY oracled: a
+    LIVE ``applyInPandasWithState`` query (event-time timeout) splits
+    each user's stream into 30-min-gap sessions, emits gap-closed
+    sessions as they happen and timeout-closes the final one when the
+    watermark passes — and the whole emission set must hash-match the
+    batch gaps-and-islands SQL gated on the deterministic availableNow
+    final watermark.
+
+    This is the strongest evidence tier for arbitrary stateful code:
+    stream_stateful_running_count proved convergence of a lifetime
+    counter; this proves a SESSION-SPLITTING state machine with
+    removal-on-timeout emits exactly the sessions SQL says exist (the
+    user's open-but-stale last session included, via the timeout path;
+    the genuinely-open one excluded).
+
+    Scale: state per user is one (n, start, last) triple — O(active
+    users), not O(history); timeouts garbage-collect quiet keys. The
+    Python hop is Arrow-batched per key group.
+    """
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    from jubilant_garbanzo_spark.streaming.stateful import ttl_sessionize
+
+    return run_available_now(
+        ttl_sessionize(s), output_mode="append", name_prefix="sess_ttl"
+    )

@@ -138,3 +138,100 @@ def timeout_session_summary(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+TTL_SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+
+TTL_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+
+def _update_ttl_sessions(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Full sessionization in arbitrary state: split on in-batch gaps,
+    carry the open session across batches, close it on event-time
+    timeout."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, start_ms, last_ms = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start_ms": [start_ms],
+                "n_events": [n],
+                "closed_by": ["timeout"],
+            }
+        )
+        return
+    ts_ms: list[int] = []
+    for pdf in pdf_iter:
+        if len(pdf):
+            ts_ms.extend(int(v.value // 1_000_000) for v in pdf["ts"])
+    ts_ms.sort()
+    open_sess = list(state.get) if state.exists else None  # [n, start, last]
+    closed: list[tuple[int, int, str]] = []
+    for t_ in ts_ms:
+        if open_sess is None:
+            open_sess = [1, t_, t_]
+        elif t_ - open_sess[2] > SESSION_GAP_MS:
+            closed.append((open_sess[1], open_sess[0], "gap"))
+            open_sess = [1, t_, t_]
+        else:
+            open_sess[0] += 1
+            open_sess[2] = max(open_sess[2], t_)
+    if open_sess is not None:
+        state.update(tuple(open_sess))
+        state.setTimeoutTimestamp(open_sess[2] + SESSION_GAP_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start_ms": [c[0] for c in closed],
+            "n_events": [c[1] for c in closed],
+            "closed_by": [c[2] for c in closed],
+        }
+    ).astype(
+        {
+            "user_id": "int64",
+            "session_start_ms": "int64",
+            "n_events": "int64",
+            "closed_by": "object",
+        }
+    )
+
+
+def ttl_sessionize(events: DataFrame) -> DataFrame:
+    """Gap-sessionization as a CUSTOM stateful operator with state TTL:
+    sessions split on 30-min gaps (in-batch and across batches), and
+    each user's open session closes by EVENT-TIME TIMEOUT once the
+    watermark passes its last event + gap — state is flushed and
+    REMOVED, so the store holds only open sessions, never history.
+
+    The differential contract (stream_session_ttl): every session
+    except a user's last is gap-closed; the last closes by timeout iff
+    final_watermark ≥ last_event + gap — both mirrored exactly in
+    batch SQL, making a custom applyInPandasWithState operator fully
+    value-oracled (not just smoke-tested).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ttl_sessions,
+        outputStructType=TTL_SESSION_OUTPUT_SCHEMA,
+        stateStructType=TTL_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
