@@ -483,3 +483,73 @@ def test_event_time_timeout_closes_quiet_sessions(spark, tmp_path):
     }
     assert got.get(1) == (3, "timeout"), got
     assert 2 not in got, got  # still inside the gap at final watermark
+
+
+def test_ttl_session_state_survives_checkpoint_restart(spark, tmp_path):
+    """Custom applyInPandasWithState state must RECOVER from the
+    checkpoint across a query restart: a session opened in run 1 must
+    absorb run 2's in-gap event (count 3, not 1) before timing out —
+    proving the (n, start, last) state triple round-trips through the
+    state store, not just within one query lifetime."""
+    import datetime as dt
+
+    import pyspark.sql.types as T2
+
+    from jubilant_garbanzo_spark.streaming.stateful import ttl_sessionize
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("user_id", T2.LongType()),
+        ]
+    )
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    sink = str(tmp_path / "sink")
+
+    def drain(name):
+        # memory sink refuses checkpoint recovery; foreachBatch+parquet
+        # is the restartable sink shape (stream_stateful_running_count)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .withWatermark("ts", "1 minute")
+        )
+
+        def append(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            ttl_sessionize(stream)
+            .writeStream.foreachBatch(append)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(sink).collect()
+        except Exception:
+            return []  # nothing written yet
+
+    spark.createDataFrame(
+        [(t0, 1), (t0 + dt.timedelta(minutes=5), 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    first = drain("ttl_run1")
+    assert first == []  # session open, nothing emitted yet
+
+    spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(minutes=10), 1),  # in-gap: must merge
+            (t0 + dt.timedelta(hours=3), 99),  # watermark driver
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    second = drain("ttl_run2")
+    got = {r.user_id: (r.n_events, r.closed_by) for r in second}
+    assert got.get(1) == (3, "timeout"), got
