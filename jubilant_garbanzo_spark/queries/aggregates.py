@@ -1003,3 +1003,112 @@ def agg_bitmap_exact_distinct(spark, sf_dir):
         F.sum(F.bit_count("bm")).cast("bigint").alias("n_distinct_users"),
         F.count("*").cast("bigint").alias("n_words"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(sum(CAST(cents AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(CAST(cents * cents AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxx
+            FROM (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('click', 'view')
+            )
+            GROUP BY event_type
+        ), w AS (
+            SELECT
+                (SELECT CAST(n AS DOUBLE) FROM m
+                 WHERE event_type = 'click') AS n1,
+                (SELECT CAST(n AS DOUBLE) FROM m
+                 WHERE event_type = 'view') AS n2,
+                (SELECT CAST(sx AS DOUBLE) FROM m
+                 WHERE event_type = 'click') AS sx1,
+                (SELECT CAST(sx AS DOUBLE) FROM m
+                 WHERE event_type = 'view') AS sx2,
+                (SELECT CAST(n * sxx - sx * sx AS DOUBLE) FROM m
+                 WHERE event_type = 'click') AS m1,
+                (SELECT CAST(n * sxx - sx * sx AS DOUBLE) FROM m
+                 WHERE event_type = 'view') AS m2
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+               round((sx1 / n1 - sx2 / n2) / 100.0, 6) AS mean_diff_units,
+               round((sx1 / n1 - sx2 / n2)
+                     / sqrt(m1 / (n1 * n1 * (n1 - 1.0))
+                            + m2 / (n2 * n2 * (n2 - 1.0))), 6) AS t_stat,
+               round((m1 / (n1 * n1 * (n1 - 1.0))
+                      + m2 / (n2 * n2 * (n2 - 1.0)))
+                     * (m1 / (n1 * n1 * (n1 - 1.0))
+                        + m2 / (n2 * n2 * (n2 - 1.0)))
+                     / ((m1 / (n1 * n1 * (n1 - 1.0)))
+                        * (m1 / (n1 * n1 * (n1 - 1.0))) / (n1 - 1.0)
+                        + (m2 / (n2 * n2 * (n2 - 1.0)))
+                          * (m2 / (n2 * n2 * (n2 - 1.0))) / (n2 - 1.0)),
+                     6) AS welch_df
+        FROM w
+    """,
+    tags=("agg", "stats", "hypothesis-test"),
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test on click-vs-view
+    event values — the A/B-test significance primitive. The t statistic
+    and Welch–Satterthwaite degrees of freedom derive from ONE pass of
+    integer moments (n, Σx, Σx² in exact cents, DECIMAL(38,0) sums), so
+    the only float work is the final fixed-shape expression — same
+    exactness discipline as agg_regression_exact_moments: the sample
+    variance s²/n = (nΣx²−(Σx)²)/(n²(n−1)) is formed from integer
+    numerators, never from a running float mean.
+
+    Scale shape: a 2-group partial aggregation (map-side combinable) →
+    two 1-row groups crossed into the closed-form expression; at any
+    scale this is one shuffle of 2×3 numbers. The oracle mirrors the
+    identical IEEE expression tree on DuckDB scalars.
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("double").alias("nd"),
+            F.col("sx").cast("double").alias("sxd"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            .alias("md"),
+        )
+    )
+    c = m.filter(F.col("event_type") == "click").select(
+        F.col("nd").alias("n1"), F.col("sxd").alias("sx1"), F.col("md").alias("m1")
+    )
+    v = m.filter(F.col("event_type") == "view").select(
+        F.col("nd").alias("n2"), F.col("sxd").alias("sx2"), F.col("md").alias("m2")
+    )
+    j = c.crossJoin(F.broadcast(v))
+    se1 = F.col("m1") / (F.col("n1") * F.col("n1") * (F.col("n1") - 1.0))
+    se2 = F.col("m2") / (F.col("n2") * F.col("n2") * (F.col("n2") - 1.0))
+    diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
+    return j.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_view"),
+        F.round(diff / 100.0, 6).alias("mean_diff_units"),
+        F.round(diff / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1.0) + se2 * se2 / (F.col("n2") - 1.0)),
+            6,
+        ).alias("welch_df"),
+    )

@@ -1248,3 +1248,97 @@ def timeseries_backtest_seasonal_naive(spark, sf_dir):
         ).alias("mae"),
         (F.max(err).cast("bigint") / 100.0).alias("worst_abs_error"),
     )
+
+
+@register(
+    "event_attribution_last_touch",
+    oracle="""
+        WITH touches AS (
+            SELECT event_id, user_id, ts, event_type
+            FROM events WHERE event_type IN ('click', 'view')
+        ), purchases AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), ranked AS (
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   p.ts AS pts, t.event_id AS touch_event_id,
+                   t.event_type AS touch_type, t.ts AS tts,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY t.ts DESC, t.event_id DESC
+                   ) AS rn
+            FROM purchases p
+            JOIN touches t
+              ON t.user_id = p.user_id
+             AND (t.ts < p.ts
+                  OR (t.ts = p.ts AND t.event_id < p.event_id))
+             AND t.ts >= p.ts - INTERVAL 7 DAY
+        )
+        SELECT purchase_id, user_id,
+               strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               touch_event_id, touch_type,
+               CAST((epoch_us(pts) - epoch_us(tts)) // 1000000 AS BIGINT)
+                   AS gap_seconds
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("analytics", "attribution", "events", "window"),
+)
+def event_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click-or-view within a 7-day lookback —
+    the canonical conversion-attribution query (first/last-touch are
+    the two industry defaults; last-touch is the harder one because it
+    needs the *latest preceding* event, not a min). "Preceding" is
+    lexicographic on (ts, event_id) so same-timestamp event pairs
+    resolve identically on both engines (the repo-wide event_id
+    tiebreak; ADVICE r5 on scd2_from_events).
+
+    Spark plan: ONE shuffle on user_id, then a single-pass running
+    window — ``F.last(when(is_touch, …), ignorenulls=True)`` over rows
+    UNBOUNDED PRECEDING → 1 PRECEDING carries the latest touch struct
+    forward, so no self-join materializes the (purchase × touch)
+    pairs. The oracle states the same semantics as the quadratic
+    rank-over-join (fine at sf0.01) — the window form is the 100-TB
+    plan: attribution over a trillion events is a sort within user
+    partitions, not an O(touches × purchases) range join.
+
+    ``gap_seconds`` is the FLOORED µs-epoch difference on both engines
+    — DuckDB's ``date_diff('second', …)`` counts boundary *crossings*
+    (sub-second parts can add 1) while Spark's ``timestampdiff(SECOND)``
+    truncates, so neither built-in is used directly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            is_touch,
+            F.struct(
+                F.col("ts").alias("tts"),
+                F.col("event_id").alias("tid"),
+                F.col("event_type").alias("ttype"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("touch").isNotNull())
+        .filter(F.col("touch.tts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    return attributed.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("touch.tid").alias("touch_event_id"),
+        F.col("touch.ttype").alias("touch_type"),
+        F.expr("timestampdiff(MICROSECOND, touch.tts, ts) DIV 1000000")
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )

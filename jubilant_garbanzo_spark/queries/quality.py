@@ -1325,3 +1325,108 @@ def quality_benford_digits(spark, sf_dir):
             F.col("total").cast("double") * (obs - ben) * (obs - ben) / ben, 6
         ).alias("chi2_term"),
     )
+
+
+@register(
+    "profile_ks_two_sample",
+    oracle="""
+        WITH s AS (
+            SELECT value, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ), g AS (
+            SELECT value,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nv
+            FROM s GROUP BY value
+        ), cum AS (
+            SELECT value,
+                   CAST(sum(nc) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cc,
+                   CAST(sum(nv) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cv
+            FROM g
+        ), tot AS (
+            SELECT CAST(sum(nc) AS BIGINT) AS tc,
+                   CAST(sum(nv) AS BIGINT) AS tv
+            FROM g
+        ), d AS (
+            SELECT c.value, abs(c.cc * t.tv - c.cv * t.tc) AS dnum,
+                   t.tc, t.tv
+            FROM cum c, tot t
+        )
+        SELECT tc AS n_click, tv AS n_view,
+               round(CAST(dnum AS DOUBLE)
+                     / (CAST(tc AS DOUBLE) * CAST(tv AS DOUBLE)), 6)
+                   AS ks_stat,
+               round(value, 6) AS ks_at_value
+        FROM d ORDER BY dnum DESC, value ASC LIMIT 1
+    """,
+    tags=("quality", "profile", "statistics", "window"),
+)
+def profile_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    ``value`` distributions of click vs view events — the
+    distribution-drift test that needs NO binning choice (unlike
+    profile_psi_drift's fixed deciles): D = sup_x |F_click(x) −
+    F_view(x)|, evaluated at every observed value.
+
+    Exactness: the supremum is located in INTEGER arithmetic —
+    |cc·tv − cv·tc| over cumulative counts, no float CDFs — so the
+    argmax (tie-break: smallest value) is identical cross-engine; the
+    one division happens once on the winning row, rounded once.
+
+    Scale shape: group-by value (partial agg) collapses the input to
+    its distinct-value spectrum, and the single-partition running sum
+    runs over THAT spectrum, not the events. At 100 TB the spectrum
+    itself can be wide — then the cumsum uses the two-phase
+    per-partition-offset pattern (ids_global_row_number) or the
+    spectrum is quantile-compressed first; the sup over a grouped
+    window is the same plan either way.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nv"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "value",
+        F.sum("nc").over(w).cast("bigint").alias("cc"),
+        F.sum("nv").over(w).cast("bigint").alias("cv"),
+    )
+    tot = g.agg(
+        F.sum("nc").cast("bigint").alias("tc"),
+        F.sum("nv").cast("bigint").alias("tv"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        F.abs(F.col("cc") * F.col("tv") - F.col("cv") * F.col("tc")).alias(
+            "dnum"
+        ),
+        "tc",
+        "tv",
+    )
+    return (
+        d.orderBy(F.col("dnum").desc(), F.col("value").asc())
+        .limit(1)
+        .select(
+            F.col("tc").alias("n_click"),
+            F.col("tv").alias("n_view"),
+            F.round(
+                F.col("dnum").cast("double")
+                / (F.col("tc").cast("double") * F.col("tv").cast("double")),
+                6,
+            ).alias("ks_stat"),
+            F.round(F.col("value"), 6).alias("ks_at_value"),
+        )
+    )
