@@ -603,3 +603,78 @@ def pq_oracle_sql(
                CAST({err} AS BIGINT) AS err_scaled
         FROM best
     """
+
+
+def lloyd_assignments(vectors: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
+    """Deterministic Lloyd k-means cluster ASSIGNMENTS over an
+    ``(vec_id, embedding)`` frame: coordinates quantized to integer
+    millionths up front, seeds = the k smallest vec_ids, assignment
+    tie-break (dist, cid), centroid update via the shifted integer
+    floor division — the exact recurrence embed_kmeans_lloyd pins
+    (queries/llm.py documents the cross-engine arithmetic), exposed as
+    a reusable operator so cluster-scoped passes (SemDeDup-style
+    semantic dedup, per-cluster sampling) share one assignment.
+
+    Returns ``(vec_id, cid)`` after ``iters`` assignment rounds with
+    ``iters - 1`` centroid updates between them (a_n = assign(c_{n-1})),
+    matching the unrolled a_N CTE an oracle replays.
+
+    Scale shape per round: broadcast k×dim centroids joined against the
+    exploded coordinates, map-side-combinable (vec, cid) distance agg,
+    then a k×dim update agg — bounded lineage (static unroll).
+    """
+    from pyspark.sql import Window as W
+
+    x = (
+        vectors.select(
+            "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "xv")
+        )
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("xv") * 1000000.0).cast("bigint").alias("q"),
+        )
+    )
+    seeds = (
+        vectors.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .select(
+            "vec_id",
+            (F.row_number().over(W.orderBy("vec_id")) - 1)
+            .cast("bigint")
+            .alias("cid"),
+        )
+    )
+    cent = x.join(F.broadcast(seeds), "vec_id").select(
+        "cid", "pos", F.col("q").alias("qc")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d = (
+            x.join(F.broadcast(c), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
+                ).alias("dist")
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid"))["cid"].alias("cid")
+        )
+
+    a = assign(cent)
+    for _ in range(iters - 1):
+        m = x.join(a, "vec_id").groupBy("cid", "pos").agg(
+            F.sum("q").alias("sq"), F.count("*").alias("n")
+        )
+        cent = m.select(
+            "cid",
+            "pos",
+            (F.expr("(2 * sq + n * 4000000 + n) DIV (2 * n)") - 2000000)
+            .cast("bigint")
+            .alias("qc"),
+        )
+        a = assign(cent)
+    return a

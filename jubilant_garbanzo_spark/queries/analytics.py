@@ -1342,3 +1342,164 @@ def event_attribution_last_touch(spark, sf_dir):
         .cast("bigint")
         .alias("gap_seconds"),
     )
+
+
+@register(
+    "timeseries_linear_interpolate",
+    oracle="""
+        WITH obs AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS qs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ), bounds AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM obs GROUP BY user_id
+            HAVING min(day) < max(day)
+        ), spine AS (
+            SELECT b.user_id,
+                   CAST(b.d0 + r.i * INTERVAL 1 DAY AS DATE) AS day
+            FROM bounds b,
+                 UNNEST(range(0, datediff('day', b.d0, b.d1) + 1)) r(i)
+        ), joined AS (
+            SELECT s.user_id, s.day,
+                   datediff('day', DATE '2024-01-01', s.day) AS dn,
+                   o.qs, o.n
+            FROM spine s
+            LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+        ), filled AS (
+            SELECT user_id, day, dn, qs, n,
+                   last_value(odn IGNORE NULLS) OVER wp AS d0n,
+                   last_value(qs IGNORE NULLS) OVER wp AS qs0,
+                   last_value(n  IGNORE NULLS) OVER wp AS n0,
+                   first_value(odn IGNORE NULLS) OVER wn AS d1n,
+                   first_value(qs IGNORE NULLS) OVER wn AS qs1,
+                   first_value(n  IGNORE NULLS) OVER wn AS n1
+            FROM (SELECT user_id, day, dn,
+                         CASE WHEN qs IS NULL THEN NULL ELSE dn END AS odn,
+                         qs, n
+                  FROM joined) j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW),
+                   wn AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, day,
+               CAST(CASE WHEN qs IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_observed,
+               round(
+                   CASE WHEN d1n = d0n
+                        THEN CAST(qs0 AS DOUBLE)
+                             / (100.0 * CAST(n0 AS DOUBLE))
+                        ELSE CAST(qs0 AS DOUBLE)
+                             / (100.0 * CAST(n0 AS DOUBLE))
+                             + (CAST(qs1 AS DOUBLE)
+                                / (100.0 * CAST(n1 AS DOUBLE))
+                                - CAST(qs0 AS DOUBLE)
+                                  / (100.0 * CAST(n0 AS DOUBLE)))
+                               * (CAST(dn - d0n AS DOUBLE)
+                                  / CAST(d1n - d0n AS DOUBLE))
+                   END, 6) AS value_units
+        FROM filled
+    """,
+    tags=("analytics", "timeseries", "interpolation", "window"),
+)
+def timeseries_linear_interpolate(spark, sf_dir):
+    """Linear interpolation over a per-user daily spine: each user's
+    average purchase value is observed on sparse days and linearly
+    interpolated on the gaps between the bracketing observations — the
+    sampled-metric companion to timeseries_gapfill (which zero-fills a
+    *flow*; a *level* metric like avg order value must interpolate,
+    not zero).
+
+    Mechanics: generated date spine per user (min..max observed day,
+    single-day users dropped — nothing to interpolate), left-join the
+    exact-cents daily aggregates, then TWO single-pass windows —
+    last_value(IGNORE NULLS) carries the previous observation forward,
+    first_value(IGNORE NULLS) pulls the next one backward — and one
+    fixed-shape IEEE expression v0 + (v1−v0)·(d−d0)/(d1−d0) evaluated
+    identically on both engines (observed rows short-circuit to v0:
+    prev == next == self). Cents and day numbers stay integers until
+    the final expression; rounded once.
+
+    Scale shape: one shuffle on user_id for the daily partial agg, a
+    broadcast-size bounds table, spine generation by ``sequence`` (no
+    scan), and the two windows sort each user's ≤days-long slice —
+    at 100 TB this is the canonical sessionized-window plan, no
+    self-join, no spine × observations blowup.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qs"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    bounds = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .filter(F.col("d0") < F.col("d1"))
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    joined = spine.join(obs, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).alias("dn"),
+        "qs",
+        "n",
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    has = F.col("qs").isNotNull()
+    filled = joined.select(
+        "user_id",
+        "day",
+        "dn",
+        "qs",
+        F.last(F.when(has, F.col("dn")), ignorenulls=True).over(wp).alias("d0n"),
+        F.last(F.when(has, F.col("qs")), ignorenulls=True).over(wp).alias("qs0"),
+        F.last(F.when(has, F.col("n")), ignorenulls=True).over(wp).alias("n0"),
+        F.first(F.when(has, F.col("dn")), ignorenulls=True).over(wn).alias("d1n"),
+        F.first(F.when(has, F.col("qs")), ignorenulls=True).over(wn).alias("qs1"),
+        F.first(F.when(has, F.col("n")), ignorenulls=True).over(wn).alias("n1"),
+    )
+    v0 = F.col("qs0").cast("double") / (100.0 * F.col("n0").cast("double"))
+    v1 = F.col("qs1").cast("double") / (100.0 * F.col("n1").cast("double"))
+    frac = (F.col("dn") - F.col("d0n")).cast("double") / (
+        F.col("d1n") - F.col("d0n")
+    ).cast("double")
+    return filled.select(
+        "user_id",
+        "day",
+        F.when(F.col("qs").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_observed"),
+        F.round(
+            F.when(F.col("d1n") == F.col("d0n"), v0).otherwise(
+                v0 + (v1 - v0) * frac
+            ),
+            6,
+        ).alias("value_units"),
+    )

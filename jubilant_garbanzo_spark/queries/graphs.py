@@ -554,3 +554,81 @@ def graph_sssp_bellman_ford(spark, sf_dir):
             .coalesce(1)
         )
     return dist.select("node", F.col("dist").alias("min_cost"))
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS degree
+            FROM edges GROUP BY src
+        ), hist AS (
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        ), tot AS (
+            SELECT CAST(sum(n_nodes) AS BIGINT) AS nn,
+                   CAST(sum(degree * n_nodes) AS BIGINT) AS ne
+            FROM hist
+        )
+        SELECT h.degree, h.n_nodes,
+               round(CAST(h.n_nodes AS DOUBLE) / CAST(t.nn AS DOUBLE), 6)
+                   AS node_share,
+               CAST(sum(h.n_nodes) OVER (ORDER BY h.degree DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS nodes_with_at_least
+        FROM hist h, tot t
+    """,
+    tags=("graph", "degree", "profile"),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the customer→supplier trade graph (who
+    buys from how many distinct suppliers) — the first diagnostic run
+    on any large graph: its shape decides every downstream strategy
+    (power-law tail → salt the hubs before joining; bounded degree →
+    plain hash partitioning is safe). Emits the full histogram plus
+    the complementary cumulative count ("nodes with degree ≥ d"), the
+    standard power-law diagnostic axis.
+
+    Scale shape: edge derivation is the fact-fact equi-join on
+    orderkey with a DISTINCT collapse (partial agg both sides); the
+    degree count shuffles once on src; the histogram is a bounded
+    (≤ max-degree rows) second agg; the cumulative window runs on the
+    HISTOGRAM, not the nodes — single-partition over ≤ a few hundred
+    rows at any corpus size, the same bounded-cell discipline as
+    text_langid_eval.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    tot = hist.agg(
+        F.sum("n_nodes").cast("bigint").alias("nn"),
+        F.sum(F.col("degree") * F.col("n_nodes")).cast("bigint").alias("ne"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("degree").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.col("n_nodes").cast("double") / F.col("nn").cast("double"), 6
+            ).alias("node_share"),
+            F.sum("n_nodes").over(w).cast("bigint").alias("nodes_with_at_least"),
+        )
+    )

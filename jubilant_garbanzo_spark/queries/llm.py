@@ -2238,3 +2238,73 @@ def dedup_minhash_accuracy(spark, sf_dir):
             (F.abs(est - jac) <= 0.354).alias("within_4sigma"),
         )
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE vec_id < 5
+        ), v AS (
+            SELECT vec_id, r.i - 1 AS pos,
+                   CAST(round(ev[r.i] * 1000000.0) AS BIGINT) AS q
+            FROM e, UNNEST(range(1, len(ev) + 1)) AS r(i)
+        ), seeds AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid
+            FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+        ), c0 AS (
+            SELECT s.cid, v.pos, v.q AS qc FROM v JOIN seeds s USING (vec_id)
+        ), {_kmeans_assign_sql('c0', '1')}, {_kmeans_update_sql('a1', 'c1')},
+        {_kmeans_assign_sql('c1', '2')}
+        SELECT bb.vec_id AS dup_id, CAST(bb.cid AS BIGINT) AS cluster_id,
+               min(aa.vec_id) AS keeper_id
+        FROM a2 aa JOIN a2 bb
+          ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+        JOIN e ea ON ea.vec_id = aa.vec_id
+        JOIN e eb ON eb.vec_id = bb.vec_id
+        WHERE list_cosine_similarity(ea.ev, eb.ev) >= 0.99
+        GROUP BY bb.vec_id, bb.cid
+    """,
+    tags=("llm", "dedup", "embedding", "cluster", "iterative"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540 — public literature): k-means the embedding
+    corpus, then search for cosine-≥0.99 duplicate pairs ONLY inside
+    each cluster — the third candidate-generation geometry next to
+    hyperplane-LSH buckets (dedup_embedding_cosine) and exact
+    brute-force (embed_cosine_topk). Clustering is the reusable
+    ``operators/similarity.lloyd_assignments`` (the embed_kmeans_lloyd
+    recurrence: integer-millionth coordinates, smallest-vec_id seeds,
+    (dist, cid) tie-break), so the oracle replays the identical
+    assignment CTEs and the within-cluster pair set is bit-equal
+    cross-engine. Runs over the probe-seeded corpus
+    (``_seeded_embeddings``) so the threshold actually fires (5 dup
+    rows; random fixture cosines top out ≈ 0.51).
+
+    Scale shape: per-cluster all-pairs is Σ n_c² — bounded by making k
+    scale with corpus (k ≈ N / target_cluster_size keeps n_c flat, the
+    SemDeDup paper's own deployment geometry at LAION scale); the pair
+    join shuffles on cid and AQE splits skewed clusters. Fixed k=4
+    here mirrors the pinned oracle unroll, the operator takes k as a
+    parameter.
+    """
+    seeded = _seeded_embeddings(spark, sf_dir)
+    a2 = S.lloyd_assignments(seeded, k=4, iters=2)
+    v = seeded.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    t = a2.join(v, "vec_id").select("vec_id", "cid", "v")
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(S.cosine(F.col("a.v"), F.col("b.v")) >= 0.99)
+    return pairs.groupBy(
+        F.col("b.vec_id").alias("dup_id"),
+        F.col("b.cid").cast("bigint").alias("cluster_id"),
+    ).agg(F.min(F.col("a.vec_id")).alias("keeper_id"))
