@@ -79,7 +79,11 @@ def register(
 #:    text_zipf_slope, json_variant_type, agg_filter_clause,
 #:    string_collation_ci, conditional_try_functions,
 #:    join_lateral_topn, text_bigram_avg_nll, dedup_minhash_accuracy,
-#:    stream_session_ttl.
+#:    stream_session_ttl. Wave-5 (post-window additions, all strict-gate
+#:    green at sf0.01 this session) queues with them: agg_welch_ttest,
+#:    profile_ks_two_sample, event_attribution_last_touch,
+#:    timeseries_linear_interpolate, graph_degree_distribution,
+#:    dedup_semantic_clusters.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -2252,11 +2252,14 @@ def dedup_minhash_accuracy(spark, sf_dir):
             SELECT vec_id, r.i - 1 AS pos,
                    CAST(round(ev[r.i] * 1000000.0) AS BIGINT) AS q
             FROM e, UNNEST(range(1, len(ev) + 1)) AS r(i)
+        ), ksz AS (
+            SELECT {S.adaptive_k_sql("(SELECT count(*) FROM e)")} AS k
         ), seeds AS (
             SELECT vec_id,
                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                        AS cid
-            FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+            FROM (SELECT vec_id FROM e ORDER BY vec_id
+                  LIMIT (SELECT k FROM ksz))
         ), c0 AS (
             SELECT s.cid, v.pos, v.q AS qc FROM v JOIN seeds s USING (vec_id)
         ), {_kmeans_assign_sql('c0', '1')}, {_kmeans_update_sql('a1', 'c1')},
@@ -2287,15 +2290,16 @@ def dedup_semantic_clusters(spark, sf_dir):
     (``_seeded_embeddings``) so the threshold actually fires (5 dup
     rows; random fixture cosines top out ≈ 0.51).
 
-    Scale shape: per-cluster all-pairs is Σ n_c² — bounded by making k
-    scale with corpus (k ≈ N / target_cluster_size keeps n_c flat, the
-    SemDeDup paper's own deployment geometry at LAION scale); the pair
-    join shuffles on cid and AQE splits skewed clusters. Fixed k=4
-    here mirrors the pinned oracle unroll, the operator takes k as a
-    parameter.
+    Scale shape: per-cluster all-pairs is Σ n_c² — bounded by growing k
+    with the corpus (``adaptive_k``: k ≈ N/512 keeps n_c flat, so
+    candidates grow ~linearly — the SemDeDup paper's own deployment
+    geometry at LAION scale, and this repo's adaptive-bits discipline);
+    the oracle replays the SAME k via a subquery LIMIT, so the query
+    stays hash-green at any SF. The pair join shuffles on cid and AQE
+    splits skewed clusters.
     """
     seeded = _seeded_embeddings(spark, sf_dir)
-    a2 = S.lloyd_assignments(seeded, k=4, iters=2)
+    a2 = S.lloyd_assignments(seeded, iters=2)
     v = seeded.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
     t = a2.join(v, "vec_id").select("vec_id", "cid", "v")
     a, b = t.alias("a"), t.alias("b")

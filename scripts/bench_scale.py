@@ -80,6 +80,9 @@ QUERIES = (
     # and the sketch-accuracy audit (banded candidates + pair verify)
     "text_bigram_avg_nll",
     "dedup_minhash_accuracy",
+    # wave-5: cluster-scoped semantic dedup — adaptive_k keeps per-cluster
+    # populations flat, so pairs (and wall) should grow ~linearly
+    "dedup_semantic_clusters",
 )
 ID_STRIDE = 10_000_000
 
@@ -199,10 +202,21 @@ def candidate_counts(spark, sf_dir: str) -> dict:
     _, mh_cand = D.minhash_band_candidates(docs, "doc_id", "text")
     _, ng_cand = D.ngram_prefix_candidates(docs, "doc_id", "text", 3, 0.5)
     _, hp_cand = S.hyperplane_candidates(vecs, "vec_id", "embedding")
+    # SemDeDup candidate mass = Σ n_c·(n_c−1)/2 over the adaptive-k
+    # cluster populations (the within-cluster all-pairs the cosine
+    # filter will touch).
+    sizes = (
+        S.lloyd_assignments(vecs, iters=2)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
+        .first()
+    )
     return {
         "minhash_band_candidates": mh_cand.count(),
         "ngram_prefix_candidates": ng_cand.count(),
         "hyperplane_candidates": hp_cand.count(),
+        "semantic_cluster_pairs": int(sizes["pairs"]),
     }
 
 

@@ -449,3 +449,30 @@ def test_adaptive_lsh_recall_at_higher_bits(spark):
     # near-exact pairs: sign-agreement per plane ~1 at cosine 0.9999;
     # allow one unlucky miss out of ten rather than flake
     assert near_found >= 9, (near_found, sorted(pairs)[:20])
+
+
+def test_adaptive_k_geometry():
+    """Cluster count grows linearly with corpus (flat per-cluster
+    population), clamps at MIN_K below the first target boundary, and
+    uses only integer arithmetic (exact at boundaries)."""
+    assert S.adaptive_k(1) == S.MIN_K
+    assert S.adaptive_k(S.MIN_K * S.TARGET_CLUSTER) == S.MIN_K
+    assert S.adaptive_k(S.MIN_K * S.TARGET_CLUSTER + 1) == S.MIN_K + 1
+    assert S.adaptive_k(100 * S.TARGET_CLUSTER) == 100
+
+
+def test_lloyd_assignments_keep_exact_copies_together(spark, sf_dir):
+    """An exact-copy vector must land in the same cluster as its
+    original (identical quantized coordinates → identical distances →
+    identical (dist, cid) argmin) — the property SemDeDup's
+    cluster-scoped candidate generation rests on."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    a = S.lloyd_assignments(e.unionByName(probes), iters=2)
+    cids = {r["vec_id"]: r["cid"] for r in a.collect()}
+    for i in range(5):
+        assert cids[i] == cids[i + 100000], (i, cids[i], cids[i + 100000])
+    # Every vector got exactly one assignment.
+    assert len(cids) == e.count() + 5

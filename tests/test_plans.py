@@ -693,3 +693,37 @@ def test_advisor_headline_queries_have_no_warnings(spark, sf_dir):
         if warns:
             offenders[name] = [f["code"] for f in warns]
     assert not offenders, offenders
+
+
+def test_attribution_single_shuffle_no_join(spark, sf_dir):
+    """Last-touch attribution must be the single-pass running-struct
+    window — ONE user_id hash partitioning, NO join operator (the
+    purchase×touch rank-over-join the oracle uses would show here as a
+    join + a second shuffle)."""
+    df = q(spark, sf_dir, "event_attribution_last_touch")
+    assert join_strategies(df) == [], join_strategies(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_ks_window_runs_on_value_spectrum(spark, sf_dir):
+    """The KS supremum's single-partition window may only see the
+    grouped value spectrum (post-aggregation), never raw events: the
+    plan must place a partial/final aggregate BEFORE the one
+    SinglePartition exchange feeding the window sort."""
+    df = q(spark, sf_dir, "profile_ks_two_sample")
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1, plan[:2000]
+
+
+def test_interpolate_no_self_join_blowup(spark, sf_dir):
+    """Interpolation must bracket via windows, not join the spine
+    against observations more than once: exactly the spine-building
+    join + the obs left join — no range join, no cartesian."""
+    df = q(spark, sf_dir, "timeseries_linear_interpolate")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
