@@ -83,7 +83,7 @@ def register(
 #:    green at sf0.01 this session) queues with them: agg_welch_ttest,
 #:    profile_ks_two_sample, event_attribution_last_touch,
 #:    timeseries_linear_interpolate, graph_degree_distribution,
-#:    dedup_semantic_clusters.
+#:    dedup_semantic_clusters, event_cumulative_reach, join_range_lookup.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

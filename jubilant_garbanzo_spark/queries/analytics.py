@@ -1503,3 +1503,72 @@ def timeseries_linear_interpolate(spark, sf_dir):
             6,
         ).alias("value_units"),
     )
+
+
+@register(
+    "event_cumulative_reach",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs
+            GROUP BY day
+        ), firsts AS (
+            SELECT user_id, min(day) AS first_day FROM pairs GROUP BY user_id
+        ), news AS (
+            SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+            FROM firsts GROUP BY first_day
+        )
+        SELECT d.day, d.dau,
+               coalesce(n.new_users, 0) AS new_users,
+               CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_reach
+        FROM dau d LEFT JOIN news n ON n.day = d.day
+    """,
+    tags=("analytics", "events", "window", "distinct"),
+)
+def event_cumulative_reach(spark, sf_dir):
+    """Daily active users + cumulative distinct reach ("users ever seen
+    by day d") in one pass — the audience-growth curve. Running COUNT
+    DISTINCT is not a window aggregate any engine supports directly;
+    the standard rewrite is the FIRST-OCCURRENCE trick: a user counts
+    toward the cumulative curve only on their first-ever day (per-user
+    min), so the running sum of new_users IS the running distinct
+    count — turning an impossible window into two partial aggs and a
+    ~days-long cumsum.
+
+    Scale shape: the (user, day) distinct and both aggs are map-side
+    combinable on user/day keys; the window runs over the bounded
+    day spine only (the bounded-cell discipline). No state larger
+    than the day grid leaves the shuffle.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    news = (
+        pairs.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(news, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce(F.col("new_users"), F.lit(0))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_reach"),
+        )
+    )

@@ -683,3 +683,74 @@ def join_asof_forward_tolerance(spark, sf_dir):
         ),
         F.when(F.col("pts").isNotNull(), lat).alias("latency_s"),
     )
+
+
+#: Price tiers for the range-dimension lookup: (tier_id, lo, hi) in
+#: exact cents, half-open [lo, hi). The top tier's hi sits above any
+#: fixture total so coverage is total (every order maps to exactly one
+#: tier — the property the plan gate asserts via row counts).
+_PRICE_TIERS = (
+    (0, "budget", 0, 5_000_000),
+    (1, "mid", 5_000_000, 15_000_000),
+    (2, "premium", 15_000_000, 30_000_000),
+    (3, "whale", 30_000_000, 10_000_000_000),
+)
+
+
+@register(
+    "join_range_lookup",
+    oracle=f"""
+        WITH tiers(tier_id, tier_name, lo_cents, hi_cents) AS (
+            VALUES {", ".join(f"({i}, '{n}', {lo}, {hi})" for i, n, lo, hi in _PRICE_TIERS)}
+        ), o AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT t.tier_id, t.tier_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+        FROM o JOIN tiers t
+          ON o.cents >= t.lo_cents AND o.cents < t.hi_cents
+        GROUP BY t.tier_id, t.tier_name
+    """,
+    tags=("join", "range", "broadcast"),
+)
+def join_range_lookup(spark, sf_dir):
+    """Point-in-range dimension lookup: each order's exact-cents total
+    is matched into a half-open price-tier interval — the
+    IP-to-geo / price-tier / tax-bracket join shape (a RANGE dimension
+    that is DATA, not a constant CASE — tiers change without a code
+    deploy). Distinct from join_theta_range (fact-to-fact band join)
+    and join_point_in_time_scd2 (per-key validity walk): here ONE
+    broadcast-tiny dim serves every probe row.
+
+    Scale shape: the tier table broadcasts, so the range predicate is
+    evaluated map-side (BroadcastNestedLoopJoin over |tiers| rows per
+    probe — O(|tiers|) per row, zero shuffle before the final
+    tier-count agg). With thousands of tiers the scale path is
+    pre-bucketing both sides on a coarse grid (the
+    join_interval_overlap hour-bucket discipline) to turn the scan
+    into an equi-join; at 4 tiers the nested-loop IS the right plan.
+    Disjoint half-open tiers guarantee each order lands exactly once
+    (Σ n_orders == |orders| — checked by the plan gate).
+    """
+    tiers = spark.createDataFrame(
+        list(_PRICE_TIERS), "tier_id int, tier_name string, lo_cents long, hi_cents long"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (F.col("cents") >= F.col("lo_cents"))
+            & (F.col("cents") < F.col("hi_cents")),
+        )
+        .groupBy("tier_id", "tier_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

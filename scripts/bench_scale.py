@@ -81,8 +81,11 @@ QUERIES = (
     "text_bigram_avg_nll",
     "dedup_minhash_accuracy",
     # wave-5: cluster-scoped semantic dedup — adaptive_k keeps per-cluster
-    # populations flat, so pairs (and wall) should grow ~linearly
+    # populations flat, so pairs (and wall) should grow ~linearly — plus
+    # the two new single-shuffle window passes over events
     "dedup_semantic_clusters",
+    "event_attribution_last_touch",
+    "timeseries_linear_interpolate",
 )
 ID_STRIDE = 10_000_000
 

@@ -727,3 +727,21 @@ def test_interpolate_no_self_join_blowup(spark, sf_dir):
     assert "CartesianProduct" not in strategies, strategies
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_range_lookup_broadcasts_tiers_and_covers_all_orders(spark, sf_dir):
+    """The tier dim must arrive via broadcast (no shuffle for a 4-row
+    table) and the half-open tiers must partition the price domain:
+    every order lands in exactly one tier."""
+    df = q(spark, sf_dir, "join_range_lookup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[0], (
+        "probe side shuffled before the broadcast join"
+    )
+    from jubilant_garbanzo_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    total = df.agg(F.sum("n_orders")).collect()[0][0]
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert total == n_orders, (total, n_orders)
