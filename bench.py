@@ -78,6 +78,9 @@ HEADLINE: tuple[str, ...] = (
     "graph_label_propagation",
     "assoc_copurchase_lift",
     "join_bloom_prefilter",
+    # Round-6 wave-5 addition: the heaviest new operator — cluster-scoped
+    # semantic dedup (adaptive-k Lloyd + within-cluster cosine pairs).
+    "dedup_semantic_clusters",
 )
 
 

@@ -608,7 +608,12 @@ def pq_oracle_sql(
 #: SemDeDup-style cluster-scoped passes keep per-cluster work bounded by
 #: growing k with the corpus: k = max(MIN_K, ceil(N / TARGET_CLUSTER)).
 MIN_K = 4
-TARGET_CLUSTER = 512
+TARGET_CLUSTER = 128
+
+#: Assignment-kernel switchover: N·k distance cells above which the
+#: Arrow int64-matmul kernel beats the N·k cross-join + HOF fold
+#: (measured: the fold costs ~2.3 µs/cell; the matmul ~10 ns/cell).
+ARROW_ASSIGN_CELLS = 1_000_000
 
 
 def adaptive_k(n: int) -> int:
@@ -644,9 +649,16 @@ def lloyd_assignments(
     ``iters - 1`` centroid updates between them (a_n = assign(c_{n-1})),
     matching the unrolled a_N CTE an oracle replays.
 
-    Scale shape per round: broadcast k×dim centroids joined against the
-    exploded coordinates, map-side-combinable (vec, cid) distance agg,
-    then a k×dim update agg — bounded lineage (static unroll).
+    Scale shape per round — the assignment keeps vectors as ARRAYS and
+    cross-joins the k-row broadcast centroid-array table: N·k rows with
+    one dim-length integer fold each. The naive per-coordinate join
+    (explode × centroids on ``pos``) materializes N·dim·k rows through
+    a (vec, cid) shuffle — with adaptive k ∝ N that is O(N²·dim/T) and
+    it MEASURED 12.4× wall at 10× data (BENCH_scale.json history); the
+    array form carries the identical integer arithmetic (same sums,
+    same (dist, cid) tie-break — the oracle is unaffected) at 1/dim-th
+    the row count. The update step is a (cid, pos) integer agg over the
+    exploded coordinates — linear, map-side combinable.
 
     ``k=None`` (the default) sizes the cluster count from the corpus —
     :func:`adaptive_k`: k ≈ N / TARGET_CLUSTER — so a cluster-scoped
@@ -657,18 +669,16 @@ def lloyd_assignments(
     """
     from pyspark.sql import Window as W
 
+    n_eff = n if n is not None else vectors.count()
     if k is None:
-        k = adaptive_k(n if n is not None else vectors.count())
+        k = adaptive_k(n_eff)
 
-    x = (
-        vectors.select(
-            "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "xv")
-        )
-        .select(
-            "vec_id",
-            "pos",
-            F.round(F.col("xv") * 1000000.0).cast("bigint").alias("q"),
-        )
+    xarr = vectors.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda v: F.round(v * 1000000.0).cast("bigint"),
+        ).alias("qv"),
     )
     seeds = (
         vectors.select("vec_id")
@@ -681,35 +691,87 @@ def lloyd_assignments(
             .alias("cid"),
         )
     )
-    cent = x.join(F.broadcast(seeds), "vec_id").select(
-        "cid", "pos", F.col("q").alias("qc")
+    cent = xarr.join(F.broadcast(seeds), "vec_id").select(
+        "cid", F.col("qv").alias("ca")
     )
 
+    # Two assignment kernels with IDENTICAL int64 semantics (equality
+    # pinned by tests/test_llm_ops.py): below _ARROW_ASSIGN_CELLS the
+    # N·k cross-join with a dim-length integer fold is cheapest (no
+    # centroid collect, pure codegen); above it, per-flop HOF cost
+    # dominates (measured 14.4 s of a 28 s x10 run), so the assignment
+    # becomes an Arrow-batched int64 matmul against the collected k×dim
+    # centroid matrix — the Spark-MLlib KMeans pattern (centroids are
+    # bounded k·dim scalars, the one legitimate driver-side
+    # materialization in an iterative fit).
+    def assign_expr(c: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("ca"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, z: acc + z,
+        )
+        return (
+            xarr.crossJoin(F.broadcast(c))
+            .select("vec_id", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid"))["cid"].alias("cid"))
+        )
+
+    def assign_arrow(c: DataFrame) -> DataFrame:
+        import numpy as np
+
+        rows = c.collect()  # bounded: k rows of dim ints (MLlib pattern)
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        cmat = np.array([r["ca"] for r in rows], dtype=np.int64)  # (k, dim)
+        c2 = (cmat * cmat).sum(axis=1)  # (k,)
+        order = np.argsort(cids, kind="stable")
+        cids, cmat, c2 = cids[order], cmat[order], c2[order]
+
+        def part(batches):
+            for pdf in batches:
+                x = np.array(list(pdf["qv"]), dtype=np.int64)  # (b, dim)
+                if len(x) == 0:
+                    continue
+                # ||x-c||² = ||x||² + ||c||² - 2 x·c, all int64 exact;
+                # argmin over cid-ascending columns = (dist, cid) min.
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    + c2[None, :]
+                    - 2 * (x @ cmat.T)
+                )
+                best = cids[np.argmin(d, axis=1)]
+                yield pdf[["vec_id"]].assign(cid=best)
+
+        return xarr.mapInPandas(part, "vec_id long, cid long")
+
+    use_arrow = n_eff * k >= ARROW_ASSIGN_CELLS
+
     def assign(c: DataFrame) -> DataFrame:
-        d = (
-            x.join(F.broadcast(c), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
-                ).alias("dist")
-            )
-        )
-        return d.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid"))["cid"].alias("cid")
-        )
+        return assign_arrow(c) if use_arrow else assign_expr(c)
 
     a = assign(cent)
     for _ in range(iters - 1):
-        m = x.join(a, "vec_id").groupBy("cid", "pos").agg(
-            F.sum("q").alias("sq"), F.count("*").alias("n")
+        m = (
+            xarr.join(a, "vec_id")
+            .select("cid", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
         )
-        cent = m.select(
-            "cid",
-            "pos",
-            (F.expr("(2 * sq + n * 4000000 + n) DIV (2 * n)") - 2000000)
-            .cast("bigint")
-            .alias("qc"),
+        cent = (
+            m.select(
+                "cid",
+                "pos",
+                (F.expr("(2 * sq + n * 4000000 + n) DIV (2 * n)") - 2000000)
+                .cast("bigint")
+                .alias("qc"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "qc"))),
+                    lambda s: s["qc"],
+                ).alias("ca")
+            )
         )
         a = assign(cent)
     return a

@@ -83,7 +83,8 @@ def register(
 #:    green at sf0.01 this session) queues with them: agg_welch_ttest,
 #:    profile_ks_two_sample, event_attribution_last_touch,
 #:    timeseries_linear_interpolate, graph_degree_distribution,
-#:    dedup_semantic_clusters, event_cumulative_reach, join_range_lookup.
+#:    dedup_semantic_clusters, event_cumulative_reach, join_range_lookup,
+#:    event_activity_streaks, event_rfm_segmentation.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -1572,3 +1572,174 @@ def event_cumulative_reach(spark, sf_dir):
             F.sum("new_users").over(w).cast("bigint").alias("cumulative_reach"),
         )
     )
+
+
+@register(
+    "event_activity_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), grp AS (
+            SELECT user_id, day,
+                   datediff('day', DATE '2024-01-01', day)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS island
+            FROM days
+        ), streaks AS (
+            SELECT user_id, island,
+                   CAST(count(*) AS BIGINT) AS streak_days,
+                   min(day) AS streak_start
+            FROM grp GROUP BY user_id, island
+        ), best AS (
+            SELECT user_id, streak_days, streak_start,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY streak_days DESC, streak_start ASC
+                   ) AS rn
+            FROM streaks
+        )
+        SELECT user_id, streak_days, streak_start
+        FROM best WHERE rn = 1
+        ORDER BY streak_days DESC, user_id ASC LIMIT 25
+    """,
+    tags=("analytics", "events", "window", "gaps-islands"),
+)
+def event_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (top-25) — the
+    canonical GAPS-AND-ISLANDS pattern: day_number − row_number is
+    constant within a run of consecutive days, so one window + one
+    groupBy finds every island without self-joins or recursion.
+    Distinct from sessionize_events (time-gap sessions on raw
+    timestamps): islands are INTEGER-consecutive semantics on the
+    calendar grid.
+
+    Determinism: per-user best streak tie-breaks on earliest start;
+    the top-25 is totally ordered by (streak_days DESC, user_id).
+
+    Scale shape: the (user, day) distinct and the island window both
+    partition on user_id — one shuffle, per-user slices sort ≤ days
+    rows; the final top-25 is TakeOrderedAndProject. No join anywhere.
+    """
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+        .orderBy(F.col("streak_days").desc(), F.col("user_id").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "event_rfm_segmentation",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   max(ts) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ), anchor AS (
+            SELECT max(last_ts) AS t_ref FROM p
+        ), scored AS (
+            SELECT p.user_id,
+                   CAST((epoch_us(a.t_ref) - epoch_us(p.last_ts))
+                        // 86400000000 AS BIGINT) AS recency_days,
+                   p.frequency, p.monetary_cents,
+                   CAST(ntile(5) OVER (ORDER BY p.last_ts DESC, p.user_id)
+                        AS BIGINT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY p.frequency DESC, p.user_id)
+                        AS BIGINT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY p.monetary_cents DESC,
+                                       p.user_id) AS BIGINT) AS m_score
+            FROM p, anchor a
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+               CAST(min(recency_days) AS BIGINT) AS min_recency_days
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "segmentation", "window", "ntile"),
+)
+def event_rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    purchasing user scores 1–5 on all three axes via ntile quintiles,
+    then the 125-cell segment grid aggregates counts and revenue — the
+    classic marketing-segmentation workload.
+
+    Determinism: ntile assigns by ROW ORDER, so every quintile window
+    carries a user_id tiebreak (ties in last_ts/frequency/monetary are
+    common); recency is the floored µs-epoch day difference against the
+    corpus-max anchor (the attribution lesson: no boundary-crossing
+    date_diff).
+
+    Scale shape: per-user RFM is one partial agg on user_id; the three
+    global ntile windows run over the collapsed PER-USER table (one row
+    per customer, orders of magnitude under the event count) — at
+    larger user counts the ntile boundary is a 5-quantile
+    approx_percentile + boundary-sliver exact rank (the
+    text_domain_mixture threshold-refinement path); the final 125-cell
+    grid is a bounded agg.
+    """
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    anchor = p.agg(F.max("last_ts").alias("t_ref"))
+    scored = p.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, last_ts, t_ref) DIV 86400000000")
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_ts").desc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        F.min("recency_days").cast("bigint").alias("min_recency_days"),
+    )

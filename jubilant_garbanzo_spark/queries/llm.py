@@ -2291,7 +2291,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     rows; random fixture cosines top out ≈ 0.51).
 
     Scale shape: per-cluster all-pairs is Σ n_c² — bounded by growing k
-    with the corpus (``adaptive_k``: k ≈ N/512 keeps n_c flat, so
+    with the corpus (``adaptive_k``: k ≈ N/128 keeps n_c flat, so
     candidates grow ~linearly — the SemDeDup paper's own deployment
     geometry at LAION scale, and this repo's adaptive-bits discipline);
     the oracle replays the SAME k via a subquery LIMIT, so the query
@@ -2300,14 +2300,21 @@ def dedup_semantic_clusters(spark, sf_dir):
     """
     seeded = _seeded_embeddings(spark, sf_dir)
     a2 = S.lloyd_assignments(seeded, iters=2)
-    v = seeded.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
-    t = a2.join(v, "vec_id").select("vec_id", "cid", "v")
+    # Norm once per vector, carried through the pair join — cosine()
+    # inline would re-fold both norms per pair (3 HOF traversals/pair;
+    # the similarity_join lesson, measured ~3× there and ~15 s → ~5 s
+    # here at sf0.1). dot/(na·nb) is the identical expression tree.
+    v = seeded.select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", S.norm(F.col("v")).alias("nrm"))
+    t = a2.join(v, "vec_id").select("vec_id", "cid", "v", "nrm")
     a, b = t.alias("a"), t.alias("b")
+    cos = S.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = a.join(
         b,
         (F.col("a.cid") == F.col("b.cid"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).filter(S.cosine(F.col("a.v"), F.col("b.v")) >= 0.99)
+    ).filter(cos >= 0.99)
     return pairs.groupBy(
         F.col("b.vec_id").alias("dup_id"),
         F.col("b.cid").cast("bigint").alias("cluster_id"),

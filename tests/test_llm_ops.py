@@ -476,3 +476,21 @@ def test_lloyd_assignments_keep_exact_copies_together(spark, sf_dir):
         assert cids[i] == cids[i + 100000], (i, cids[i], cids[i + 100000])
     # Every vector got exactly one assignment.
     assert len(cids) == e.count() + 5
+
+
+def test_lloyd_arrow_kernel_equals_expression_kernel(spark, sf_dir, monkeypatch):
+    """The Arrow int64-matmul assignment and the JVM cross-join fold
+    must produce IDENTICAL (vec_id, cid) assignments — both are the
+    same exact integer recurrence, so the kernel switchover
+    (ARROW_ASSIGN_CELLS) can never change results, only speed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expr_path = {
+        (r["vec_id"], r["cid"])
+        for r in S.lloyd_assignments(e, iters=2).collect()
+    }
+    monkeypatch.setattr(S, "ARROW_ASSIGN_CELLS", 1)
+    arrow_path = {
+        (r["vec_id"], r["cid"])
+        for r in S.lloyd_assignments(e, iters=2).collect()
+    }
+    assert expr_path == arrow_path
