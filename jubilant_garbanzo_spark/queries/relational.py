@@ -814,3 +814,93 @@ def join_lateral_topn(spark, sf_dir):
         ) top
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    """,
+    tags=("relational", "spark4", "sql-pipe"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (`FROM … |> WHERE … |> AGGREGATE`) —
+    the linear query-composition surface SQL:2023-adjacent engines are
+    converging on (BigQuery pipe syntax, Spark 4.0 SPARK-49555). The
+    pipeline is parsed into the IDENTICAL logical plan as the nested
+    form (same pushdown, same partial aggregation), which the oracle
+    proves by computing the classic GROUP BY twin — this query pins
+    the SYNTAX surface, not new semantics.
+
+    Scale shape: filter → partial agg on a low-cardinality key; the
+    pipe form plans exactly like agg_groupby_basic.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "pipe_events_src"
+    )
+    return spark.sql(
+        """
+        FROM pipe_events_src
+        |> WHERE event_type IN ('click', 'purchase')
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY event_type
+        |> SELECT event_type, n_events, cents
+        """
+    )
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               (CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+                                    * 100.0) AS BIGINT)) AS BIGINT)
+                / 100.0) AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("relational", "spark4", "sql-udf"),
+)
+def sql_udf_scalar(spark, sf_dir):
+    """Spark 4 SQL-defined scalar function (`CREATE TEMPORARY FUNCTION
+    … RETURNS … RETURN expr`, SPARK-46246): business logic shared as a
+    catalog object instead of a copy-pasted expression — the governed
+    alternative to Python UDFs with ZERO serialization cost, because
+    the body is inlined into the plan at resolution time (Catalyst
+    sees the raw expression: pushdown/codegen apply as if hand-written,
+    which the oracle proves by hand-inlining the same arithmetic).
+
+    The discount-net revenue body reuses the exact-cents idiom AFTER
+    the UDF call, so the float surface is the one shared IEEE
+    expression both engines evaluate identically.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION jg_net(
+            price DOUBLE, disc DOUBLE
+        ) RETURNS DOUBLE RETURN price * (1.0 - disc)
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "udf_lineitem_src"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               (CAST(sum(CAST(round(jg_net(l_extendedprice, l_discount)
+                                    * 100.0) AS BIGINT)) AS BIGINT)
+                / 100.0) AS net_revenue
+        FROM udf_lineitem_src
+        GROUP BY l_returnflag
+        """
+    )

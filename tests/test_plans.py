@@ -745,3 +745,34 @@ def test_range_lookup_broadcasts_tiers_and_covers_all_orders(spark, sf_dir):
     total = df.agg(F.sum("n_orders")).collect()[0][0]
     n_orders = load_table(spark, sf_dir, "orders").count()
     assert total == n_orders, (total, n_orders)
+
+
+def test_streaks_single_shuffle_take_ordered(spark, sf_dir):
+    """Gaps-and-islands must stay join-free: one user_id partitioning
+    feeds the distinct, the island window, and the per-user best; the
+    global top-25 must fuse to TakeOrderedAndProject."""
+    df = q(spark, sf_dir, "event_activity_streaks")
+    assert join_strategies(df) == [], join_strategies(df)
+    assert uses_take_ordered(df)
+
+
+def test_sql_udf_body_is_inlined(spark, sf_dir):
+    """A SQL-defined function must dissolve into the plan at resolution
+    time: no Python evaluation node anywhere (the whole point over a
+    Python UDF), and the aggregation still combines map-side."""
+    df = q(spark, sf_dir, "sql_udf_scalar")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan, plan[:2000]
+    assert has_partial_aggregate(df)
+
+
+def test_pipe_syntax_plans_like_nested_form(spark, sf_dir):
+    """The |> pipeline must produce the same plan shape as the classic
+    GROUP BY: filter present, partial+final aggregation, no joins —
+    pipe syntax is parse-level sugar, not a different executor."""
+    df = q(spark, sf_dir, "sql_pipe_syntax")
+    assert join_strategies(df) == [], join_strategies(df)
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan, plan[:2000]
