@@ -904,3 +904,46 @@ def sql_udf_scalar(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               (CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT))
+                     AS BIGINT) / 100.0) AS total_balance
+        FROM customer
+        WHERE c_nationkey < 10
+        GROUP BY c_mktsegment
+    """,
+    tags=("relational", "spark4", "parameterized-sql"),
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL with named markers and an IDENTIFIER() table
+    reference (Spark 3.4+/4.x, SPARK-41271/SPARK-43205): the
+    injection-safe template surface BI layers and dashboards feed —
+    values bind as literals AFTER parsing (`:threshold`), and table
+    names bind through IDENTIFIER so the template itself is constant.
+    Catalyst folds the bound literal, so the filter still reaches the
+    scan as a pushed predicate — parameterization costs nothing at
+    plan time (same bar as the SQL-UDF inlining gate).
+
+    Scale shape: identical to the hand-written form — pushed filter +
+    partial agg on a low-cardinality key.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "param_customer_src"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               (CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT))
+                     AS BIGINT) / 100.0) AS total_balance
+        FROM IDENTIFIER(:tbl)
+        WHERE c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"tbl": "param_customer_src", "max_nation": 10},
+    )

@@ -776,3 +776,13 @@ def test_pipe_syntax_plans_like_nested_form(spark, sf_dir):
     assert has_partial_aggregate(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan, plan[:2000]
+
+
+def test_parameterized_sql_pushes_bound_literal(spark, sf_dir):
+    """A named-parameter binding must behave exactly like a hand-written
+    literal: the c_nationkey filter reaches the parquet scan as a
+    pushed predicate (parameterization is parse-time, not a runtime
+    filter barrier)."""
+    df = q(spark, sf_dir, "sql_parameterized")
+    pushed = " ".join(pushed_filters(df))
+    assert "c_nationkey" in pushed, pushed
