@@ -937,3 +937,71 @@ def stream_session_ttl(spark, sf_dir):
     return run_available_now(
         ttl_sessionize(s), output_mode="append", name_prefix="sess_ttl"
     )
+
+
+@register(
+    "stream_attribution_last_touch",
+    oracle="""
+        WITH touches AS (
+            SELECT event_id, user_id, ts, event_type
+            FROM events WHERE event_type IN ('click', 'view')
+        ), purchases AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), ranked AS (
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   p.ts AS pts, t.event_id AS touch_event_id,
+                   t.event_type AS touch_type, t.ts AS tts,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY t.ts DESC, t.event_id DESC
+                   ) AS rn
+            FROM purchases p
+            JOIN touches t
+              ON t.user_id = p.user_id
+             AND (t.ts < p.ts
+                  OR (t.ts = p.ts AND t.event_id < p.event_id))
+             AND t.ts >= p.ts - INTERVAL 7 DAY
+        )
+        SELECT user_id, purchase_id,
+               strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               touch_event_id, touch_type,
+               CAST((epoch_us(pts) - epoch_us(tts)) // 1000000 AS BIGINT)
+                   AS gap_seconds
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "stateful", "pandas-udf", "attribution"),
+)
+def stream_attribution_last_touch(spark, sf_dir):
+    """STREAMING last-touch attribution (custom stateful operator,
+    ``applyInPandasWithState``): the user's latest marketing touch
+    lives in the state store; each purchase emits its attribution in
+    the micro-batch it arrives — conversion-time attribution instead
+    of the nightly batch window. FULLY oracled against the identical
+    batch semantics (the event_attribution_last_touch rank-over-join):
+    after draining the bounded source, the streamed emission set must
+    hash-match the batch answer row-for-row — stream/batch parity for
+    a state machine with ordering-sensitive tie semantics ((ts,
+    event_id) lexicographic "before", the repo-wide tiebreak).
+
+    Scale: state is ONE struct per active user (not history); the
+    production deployment adds an event-time TTL at the 7-day lookback
+    (the ttl_sessionize pattern). Arrow-batched per key group, no
+    driver state.
+    """
+    s = read_events_stream(spark, sf_dir)
+    from jubilant_garbanzo_spark.streaming.stateful import attribute_last_touch
+
+    out = run_available_now(
+        attribute_last_touch(s), output_mode="append", name_prefix="attr"
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.date_format(
+            F.timestamp_micros(F.col("purchase_ts_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("purchase_ts"),
+        "touch_event_id",
+        "touch_type",
+        "gap_seconds",
+    )

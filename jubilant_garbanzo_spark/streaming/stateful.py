@@ -235,3 +235,100 @@ def ttl_sessionize(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+#: Last-touch attribution (streaming twin of the batch
+#: event_attribution_last_touch query): state = the user's latest
+#: marketing touch, purchases attribute against it as they stream in.
+ATTRIBUTION_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+ATTR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("purchase_ts_us", T.LongType()),
+        T.StructField("touch_event_id", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("gap_seconds", T.LongType()),
+    ]
+)
+
+#: (latest touch) — µs event time, event id, type.
+ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tts_us", T.LongType()),
+        T.StructField("tid", T.LongType()),
+        T.StructField("ttype", T.StringType()),
+    ]
+)
+
+
+def _update_last_touch(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Replay this batch's rows for one user in (ts, event_id) order:
+    touches advance the latest-touch state, purchases attribute against
+    it (7-day lookback, lexicographic "before" — identical tie
+    semantics to the batch window form)."""
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in pdf_iter:
+        for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            rows.append((int(ts.value // 1_000), int(eid), str(etype)))
+    rows.sort()
+    touch = tuple(state.get) if state.exists else None  # (tts_us, tid, ttype)
+    out: list[tuple[int, int, int, str, int]] = []
+    for tus, eid, etype in rows:
+        if etype in ("click", "view"):
+            if touch is None or (tus, eid) > (touch[0], touch[1]):
+                touch = (tus, eid, etype)
+        elif etype == "purchase" and touch is not None:
+            if touch[0] >= tus - ATTRIBUTION_LOOKBACK_US:
+                out.append(
+                    (eid, tus, touch[1], touch[2], (tus - touch[0]) // 1_000_000)
+                )
+    if touch is not None:
+        state.update(touch)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out),
+            "purchase_id": [o[0] for o in out],
+            "purchase_ts_us": [o[1] for o in out],
+            "touch_event_id": [o[2] for o in out],
+            "touch_type": [o[3] for o in out],
+            "gap_seconds": [o[4] for o in out],
+        }
+    ).astype(
+        {
+            "user_id": "int64",
+            "purchase_id": "int64",
+            "purchase_ts_us": "int64",
+            "touch_event_id": "int64",
+            "touch_type": "object",
+            "gap_seconds": "int64",
+        }
+    )
+
+
+def attribute_last_touch(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution: one (latest-touch) struct per
+    user in the state store; purchases emit their attribution the
+    micro-batch they arrive — the real-time version of the batch
+    running-struct window (event_attribution_last_touch), and the
+    operator a marketing pipeline actually deploys (attribution at
+    conversion time, not in a nightly batch).
+
+    State is O(active users) × one struct; production adds an
+    event-time TTL at the lookback horizon to garbage-collect quiet
+    users (the ttl_sessionize pattern) — elided here so the bounded
+    drain keeps every key inspectable.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_last_touch,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
