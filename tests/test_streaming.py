@@ -553,3 +553,48 @@ def test_ttl_session_state_survives_checkpoint_restart(spark, tmp_path):
     second = drain("ttl_run2")
     got = {r.user_id: (r.n_events, r.closed_by) for r in second}
     assert got.get(1) == (3, "timeout"), got
+
+
+def test_attribution_state_carries_across_batches(spark, tmp_path):
+    """A purchase arriving in a LATER micro-batch must attribute to the
+    touch stored from an earlier one (the state-carry contract), and a
+    purchase with no in-window touch must emit nothing."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from jubilant_garbanzo_spark.streaming.runner import run_available_now
+    from jubilant_garbanzo_spark.streaming.stateful import attribute_last_touch
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = str(tmp_path / "attr_src")
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m, 0)  # noqa: E731
+    b1 = [(1, t(0), 7, "click"), (2, t(1), 8, "purchase")]  # u8: no touch
+    b2 = [(3, t(30), 7, "purchase")]  # u7: attributes to event 1
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = run_available_now(
+        attribute_last_touch(stream), output_mode="append", name_prefix="attr_t"
+    )
+    rows = [
+        (r["user_id"], r["purchase_id"], r["touch_event_id"], r["gap_seconds"])
+        for r in out.collect()
+    ]
+    assert rows == [(7, 3, 1, 1800)], rows
