@@ -1743,3 +1743,156 @@ def event_rfm_segmentation(spark, sf_dir):
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
         F.min("recency_days").cast("bigint").alias("min_recency_days"),
     )
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list_transform(
+                       list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       x -> [x, 0.0]
+                   ) AS vals
+            FROM events
+            WHERE value IS NOT NULL AND user_id < 50
+            GROUP BY user_id
+        ), fit AS (
+            SELECT user_id,
+                   CAST(len(vals) AS BIGINT) AS n_points,
+                   list_reduce(vals, (acc, x) -> [
+                       0.25 * x[1] + 0.75 * (acc[1] + acc[2]),
+                       0.3 * ((0.25 * x[1] + 0.75 * (acc[1] + acc[2]))
+                              - acc[1]) + 0.7 * acc[2]
+                   ]) AS lb
+            FROM s
+        )
+        SELECT user_id, n_points,
+               round(lb[1], 6) AS level,
+               round(lb[2], 6) AS trend,
+               round(lb[1] + lb[2], 6) AS forecast_next
+        FROM fit
+    """,
+    tags=("analytics", "timeseries", "holt", "recursive"),
+)
+def timeseries_holt_linear(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (α=0.25,
+    β=0.3) per user — the COUPLED two-accumulator recurrence one step
+    up from timeseries_ewma's single fold: lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, forecast = l+b. Both engines fold the
+    SAME [level, trend] array accumulator seeded from the first
+    observation (list_reduce's first-element init ≡ Spark aggregate
+    with vals[0] as zero), with lₜ inlined twice in the trend update —
+    a duplicated-subexpression, not a second read, so the IEEE trees
+    are identical and the driver hash is exact despite a genuinely
+    recursive float computation.
+
+    Scale shape: per-user collect + one linear fold — the sessionized
+    sequence-model pattern (state lives in one array per key, folds
+    are JVM-side codegen). user_id < 50 bounds the collected arrays
+    the same way timeseries_ewma documents.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("user_id") < 50))
+        .select("user_id", "ts", "event_id", F.col("value").cast("double").alias("x"))
+    )
+    s = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "x"))),
+            lambda r: F.array(r["x"], F.lit(0.0)),
+        ).alias("vals")
+    )
+    lb = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.array(
+            0.25 * x[0] + 0.75 * (acc[0] + acc[1]),
+            0.3 * ((0.25 * x[0] + 0.75 * (acc[0] + acc[1])) - acc[0])
+            + 0.7 * acc[1],
+        ),
+    )
+    return s.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_points"),
+        F.round(lb[0], 6).alias("level"),
+        F.round(lb[1], 6).alias("trend"),
+        F.round(lb[0] + lb[1], 6).alias("forecast_next"),
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT cents,
+                   CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                        AS BIGINT) AS i
+            FROM per_cust
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS tot,
+                   CAST(sum(i * cents) AS BIGINT) AS iwsum
+            FROM ranked
+        )
+        SELECT n AS n_customers,
+               round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_units,
+               round((2.0 * CAST(iwsum AS DOUBLE)
+                      - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+                   AS gini
+        FROM m
+    """,
+    tags=("agg", "stats", "concentration", "window"),
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality / whale-dependence metric (how much of revenue sits in
+    the top customers), via the rank formulation G = (2·Σi·xᵢ −
+    (n+1)·Σx) / (n·Σx) over ascending-sorted per-customer totals. All
+    three moments are exact integers (cents, BIGINT rank products); the
+    one float expression is the final closed form, rounded once — the
+    agg_welch_ttest exactness discipline applied to a sort-rank
+    statistic.
+
+    Scale shape: per-customer totals are one partial agg; the global
+    ascending rank is the only total order, and at 100 TB it becomes
+    the two-phase bucket-offset row numbering (ids_global_row_number)
+    — the formula only needs (i, xᵢ) products, which the offset form
+    yields without a single-partition sort. Tie-break (cents,
+    o_custkey) keeps the rank — and therefore the driver hash —
+    deterministic under equal totals.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("iwsum"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("tot").cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(td / 100.0, 2).alias("total_units"),
+        F.round(
+            (2.0 * F.col("iwsum").cast("double") - (nd + 1.0) * td) / (nd * td),
+            6,
+        ).alias("gini"),
+    )
