@@ -86,7 +86,7 @@ def register(
 #:    dedup_semantic_clusters, event_cumulative_reach, join_range_lookup,
 #:    event_activity_streaks, event_rfm_segmentation, sql_pipe_syntax,
 #:    sql_udf_scalar, sql_parameterized, stream_attribution_last_touch,
-#:    timeseries_holt_linear, agg_gini_concentration.
+#:    timeseries_holt_linear, agg_gini_concentration, table_time_travel.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -571,3 +571,101 @@ def stream_python_datasource_sink(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "table_time_travel",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 3 != 0
+        ), v2 AS (
+            SELECT k, cents + CASE WHEN k % 5 = 0 THEN 1000 ELSE 0 END
+                       AS cents
+            FROM v1 WHERE k % 7 != 0
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v1) AS v1_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM v2) AS v2_rows,
+               (SELECT CAST(sum(cents) AS BIGINT) FROM v1) AS v1_cents,
+               (SELECT CAST(sum(cents) AS BIGINT) FROM v2) AS v2_cents,
+               (SELECT CAST(count(*) AS BIGINT) FROM v1
+                WHERE k % 7 = 0) AS n_deleted,
+               (SELECT CAST(count(*) AS BIGINT) FROM v1
+                WHERE k % 7 != 0 AND k % 5 = 0) AS n_updated
+    """,
+    tags=("sources", "lakehouse", "time-travel", "snapshot"),
+)
+def table_time_travel(spark, sf_dir):
+    """Snapshot-versioned table with manifest-gated TIME TRAVEL
+    (sources/versioned.py — the Delta/Iceberg visibility kernel on
+    bare parquet): version 1 is a slice of orders; version 2 deletes
+    every 7th key and updates every 5th; both snapshots publish via
+    data-first/manifest-last atomic commits. The query then reads v1
+    BY EXPLICIT VERSION and v2 through latest-resolution, and diffs
+    them with a full-outer key join — counts and exact-cents sums of
+    BOTH time-travel reads must match the oracle's direct
+    recomputation, proving the manifests point at the right immutable
+    snapshots and the latest-pointer resolves correctly.
+
+    Scale shape: commits are plain parquet writes + one driver-side
+    manifest rename (O(1) metadata, the object-store-atomic pattern);
+    the diff is a key-partitioned full-outer join. Copy-on-write full
+    snapshots = Delta's checkpoint representation; a delta log is an
+    optimization on top, not a semantics change.
+    """
+    import tempfile
+
+    from jubilant_garbanzo_spark.sources.versioned import (
+        commit_version,
+        read_version,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="jg_versioned_")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v1 = base.filter(F.col("k") % 3 != 0)
+    v2 = v1.filter(F.col("k") % 7 != 0).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 5 == 0, F.lit(1000)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    commit_version(v1, table_dir, 1)
+    commit_version(v2, table_dir, 2)
+
+    r1 = read_version(spark, table_dir, version=1)
+    r2 = read_version(spark, table_dir)  # latest-resolution path
+    a = r1.select(F.col("k"), F.col("cents").alias("c1"))
+    b = r2.select(F.col("k"), F.col("cents").alias("c2"))
+    diff = a.join(b, "k", "full_outer").agg(
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.sum(
+            F.when(
+                F.col("c1").isNotNull()
+                & F.col("c2").isNotNull()
+                & (F.col("c1") != F.col("c2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_updated"),
+    )
+    s1 = r1.agg(
+        F.count("*").cast("bigint").alias("v1_rows"),
+        F.sum("cents").cast("bigint").alias("v1_cents"),
+    )
+    s2 = r2.agg(
+        F.count("*").cast("bigint").alias("v2_rows"),
+        F.sum("cents").cast("bigint").alias("v2_cents"),
+    )
+    return (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(diff))
+        .select("v1_rows", "v2_rows", "v1_cents", "v2_cents", "n_deleted", "n_updated")
+    )

@@ -637,3 +637,30 @@ def test_global_row_number_matches_enumerate(spark, tmp_path_factory, keys):
         if (i + 1) % 100 == 1 or (i + 1) == n
     }
     assert got == want
+
+
+def test_versioned_table_snapshot_isolation(spark, tmp_path):
+    """An in-flight write (data present, manifest absent) must be
+    invisible: latest-resolution keeps serving the last PUBLISHED
+    version, and publishing is the manifest rename alone."""
+    from jubilant_garbanzo_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    table_dir = str(tmp_path / "vt")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(9).withColumnRenamed("id", "k")
+    commit_version(df1, table_dir, 1)
+    assert latest_version(table_dir) == 1
+    # Simulate an in-flight v2: data lands, no manifest yet.
+    df2.write.mode("overwrite").parquet(f"{table_dir}/v2")
+    assert latest_version(table_dir) == 1
+    assert read_version(spark, table_dir).count() == 5
+    # Publish: one manifest write flips visibility.
+    commit_version(df2, table_dir, 2)
+    assert latest_version(table_dir) == 2
+    assert read_version(spark, table_dir).count() == 9
+    # Time travel still serves the immutable v1.
+    assert read_version(spark, table_dir, version=1).count() == 5
