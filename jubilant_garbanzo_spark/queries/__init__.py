@@ -86,7 +86,8 @@ def register(
 #:    dedup_semantic_clusters, event_cumulative_reach, join_range_lookup,
 #:    event_activity_streaks, event_rfm_segmentation, sql_pipe_syntax,
 #:    sql_udf_scalar, sql_parameterized, stream_attribution_last_touch,
-#:    timeseries_holt_linear, agg_gini_concentration, table_time_travel.
+#:    timeseries_holt_linear, agg_gini_concentration, table_time_travel,
+#:    quality_iqr_fences, event_spike_detection.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -1896,3 +1896,97 @@ def agg_gini_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "event_spike_detection",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ), trailed AS (
+            SELECT event_type, h, cnt,
+                   CAST(count(cnt) OVER w AS BIGINT) AS n,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS s,
+                   CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               strftime(h, '%Y-%m-%d %H:%M') AS hour,
+               cnt,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                   AS trailing_mean,
+               round((CAST(cnt AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))), 4) AS z
+        FROM trailed
+        WHERE n >= 12
+          AND (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0
+          AND (CAST(cnt AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0))) > 3.0
+    """,
+    tags=("analytics", "anomaly", "monitoring", "window"),
+)
+def event_spike_detection(spark, sf_dir):
+    """Operational spike detection: an hourly count is a SPIKE when it
+    exceeds its own type's trailing-24h mean by > 3 trailing sample
+    standard deviations — the streaming-ops alerting rule, computed
+    batch-side. The trailing moments are INTEGER window sums (n, Σx,
+    Σx² over bigint counts), so the float surface is one closed-form
+    z expression evaluated identically on both engines (the
+    agg_welch_ttest discipline inside a moving window); the filter
+    applies it unrounded, the projection rounds once. Warm-up gating
+    (≥ 12 trailing cells, positive variance) keeps the start of each
+    series and constant stretches out.
+
+    Scale shape: the hourly rollup collapses events to the bounded
+    (type × hour) grid; the trailing window sorts only that grid per
+    type — the bounded-cell discipline; alerting at 100 TB runs the
+    same plan over the rollup table, never the raw events.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    t = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count("cnt").over(w).cast("bigint").alias("n"),
+        F.sum("cnt").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var_num = nd * ssd - sd * sd
+    z = (F.col("cnt").cast("double") - sd / nd) / F.sqrt(
+        var_num / (nd * (nd - 1.0))
+    )
+    return (
+        t.filter((F.col("n") >= 12) & (var_num > 0) & (z > 3.0))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm").alias("hour"),
+            "cnt",
+            F.round(sd / nd, 4).alias("trailing_mean"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -1430,3 +1430,69 @@ def profile_ks_two_sample(spark, sf_dir):
             F.round(F.col("value"), 6).alias("ks_at_value"),
         )
     )
+
+
+@register(
+    "quality_iqr_fences",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(q.q1, 4) AS q1,
+               round(q.q3, 4) AS q3,
+               round(q.q3 - q.q1, 4) AS iqr,
+               CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                               OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events e JOIN q ON q.event_type = e.event_type
+        GROUP BY e.event_type, q.q1, q.q3
+    """,
+    tags=("quality", "outlier", "robust-stats"),
+)
+def quality_iqr_fences(spark, sf_dir):
+    """Tukey IQR-fence outlier screen per event type — the ROBUST
+    companion to anomaly_zscore_outliers (mean/σ fences move with the
+    outliers they hunt; quartile fences don't). Exact interpolated
+    quartiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    agg_percentiles equivalence), fences evaluated on the raw doubles,
+    quartiles rounded only in the projection.
+
+    Scale shape: exact percentiles need a per-group sort — fine for
+    5 groups; at high group counts the scale path is
+    approx_percentile + exact refinement (the agg_percentile_approx
+    bound pattern). The fence scan is a broadcast join of the 5-row
+    quartile table back against events — map-side, one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            "n_outliers",
+            "n_rows",
+        )
+    )
