@@ -87,7 +87,8 @@ def register(
 #:    event_activity_streaks, event_rfm_segmentation, sql_pipe_syntax,
 #:    sql_udf_scalar, sql_parameterized, stream_attribution_last_touch,
 #:    timeseries_holt_linear, agg_gini_concentration, table_time_travel,
-#:    quality_iqr_fences, event_spike_detection.
+#:    quality_iqr_fences, event_spike_detection, agg_mutual_information,
+#:    graph_kcore, text_winnowing_fingerprints.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -1112,3 +1112,112 @@ def agg_welch_ttest(spark, sf_dir):
             6,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+        ), marg_t AS (
+            SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY t
+        ), marg_h AS (
+            SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM cells GROUP BY h
+        ), terms AS (
+            SELECT CAST(round(
+                       (CAST(c.c AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       * ln(CAST(c.c AS DOUBLE) * CAST(m.n AS DOUBLE)
+                            / (CAST(t.ct AS DOUBLE)
+                               * CAST(h.ch AS DOUBLE)))
+                       * 1000000000.0) AS BIGINT) AS miq
+            FROM cells c
+            JOIN marg_t t ON t.t = c.t
+            JOIN marg_h h ON h.h = c.h
+            CROSS JOIN m
+        ), ent_t AS (
+            SELECT CAST(sum(CAST(round(
+                       -(CAST(ct AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       * ln(CAST(ct AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       * 1000000000.0) AS BIGINT)) AS BIGINT) AS hq
+            FROM marg_t, m
+        ), ent_h AS (
+            SELECT CAST(sum(CAST(round(
+                       -(CAST(ch AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       * ln(CAST(ch AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       * 1000000000.0) AS BIGINT)) AS BIGINT) AS hq
+            FROM marg_h, m
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+               round((SELECT CAST(sum(miq) AS BIGINT) FROM terms)
+                     / 1000000000.0, 6) AS mi_nats,
+               round((SELECT hq FROM ent_t) / 1000000000.0, 6)
+                   AS h_type_nats,
+               round((SELECT hq FROM ent_h) / 1000000000.0, 6)
+                   AS h_hour_nats
+    """,
+    tags=("agg", "stats", "information-theory"),
+)
+def agg_mutual_information(spark, sf_dir):
+    """Mutual information I(event_type; hour-of-day) plus both marginal
+    entropies — the dependence screen feature stores run before
+    trusting a categorical split (MI ≈ 0 ⇒ the hour tells you nothing
+    about the type). Every p·ln(p…) term derives from INTEGER cell
+    counts in one fixed-shape IEEE expression, is nano-quantized to a
+    BIGINT, and the quantized terms sum order-free — the
+    profile_psi_drift discipline, so a 120-cell float reduction still
+    hash-matches across engines.
+
+    Scale shape: one partial agg collapses events to the bounded
+    (type × hour) grid; marginals and terms are joins over that grid
+    only. At 100 TB the grid is still 120 cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    m = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    marg_t = cells.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
+    marg_h = cells.groupBy("h").agg(F.sum("c").cast("bigint").alias("ch"))
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    miq = F.round(
+        (cd / nd)
+        * F.log(
+            cd * nd / (F.col("ct").cast("double") * F.col("ch").cast("double"))
+        )
+        * 1000000000.0
+    ).cast("bigint")
+    terms = (
+        cells.join(marg_t, "t")
+        .join(marg_h, "h")
+        .crossJoin(F.broadcast(m))
+        .select(miq.alias("miq"))
+        .agg(F.sum("miq").cast("bigint").alias("miq"))
+    )
+
+    def entropy(marg, col):
+        p = F.col(col).cast("double") / F.col("n").cast("double")
+        q = F.round((-p) * F.log(p) * 1000000000.0).cast("bigint")
+        return (
+            marg.crossJoin(F.broadcast(m))
+            .select(q.alias("hq"))
+            .agg(F.sum("hq").cast("bigint").alias("hq"))
+        )
+
+    n_cells = cells.agg(F.count("*").cast("bigint").alias("n_cells"))
+    return (
+        n_cells.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(entropy(marg_t, "ct").withColumnRenamed("hq", "hqt")))
+        .crossJoin(F.broadcast(entropy(marg_h, "ch").withColumnRenamed("hq", "hqh")))
+        .select(
+            "n_cells",
+            F.round(F.col("miq") / 1000000000.0, 6).alias("mi_nats"),
+            F.round(F.col("hqt") / 1000000000.0, 6).alias("h_type_nats"),
+            F.round(F.col("hqh") / 1000000000.0, 6).alias("h_hour_nats"),
+        )
+    )

@@ -632,3 +632,133 @@ def graph_degree_distribution(spark, sf_dir):
             F.sum("n_nodes").over(w).cast("bigint").alias("nodes_with_at_least"),
         )
     )
+
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 3
+
+
+def _kcore_edge_cte() -> str:
+    """Shared oracle CTE: the symmetrized significant-trade graph
+    (graph_bfs_hops' sparsification, undirected, self-loops dropped)."""
+    return """
+        WITH e0 AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(sum(w) AS BIGINT) AS tw,
+                   CAST(count(*) AS BIGINT) AS ne
+            FROM e0
+        ), und AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0, tot WHERE w * ne >= tw
+                UNION ALL
+                SELECT dst, src FROM e0, tot WHERE w * ne >= tw
+            ) WHERE src != dst
+        )"""
+
+
+def _kcore_oracle() -> str:
+    k, parts = _KCORE_K, [_kcore_edge_cte()]
+    prev = "und"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""
+        , deg{i} AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM {prev} GROUP BY src
+        ), keep{i} AS (
+            SELECT node FROM deg{i} WHERE deg >= {k}
+        ), e{i} AS (
+            SELECT u.src, u.dst FROM und u
+            JOIN keep{i} a ON a.node = u.src
+            JOIN keep{i} b ON b.node = u.dst
+        )""")
+        prev = f"e{i}"
+    r = _KCORE_ROUNDS
+    parts.append(f"""
+        SELECT n.n_name AS nation, d.deg AS core_degree
+        FROM (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM e{r} GROUP BY src) d
+        JOIN nation n ON n.n_nationkey = d.node
+    """)
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=12, 3 synchronous peel rounds) of the
+    significant-trade graph — the 7th graph algorithm (after PageRank,
+    triangles, CC, BFS, LPA, SSSP): repeatedly delete nodes with
+    degree < k until the dense core remains; the standard screen for
+    "structurally embedded" entities vs hangers-on (dense-subgraph
+    mining, spam/community cores). Peeling is CASCADING — removing a
+    hub lowers its neighbors' degrees, so round 2 can evict nodes
+    round 1 kept — which is exactly what the unrolled-CTE oracle
+    replays round for round. Integer degrees end-to-end: the driver
+    hash covers the full cascade.
+
+    Scale shape: the graph_pagerank discipline — fact joins collapse
+    to an entity edge list once; each peel round is one degree agg +
+    one semi-join of edges against surviving nodes (broadcast-sized
+    survivor set); rounds ≈ O(peeling depth), statically unrolled so
+    lineage stays bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    tot = e0.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    sig = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("src", "dst")
+    )
+    und = (
+        sig.unionByName(sig.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    edges = und
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select(F.col("src").alias("node"))
+        edges = (
+            und.join(F.broadcast(keep), und.src == keep.node, "left_semi")
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "node2")),
+                F.col("dst") == F.col("node2"),
+                "left_semi",
+            )
+        )
+    final_deg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )
+    return final_deg.join(
+        nation, final_deg.src == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "core_degree")

@@ -2319,3 +2319,95 @@ def dedup_semantic_clusters(spark, sf_dir):
         F.col("b.vec_id").alias("dup_id"),
         F.col("b.cid").cast("bigint").alias("cluster_id"),
     ).agg(F.min(F.col("a.vec_id")).alias("keeper_id"))
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id < 200
+        ), kg AS (
+            SELECT doc_id, CAST(r.i AS BIGINT) AS idx,
+                   ('0x' || substr(md5(
+                        array_to_string(ts[r.i + 1 : r.i + 4], ' ')
+                    ), 1, 15))::BIGINT % 1000000007 AS h
+            FROM toks, UNNEST(range(0, len(ts) - 3)) AS r(i)
+        ), sized AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM kg
+            GROUP BY doc_id
+        ), codes AS (
+            SELECT doc_id, idx, h * 1048576 + idx AS code FROM kg
+        ), wins AS (
+            SELECT c.doc_id, c.idx,
+                   min(code) OVER (PARTITION BY c.doc_id ORDER BY c.idx
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+                   s.m
+            FROM codes c JOIN sized s ON s.doc_id = c.doc_id
+        ), fps AS (
+            SELECT DISTINCT doc_id, sel, m FROM wins WHERE idx <= m - 5
+        )
+        SELECT doc_id, m AS n_kgrams,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(sum(sel) AS BIGINT) AS fp_checksum
+        FROM fps GROUP BY doc_id, m
+    """,
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detection algorithm, public
+    literature): hash every 4-token k-gram, slide a window of 5
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    shared run of ≥ 8 tokens between two documents shares a
+    fingerprint, at ~2/(w+1) the storage of full shingling. The LOCAL
+    selection is what distinguishes it from text_fingerprints (one
+    global rolling hash — detects whole-doc dups only) and MinHash
+    (global random minima — set similarity, no positional guarantee).
+
+    Determinism: (hash, position) min-selection is encoded as ONE
+    integer key h·2²⁰ + idx, so the window min, the distinct set, and
+    the checksum are pure BIGINT arithmetic — bit-equal cross-engine
+    with zero float surface.
+
+    Scale shape: per-doc map (tokenize → k-gram hash) + one
+    doc-partitioned window + a distinct — the sessionized-window
+    pattern; fingerprint posting lists then join like any inverted
+    index (text_inverted_index). doc_id < 200 bounds the fixture run.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 4),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, 4)),
+            )
+        ).alias("idx", "kgram"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        (
+            F.conv(F.substring(F.md5(F.col("kgram")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 1000000007
+        ).alias("h"),
+    )
+    sized = kg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
+    codes = kg.select(
+        "doc_id", "idx", (F.col("h") * 1048576 + F.col("idx")).alias("code")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 4)
+    wins = (
+        codes.join(sized, "doc_id")
+        .select("doc_id", "idx", "m", F.min("code").over(w).alias("sel"))
+        .filter(F.col("idx") <= F.col("m") - 5)
+    )
+    fps = wins.select("doc_id", "m", "sel").distinct()
+    return fps.groupBy("doc_id", F.col("m").alias("n_kgrams")).agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.sum("sel").cast("bigint").alias("fp_checksum"),
+    )
