@@ -88,7 +88,8 @@ def register(
 #:    sql_udf_scalar, sql_parameterized, stream_attribution_last_touch,
 #:    timeseries_holt_linear, agg_gini_concentration, table_time_travel,
 #:    quality_iqr_fences, event_spike_detection, agg_mutual_information,
-#:    graph_kcore, text_winnowing_fingerprints.
+#:    graph_kcore, text_winnowing_fingerprints, dedup_winnowing_overlap,
+#:    pipeline_temperature_mixture.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

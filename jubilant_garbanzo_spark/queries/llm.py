@@ -2411,3 +2411,109 @@ def text_winnowing_fingerprints(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_fingerprints"),
         F.sum("sel").cast("bigint").alias("fp_checksum"),
     )
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id < 200
+        ), kg AS (
+            SELECT doc_id, CAST(r.i AS BIGINT) AS idx,
+                   ('0x' || substr(md5(
+                        array_to_string(ts[r.i + 1 : r.i + 4], ' ')
+                    ), 1, 15))::BIGINT % 1000000007 AS h
+            FROM toks, UNNEST(range(0, len(ts) - 3)) AS r(i)
+        ), sized AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM kg
+            GROUP BY doc_id
+        ), wins AS (
+            SELECT c.doc_id, c.idx,
+                   min(h * 1048576 + idx) OVER (
+                       PARTITION BY c.doc_id ORDER BY c.idx
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+                   s.m
+            FROM kg c JOIN sized s ON s.doc_id = c.doc_id
+        ), fps AS (
+            SELECT DISTINCT doc_id, sel // 1048576 AS fp
+            FROM wins WHERE idx <= m - 5
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fingerprints
+        FROM fps a JOIN fps b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 3
+    """,
+    tags=("llm", "dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnowing_overlap(spark, sf_dir):
+    """Winnowing-overlap near-dup candidates: two documents pair when
+    they share ≥ 3 winnowed fingerprints (HASH value only — the
+    position leaves the key after selection, so the same run matches
+    at different offsets). The POSITIONAL guarantee is what MinHash
+    and SimHash lack: any shared token run ≥ 8 long is certain to
+    share a fingerprint, so excerpt-level overlap (quotes, boilerplate
+    runs) surfaces even when whole-doc similarity is low — the fourth
+    dedup geometry next to band-LSH, prefix-filtered Jaccard, and
+    cluster-scoped cosine.
+
+    Scale shape: the fingerprint posting list IS the candidate index —
+    an equi-join on fp (shuffle on fingerprint value, same plan as
+    dedup_minhash_lsh's band join), with fingerprint density ~2/(w+1)
+    of the k-gram count bounding posting-list mass; hot boilerplate
+    fingerprints are the skew point and get the stop-token cap
+    treatment at scale (graph_triangle_count's discipline). Pure
+    integer pipeline end-to-end.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 4),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, 4)),
+            )
+        ).alias("idx", "kgram"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        (
+            F.conv(F.substring(F.md5(F.col("kgram")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 1000000007
+        ).alias("h"),
+    )
+    sized = kg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 4)
+    wins = (
+        kg.join(sized, "doc_id")
+        .select(
+            "doc_id",
+            "idx",
+            "m",
+            F.min(F.col("h") * 1048576 + F.col("idx")).over(w).alias("sel"),
+        )
+        .filter(F.col("idx") <= F.col("m") - 5)
+    )
+    fps = wins.select(
+        "doc_id", F.expr("sel DIV 1048576").alias("fp")
+    ).distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= 3)
+    )

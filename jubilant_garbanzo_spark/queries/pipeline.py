@@ -867,3 +867,71 @@ def pipeline_shard_binpack(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM counts
+        ), targets AS (
+            SELECT c.lang,
+                   CAST(floor(300.0 * sqrt(CAST(c.n AS DOUBLE)) / t.z)
+                        AS BIGINT) AS target
+            FROM counts c, tot t
+        ), ranked AS (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rk
+            FROM documents
+        )
+        SELECT r.doc_id, r.lang, r.rk
+        FROM ranked r JOIN targets t ON t.lang = r.lang
+        WHERE r.rk <= t.target
+    """,
+    tags=("llm", "mixture", "sampling", "temperature"),
+)
+def pipeline_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled language mixture (the mT5 / XLM-R sampling
+    rule, Xue et al. 2021 §3.1 — public literature): sample language ℓ
+    with probability ∝ n_ℓ^α, α = 0.5 — upweighting low-resource
+    languages relative to proportional sampling without flattening to
+    uniform (text_domain_mixture's quota is the α→0 limit; raw
+    proportional is α=1). Budget 300 docs; per-language targets
+    floor(300·√n_ℓ/Σ√n), selection by deterministic md5 rank (the
+    sample_stratified_hash reproducibility rationale).
+
+    Float discipline: α=0.5 is chosen because IEEE sqrt is CORRECTLY
+    ROUNDED on every conforming platform (a general pow(x, 0.3) is
+    not) — so both engines compute bit-identical weights, targets, and
+    therefore the same kept set; the floor lands on identical doubles.
+
+    Scale shape: counts are a partial agg; targets a broadcast
+    5-row table; the per-language rank is the text_domain_mixture
+    window (threshold-refinement at web scale). Map-side after that.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"))
+    targets = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(300.0 * F.sqrt(F.col("n").cast("double")) / F.col("z"))
+        .cast("bigint")
+        .alias("target"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return ranked.join(F.broadcast(targets), "lang").filter(
+        F.col("rk") <= F.col("target")
+    ).select("doc_id", "lang", "rk")
