@@ -89,7 +89,8 @@ def register(
 #:    timeseries_holt_linear, agg_gini_concentration, table_time_travel,
 #:    quality_iqr_fences, event_spike_detection, agg_mutual_information,
 #:    graph_kcore, text_winnowing_fingerprints, dedup_winnowing_overlap,
-#:    pipeline_temperature_mixture.
+#:    pipeline_temperature_mixture, graph_link_prediction_jaccard,
+#:    timeseries_seasonal_decompose.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

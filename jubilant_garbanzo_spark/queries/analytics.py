@@ -1990,3 +1990,93 @@ def event_spike_detection(spark, sf_dir):
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ), trended AS (
+            SELECT event_type, h, cnt,
+                   CAST(count(cnt) OVER w AS BIGINT) AS n2,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS s2
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), det AS (
+            SELECT event_type,
+                   CAST(hour(h) AS BIGINT) AS hod,
+                   CAST(round((CAST(cnt AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS dq
+            FROM trended WHERE n2 = 25
+        )
+        SELECT event_type, hod,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round((CAST(sum(dq) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                     / 1000000000.0, 4) AS seasonal
+        FROM det GROUP BY event_type, hod
+    """,
+    tags=("analytics", "timeseries", "seasonal", "window"),
+)
+def timeseries_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition, step one and two:
+    TREND = centered 25-hour moving average of the hourly counts
+    (full windows only), SEASONAL = the hour-of-day profile of the
+    detrended series — the decomposition every capacity-planning and
+    anomaly pipeline runs before modeling residuals (the moving-average
+    STL ancestor; full STL swaps the means for loess, same plan
+    shape).
+
+    Float discipline: trend is ONE division of integer window sums;
+    each detrended cell is nano-quantized to a BIGINT immediately
+    (profile_psi_drift's order-free-sum trick), so the per-(type,
+    hour-of-day) seasonal mean is integer-sum / count — one more
+    division — and the hash has no float-accumulation surface.
+
+    Scale shape: events collapse to the bounded (type × hour) grid;
+    the centered MA sorts the grid per type; the seasonal agg is
+    120 output cells. Same bounded-cell discipline as
+    event_spike_detection, which consumes the residuals this
+    decomposition explains.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    trended = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count("cnt").over(w).cast("bigint").alias("n2"),
+        F.sum("cnt").over(w).cast("bigint").alias("s2"),
+    )
+    dq = F.round(
+        (
+            F.col("cnt").cast("double")
+            - F.col("s2").cast("double") / F.col("n2").cast("double")
+        )
+        * 1000000000.0
+    ).cast("bigint")
+    det = trended.filter(F.col("n2") == 25).select(
+        "event_type",
+        F.hour("h").cast("bigint").alias("hod"),
+        dq.alias("dq"),
+    )
+    return det.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(
+            (F.sum("dq").cast("double") / F.count("*").cast("double"))
+            / 1000000000.0,
+            4,
+        ).alias("seasonal"),
+    )
