@@ -1221,3 +1221,110 @@ def agg_mutual_information(spark, sf_dir):
             F.round(F.col("hqh") / 1000000000.0, 6).alias("h_hour_nats"),
         )
     )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(DISTINCT t) AS BIGINT) AS r,
+                   CAST(count(DISTINCT h) AS BIGINT) AS k
+            FROM cells
+        ), marg_t AS (
+            SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY t
+        ), marg_h AS (
+            SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM cells GROUP BY h
+        ), terms AS (
+            SELECT CAST(round(
+                       (CAST(c.c AS DOUBLE)
+                        - CAST(t.ct AS DOUBLE) * CAST(h.ch AS DOUBLE)
+                          / CAST(m.n AS DOUBLE))
+                       * (CAST(c.c AS DOUBLE)
+                          - CAST(t.ct AS DOUBLE) * CAST(h.ch AS DOUBLE)
+                            / CAST(m.n AS DOUBLE))
+                       / (CAST(t.ct AS DOUBLE) * CAST(h.ch AS DOUBLE)
+                          / CAST(m.n AS DOUBLE))
+                       * 1000000000.0) AS BIGINT) AS cq
+            FROM cells c
+            JOIN marg_t t ON t.t = c.t
+            JOIN marg_h h ON h.h = c.h
+            CROSS JOIN m
+        )
+        SELECT m.n AS n_events, m.r AS n_types, m.k AS n_hours,
+               round((SELECT CAST(sum(cq) AS BIGINT) FROM terms)
+                     / 1000000000.0, 6) AS chi2,
+               round(sqrt(((SELECT CAST(sum(cq) AS BIGINT) FROM terms)
+                           / 1000000000.0)
+                          / (CAST(m.n AS DOUBLE)
+                             * CAST(least(m.r, m.k) - 1 AS DOUBLE))), 6)
+                   AS cramers_v
+        FROM m
+    """,
+    tags=("agg", "stats", "association"),
+)
+def agg_cramers_v(spark, sf_dir):
+    """Cramér's V association strength between event_type and
+    hour-of-day — the bounded-[0,1] EFFECT SIZE that complements
+    agg_mutual_information's nats (V is what a dashboard thresholds;
+    MI is what a feature selector ranks): V = √(χ²/(N·(min(r,k)−1))).
+    Per-cell χ² terms derive from integer counts in one fixed-shape
+    IEEE expression, nano-quantize, and sum order-free (the
+    profile_psi_drift discipline); the final V is one sqrt of scalar
+    arithmetic.
+
+    Scale shape: identical to agg_mutual_information — the bounded
+    (type × hour) grid, marginal joins over the grid, one scalar
+    reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    m = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.countDistinct("t").cast("bigint").alias("r"),
+        F.countDistinct("h").cast("bigint").alias("k"),
+    )
+    marg_t = cells.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
+    marg_h = cells.groupBy("h").agg(F.sum("c").cast("bigint").alias("ch"))
+    e = (
+        F.col("ct").cast("double")
+        * F.col("ch").cast("double")
+        / F.col("n").cast("double")
+    )
+    cq = F.round(
+        (F.col("c").cast("double") - e) * (F.col("c").cast("double") - e) / e
+        * 1000000000.0
+    ).cast("bigint")
+    chi2q = (
+        cells.join(marg_t, "t")
+        .join(marg_h, "h")
+        .crossJoin(F.broadcast(m.select("n")))
+        .select(cq.alias("cq"))
+        .agg(F.sum("cq").cast("bigint").alias("chi2q"))
+    )
+    return (
+        m.crossJoin(F.broadcast(chi2q))
+        .select(
+            F.col("n").alias("n_events"),
+            F.col("r").alias("n_types"),
+            F.col("k").alias("n_hours"),
+            F.round(F.col("chi2q") / 1000000000.0, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.col("chi2q") / 1000000000.0)
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least(F.col("r"), F.col("k")) - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -2080,3 +2080,152 @@ def timeseries_seasonal_decompose(spark, sf_dir):
             4,
         ).alias("seasonal"),
     )
+
+
+@register(
+    "scd2_apply_changes",
+    # The oracle is the FULL REBUILD over all events — identical SQL to
+    # scd2_from_events — so the driver hash proves the incremental
+    # apply (history preserved + boundary close-outs + appended
+    # versions) reconstructs exactly what a from-scratch build says
+    # (the agg_incremental_maintenance "oracle IS the recompute"
+    # pattern, applied to dimension maintenance).
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS version,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), '%Y-%m-%d %H:%M:%S') AS valid_to,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL AS is_current
+        FROM changes
+    """,
+    tags=("analytics", "scd2", "cdc", "incremental", "merge"),
+)
+def scd2_apply_changes(spark, sf_dir):
+    """Incremental SCD2 maintenance (the MERGE pattern every dimension
+    pipeline runs nightly): an EXISTING SCD2 table (built from events
+    before Jan 21) receives a change batch (events from Jan 21 on) —
+    historical rows are carried over UNTOUCHED, each affected user's
+    open row is closed at their first new change, and new versions
+    append numbered from that user's historical max. The first delta
+    row per user compares against the OPEN row's type (not a lag
+    inside the batch), so a boundary row repeating the current type
+    correctly produces no change.
+
+    All windows order by (ts, event_id) — the repo-wide tiebreak —
+    and the incremental result must hash-equal the full rebuild.
+
+    Scale shape: the nightly apply touches only users present in the
+    delta (the history scan prunes by user partition / merge-on-read
+    at 100 TB); windows run per user over history + batch slices —
+    never a global recompute, which is the entire point vs
+    scd2_from_events.
+    """
+    split = F.lit("2024-01-21").cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist_ev = ev.filter(F.col("ts") < split)
+    delta_ev = ev.filter(F.col("ts") >= split)
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def change_rows(df):
+        return (
+            df.withColumn("prev_type", F.lag("event_type").over(wo))
+            .filter(
+                F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type"))
+            )
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+
+    hist_changes = change_rows(hist_ev)
+    # The standing SCD2 table: versions, validity, open rows.
+    hist_scd2 = hist_changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wo).cast("bigint").alias("version"),
+        F.col("ts").alias("valid_from_ts"),
+        F.lead("ts").over(wo).alias("valid_to_ts"),
+    )
+    # Open-row state per user: current type + max version.
+    cur = hist_scd2.filter(F.col("valid_to_ts").isNull()).select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.col("version").alias("n_versions"),
+    )
+    # Delta changes: first row per user compares to the OPEN type.
+    delta_marked = (
+        delta_ev.withColumn("prev_in_batch", F.lag("event_type").over(wo))
+        .join(F.broadcast(cur), "user_id", "left")
+        .withColumn(
+            "prev_type", F.coalesce(F.col("prev_in_batch"), F.col("cur_type"))
+        )
+    )
+    delta_changes = delta_marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", "ts", "event_id", "n_versions")
+    new_rows = delta_changes.select(
+        "user_id",
+        "event_type",
+        (
+            F.coalesce(F.col("n_versions"), F.lit(0))
+            + F.row_number().over(wo)
+        )
+        .cast("bigint")
+        .alias("version"),
+        F.col("ts").alias("valid_from_ts"),
+        F.lead("ts").over(wo).alias("valid_to_ts"),
+    )
+    # Close the formerly-open row of users whose delta produced changes.
+    first_new = delta_changes.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id"))["ts"].alias("close_ts")
+    )
+    closed_hist = (
+        hist_scd2.join(F.broadcast(first_new), "user_id", "left")
+        .select(
+            "user_id",
+            "event_type",
+            "version",
+            "valid_from_ts",
+            F.when(
+                F.col("valid_to_ts").isNull() & F.col("close_ts").isNotNull(),
+                F.col("close_ts"),
+            )
+            .otherwise(F.col("valid_to_ts"))
+            .alias("valid_to_ts"),
+        )
+    )
+    merged = closed_hist.unionByName(
+        new_rows.select(
+            "user_id", "event_type", "version", "valid_from_ts", "valid_to_ts"
+        )
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
+    )
