@@ -81,6 +81,9 @@ HEADLINE: tuple[str, ...] = (
     # Round-6 wave-5 addition: the heaviest new operator — cluster-scoped
     # semantic dedup (adaptive-k Lloyd + within-cluster cosine pairs).
     "dedup_semantic_clusters",
+    # Round-6 wave-6 addition: the heaviest late operator — cascading
+    # k-core peeling over the derived trade graph.
+    "graph_kcore",
 )
 
 
