@@ -90,7 +90,8 @@ def register(
 #:    quality_iqr_fences, event_spike_detection, agg_mutual_information,
 #:    graph_kcore, text_winnowing_fingerprints, dedup_winnowing_overlap,
 #:    pipeline_temperature_mixture, graph_link_prediction_jaccard,
-#:    timeseries_seasonal_decompose, scd2_apply_changes, agg_cramers_v.
+#:    timeseries_seasonal_decompose, scd2_apply_changes, agg_cramers_v,
+#:    window_rolling_distinct_users.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

@@ -2229,3 +2229,88 @@ def scd2_apply_changes(spark, sf_dir):
         F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("valid_to_ts").isNull().alias("is_current"),
     )
+
+
+@register(
+    "window_rolling_distinct_users",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), spine AS (
+            SELECT CAST(gs.d AS DATE) AS day
+            FROM (SELECT unnest(generate_series(
+                      (SELECT min(day) FROM pairs),
+                      (SELECT max(day) FROM pairs),
+                      INTERVAL 1 DAY)) AS d) gs
+        ), seg AS (
+            SELECT user_id, day,
+                   lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                       AS next_day
+            FROM pairs
+        ), contrib AS (
+            SELECT s.user_id,
+                   CAST(s.day + r.i * INTERVAL 1 DAY AS DATE) AS win_end
+            FROM seg s, UNNEST(range(0, 7)) AS r(i)
+            WHERE s.next_day IS NULL
+               OR s.day + r.i * INTERVAL 1 DAY < s.next_day
+        )
+        SELECT sp.day,
+               CAST(count(c.user_id) AS BIGINT) AS distinct_users_7d
+        FROM spine sp
+        LEFT JOIN contrib c ON c.win_end = sp.day
+        GROUP BY sp.day
+    """,
+    tags=("analytics", "window", "distinct", "rolling"),
+)
+def window_rolling_distinct_users(spark, sf_dir):
+    """EXACT rolling 7-day distinct users per day — the finite-window
+    generalization of event_cumulative_reach's rewrite, and the other
+    window no engine supports natively (COUNT(DISTINCT) OVER a moving
+    frame). The trick: a user's activity day a is their LAST activity
+    inside the window ending d exactly when a ≤ d < min(a+7,
+    next_activity) — so each (user, day) pair contributes to AT MOST 7
+    window ends (explode a bounded range, cap at the user's next
+    activity), and a plain count per window end IS the rolling
+    distinct count: no per-window set, no quadratic rescan.
+
+    Scale shape: the (user, day) distinct and the per-user lead window
+    shuffle once on user_id; the contribution explode is ≤ 7×; the
+    final groupBy lands on the bounded day spine. At any scale this is
+    a constant-factor pass over the activity pairs — compare the
+    naive 7-day self-join, which rescans every pair per window.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = pairs.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    seg = pairs.withColumn("next_day", F.lead("day").over(w))
+    contrib = (
+        seg.select(
+            "user_id",
+            "next_day",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), 6),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("win_end"),
+        )
+        .filter(
+            F.col("next_day").isNull() | (F.col("win_end") < F.col("next_day"))
+        )
+        .select("user_id", "win_end")
+    )
+    return (
+        spine.join(contrib, spine.day == contrib.win_end, "left")
+        .groupBy("day")
+        .agg(F.count("user_id").cast("bigint").alias("distinct_users_7d"))
+    )
