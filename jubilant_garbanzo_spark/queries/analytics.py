@@ -2314,3 +2314,60 @@ def window_rolling_distinct_users(spark, sf_dir):
         .groupBy("day")
         .agg(F.count("user_id").cast("bigint").alias("distinct_users_7d"))
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type, 1) OVER w AS p1,
+                   lag(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM ordered
+        WHERE p2 IS NOT NULL
+        GROUP BY p2, p1, event_type
+        ORDER BY n_paths DESC, step1, step2, step3
+        LIMIT 20
+    """,
+    tags=("analytics", "sequence", "path", "window"),
+)
+def event_path_trigrams(spark, sf_dir):
+    """Top-20 length-3 behavioral paths (the Sankey / user-flow
+    diagram's data): consecutive event-type trigrams per user via two
+    lags in one window pass — one step up from
+    event_markov_transitions' bigram matrix (trigrams expose
+    second-order structure a first-order Markov chain cannot, e.g.
+    view→click→purchase vs click→view→purchase asymmetry). Total
+    order under LIMIT: (n_paths DESC, then the three steps).
+
+    Scale shape: one user_id shuffle for the window, then a partial
+    agg on the ≤|types|³ = 125-cell path grid — bounded output,
+    map-side combinable, TakeOrdered for the cut.
+    """
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type", 1).over(wo).alias("p1"),
+        F.lag("event_type", 2).over(wo).alias("p2"),
+    )
+    return (
+        ev.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+        )
+        .limit(20)
+    )
