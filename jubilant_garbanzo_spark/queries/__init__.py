@@ -91,7 +91,7 @@ def register(
 #:    graph_kcore, text_winnowing_fingerprints, dedup_winnowing_overlap,
 #:    pipeline_temperature_mixture, graph_link_prediction_jaccard,
 #:    timeseries_seasonal_decompose, scd2_apply_changes, agg_cramers_v,
-#:    window_rolling_distinct_users, event_path_trigrams.
+#:    window_rolling_distinct_users, event_path_trigrams, agg_pareto_share.
 #: 4. `join_asof` — its operator body (operators/asof.py) changed this
 #:    round, so the rotation discipline requires a fresh green. The
 #:    stale-evidence refreshes it displaced are enumerated below and

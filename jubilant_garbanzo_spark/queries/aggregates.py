@@ -1328,3 +1328,88 @@ def agg_cramers_v(spark, sf_dir):
             ).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "agg_pareto_share",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT cents,
+                   CAST(row_number() OVER (
+                       ORDER BY cents DESC, o_custkey
+                   ) AS BIGINT) AS i
+            FROM per_cust
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS tot
+            FROM ranked
+        )
+        SELECT m.n AS n_customers,
+               CAST((m.n + 9) // 10 AS BIGINT) AS top_decile_size,
+               CAST(sum(CASE WHEN r.i <= (m.n + 9) // 10
+                             THEN r.cents ELSE 0 END) AS BIGINT)
+                   AS top_decile_cents,
+               round(CAST(sum(CASE WHEN r.i <= (m.n + 9) // 10
+                                   THEN r.cents ELSE 0 END) AS DOUBLE)
+                     / CAST(m.tot AS DOUBLE), 6) AS top_decile_share
+        FROM ranked r, m
+        GROUP BY m.n, m.tot
+    """,
+    tags=("agg", "stats", "concentration", "pareto"),
+)
+def agg_pareto_share(spark, sf_dir):
+    """Pareto concentration headline: what share of total revenue the
+    top 10% of customers hold — the "is it 80/20?" number every
+    revenue review asks, complementing agg_gini_concentration's full
+    curve with the one-decile cut. Decile size is the integer ceiling
+    n/10 (floor-division identity (n+9)//10, identical both engines);
+    ranks tie-break on customer key; sums stay exact cents until the
+    single share division, rounded once.
+
+    Scale shape: per-customer partial agg, ONE descending rank (the
+    two-phase offset numbering at web scale — agg_gini's note), then a
+    conditional integer sum. No joins beyond the broadcast scalar.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    cut = F.expr("(n + 9) DIV 10")
+    top = F.sum(
+        F.when(F.col("i") <= cut, F.col("cents")).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .groupBy("n", "tot")
+        .agg(top.alias("top_decile_cents"))
+        .select(
+            F.col("n").alias("n_customers"),
+            cut.cast("bigint").alias("top_decile_size"),
+            "top_decile_cents",
+            F.round(
+                F.col("top_decile_cents").cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )
