@@ -132,31 +132,42 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(args.sf.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "noise_band": spreads,
-                # Label must match the statistic actually computed:
-                # odd runs → true median; even runs → midpoint of the
-                # two middle values; one run → a single measurement
-                # (warmed only by the trending_topk warm-up, so other
-                # queries still pay first-run codegen — don't compare
-                # runs=1 numbers across rounds).
-                "method": (
-                    "single-run"
-                    if args.runs == 1
-                    else f"median-of-{args.runs}"
-                    if args.runs % 2
-                    else f"midpoint-of-{args.runs}"
-                ),
-                "sf": float(sf) if sf else None,
-            }
-        )
+    # Label must match the statistic actually computed: odd runs → true
+    # median; even runs → midpoint of the two middle values; one run →
+    # a single measurement (warmed only by the trending_topk warm-up,
+    # so other queries still pay first-run codegen — don't compare
+    # runs=1 numbers across rounds).
+    method = (
+        "single-run"
+        if args.runs == 1
+        else f"median-of-{args.runs}"
+        if args.runs % 2
+        else f"midpoint-of-{args.runs}"
     )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "noise_band": spreads,
+        "method": method,
+        "sf": float(sf) if sf else None,
+    }
+    # The driver records a bounded stdout TAIL; round 6's single pretty
+    # JSON line (with the noise-band twin dict) outgrew the window and
+    # the recorded artifact lost its head (VERDICT r6 "What's wrong" #1).
+    # Defense in depth, in tail-survival order:
+    #   1. full payload → bench_out.json (readable whole, committed);
+    #   2. noise-band on its OWN earlier line (sacrificial if truncated);
+    #   3. LAST line = compact summary (no spaces, total before the
+    #      per-query dict) so the parseable JSON always fits the tail.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({"metric": "noise_band", "bands": spreads,
+                      "method": method}, separators=(",", ":")))
+    compact = {k: v for k, v in payload.items() if k != "noise_band"}
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 
