@@ -229,14 +229,24 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     possibly-wrong labels (the DuckDB oracle computes the exact
     transitive closure, so only the fixpoint matches it).
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    # Materialize the edge list ONCE. `sym` is referenced by every
-    # round's neighbor join; without this the whole upstream pair
-    # pipeline (e.g. MinHash-LSH candidate generation + verify) is
-    # re-executed per round — measured 3× the total wall-time at sf0.1.
+    # Materialize the DIRECTED edge list once, BEFORE symmetrizing.
+    # Two separate discoveries, both measured:
+    # - r5: without any checkpoint the upstream pair pipeline (e.g.
+    #   MinHash-LSH candidate generation + verify) re-executes per
+    #   round — 3× total wall at sf0.1.
+    # - r7 x10 profile: checkpointing AFTER the union is still 2× too
+    #   expensive — the union's two branches are two copies of the
+    #   full pair pipeline, and Catalyst does not CSE sibling
+    #   subplans, so the eager checkpoint ran LSH twice (5.05 s of the
+    #   query's 5.9 s CC portion at x10). Checkpoint the directed
+    #   edges (one pipeline execution), then symmetrize from the
+    #   materialized blocks — the union is two in-memory scans.
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

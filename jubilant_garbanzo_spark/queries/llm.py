@@ -2180,54 +2180,63 @@ def dedup_minhash_accuracy(spark, sf_dir):
     red-flags any drift in the hash family, the banding, or the
     shingle construction.
 
-    Scale shape: same banded candidate generation as dedup_minhash_lsh
-    (never all-pairs); the agreement count is a 32-term integer sum on
-    the already-joined signature rows; exact Jaccard joins the two
-    bounded shingle arrays of candidate pairs only.
+    Scale shape (round-7 rewrite, VERDICT r6 item 3): candidates come
+    from the SAME banded equi-join as dedup_minhash_lsh — explode band
+    keys, hash-join on the key, distinct pairs. The previous body
+    joined two 32-column signature frames on ``(id_a < id_b) AND
+    (OR-of-band-equalities)``, which Catalyst can only execute as a
+    nested-loop over all N² pairs — the 12.5 s x1 outlier the r6
+    verdict flagged. The band-key string (``concat_ws('_', band_idx,
+    m...)``, numeric components) is injective, so the candidate SET is
+    unchanged and the OR-form oracle below still matches bit-for-bit.
+    The 32 per-perm columns are packed into ONE array column before the
+    pair joins; agreement is a ``zip_with``/``aggregate`` fold on two
+    arrays instead of a 64-column comparison row.
     """
     d = load_table(spark, sf_dir, "documents")
     shingled = d.select(
         F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
     )
     sigs = D.minhash_signatures(shingled, id_col="id")
-    a = sigs.select(
+    banded = sigs.select("id", F.explode(D.band_keys()).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # One narrow per-doc side: (id, packed signature array, shingle set).
+    doc = sigs.select(
+        "id", F.array(*[F.col(f"m{p}") for p in range(D.N_PERM)]).alias("sig")
+    ).join(shingled, "id")
+    a = doc.select(
         F.col("id").alias("id_a"),
-        *[F.col(f"m{p}").alias(f"a{p}") for p in range(D.N_PERM)],
+        F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
     )
-    b = sigs.select(
+    b = doc.select(
         F.col("id").alias("id_b"),
-        *[F.col(f"m{p}").alias(f"b{p}") for p in range(D.N_PERM)],
+        F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
     )
-    band_match = None
-    for bi in range(D.N_BANDS):
-        cond = None
-        for r in range(D.ROWS_PER_BAND):
-            p = bi * D.ROWS_PER_BAND + r
-            c = F.col(f"a{p}") == F.col(f"b{p}")
-            cond = c if cond is None else (cond & c)
-        band_match = cond if band_match is None else (band_match | cond)
-    cand = a.join(b, (F.col("id_a") < F.col("id_b")) & band_match).select(
-        "id_a",
-        "id_b",
-        sum(
-            [
-                F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
-                for p in range(D.N_PERM)
-            ],
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("match_count"),
-    )
-    x = shingled.select(F.col("id").alias("xid"), F.col("sh").alias("xsh"))
-    y = shingled.select(F.col("id").alias("yid"), F.col("sh").alias("ysh"))
-    inter = F.size(F.array_intersect(F.col("xsh"), F.col("ysh")))
-    union = F.size(F.col("xsh")) + F.size(F.col("ysh")) - inter
+    match_count = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union.cast("double")
     est = F.col("match_count").cast("double") / F.lit(float(D.N_PERM))
     return (
-        cand.join(x, F.col("id_a") == F.col("xid"))
-        .join(y, F.col("id_b") == F.col("yid"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("match_count", match_count)
         .select(
             "id_a",
             "id_b",

@@ -86,6 +86,14 @@ QUERIES = (
     "dedup_semantic_clusters",
     "event_attribution_last_touch",
     "timeseries_linear_interpolate",
+    # round-7 (VERDICT r6 item 6): the relational heavies on scaled
+    # lineitem — the prior artifact scaled documents/embeddings/events
+    # only, so the TPC-H join trees had no measured slope. q9 is the
+    # heaviest join tree (6 tables + derived partsupp), q18 the
+    # having-semi-join, q21 the three-pass semi/anti chain.
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_kept_waiting",
 )
 ID_STRIDE = 10_000_000
 
@@ -162,19 +170,42 @@ def generate(spark, scale: int, dest: str) -> None:
     # interval-overlap candidate density per session is scale-invariant.
     from jubilant_garbanzo_spark.catalog import load_table
 
+    # Dense per-entity key strides (round 7): each key family strides by
+    # max(key) over BASE rather than a fixed 10M, so replica keys stay
+    # contiguous. This matters for the derived partsupp
+    # (queries/tpch.py:_partsupp): its dbgen-shape formula maps part
+    # keys onto suppkeys MODULO the total supplier count, so suppkey
+    # space must be dense [1..k·S] at scale k or the q9 partsupp→
+    # supplier/lineitem joins would silently lose every replica-r match
+    # and the measured "x10" join tree would be ~x1 wide. FK columns use
+    # the REFERENCED table's stride, keeping every replica
+    # self-consistent (replica r's lineitem rows hit replica r's
+    # orders/part/supplier rows and nobody else's).
+    stride = {
+        ent: spark.read.parquet(f"{BASE}/{tbl}.parquet")
+        .agg(F.max(key).cast("bigint"))
+        .first()[0]
+        for ent, (tbl, key) in {
+            "o": ("orders", "o_orderkey"),
+            "p": ("part", "p_partkey"),
+            "s": ("supplier", "s_suppkey"),
+            "c": ("customer", "c_custkey"),
+        }.items()
+    }
     keyed = {
-        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
-        "orders": ("o_orderkey", "o_custkey"),
-        "customer": ("c_custkey",),
-        "supplier": ("s_suppkey",),
+        "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+        "orders": {"o_orderkey": "o", "o_custkey": "c"},
+        "customer": {"c_custkey": "c"},
+        "supplier": {"s_suppkey": "s"},
+        "part": {"p_partkey": "p"},
     }
     for table, keys in keyed.items():
         base = spark.read.parquet(f"{BASE}/{table}.parquet")
         parts = [base]
         for r in range(1, scale):
             p = base
-            for k in keys:
-                p = p.withColumn(k, F.col(k) + r * ID_STRIDE)
+            for k, ent in keys.items():
+                p = p.withColumn(k, F.col(k) + r * stride[ent])
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:

@@ -664,3 +664,23 @@ def test_versioned_table_snapshot_isolation(spark, tmp_path):
     assert read_version(spark, table_dir).count() == 9
     # Time travel still serves the immutable v1.
     assert read_version(spark, table_dir, version=1).count() == 5
+
+
+def test_adaptive_bits_holds_past_two_million_vectors():
+    """Regression pin for the round-6 watch item: with the oracle
+    unroll width at 24 bits, "corpus-adaptive" must keep widening past
+    the old 16-bit saturation point (~2 M vectors) and the SQL twin
+    must agree out there — checked at 3 M, 100 M, and the new 537 M
+    saturation boundary."""
+    import duckdb
+
+    from jubilant_garbanzo_spark.operators import similarity as S
+
+    assert S.MAX_BITS >= 24
+    for n in (3_000_000, 100_000_000, S.TARGET_BUCKET * 2**S.MAX_BITS + 1):
+        bits = S.adaptive_bits(n)
+        assert bits > 16 or n <= S.TARGET_BUCKET * 2**16
+        sql_bits = duckdb.sql(f"SELECT {S.adaptive_bits_sql(str(n))}").fetchone()[0]
+        assert sql_bits == bits, n
+    assert S.adaptive_bits(3_000_000) == 17
+    assert S.adaptive_bits(S.TARGET_BUCKET * 2**S.MAX_BITS + 1) == S.MAX_BITS
