@@ -69,10 +69,13 @@ def register(
 #: registered query has a driver-green row. Tier 3 holds the bodies/
 #: oracles changed in round 7 (rotation discipline: a changed query
 #: needs a fresh green even if an old row exists). Tier 4 fills the
-#: remaining slots with the oldest stale refreshes displaced in r5/r6
-#: (all carry older driver greens AND current local-strict-gate greens).
-#: No new operators were added this round until the queue fit the
-#: window (it does: 40 + changed < 50).
+#: remaining slots with the round-7 additions (tier 4 — new queries
+#: enter the window the round they are born, so the queue cannot
+#: regrow) and the oldest stale refreshes displaced in r5/r6 (tier 5 —
+#: all carry older driver greens AND current local-strict-gate
+#: greens). New-operator addition this round was gated on the queue
+#: fitting the window first (40 + 4 changed + 3 new + 3 refreshes
+#: = 50).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- tier 1: never driver-checked — round-6 wave-5/late-wave-4 SQL,
     #    stats, timeseries, graph, dedup and streaming queries ----------
@@ -125,14 +128,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embed_similarity_join",  # LSH oracle width now generated (r6 item 5)
     "embed_ann_lsh",  # same generated-width oracle
     "dedup_embedding_cosine",  # same adaptive-bits geometry
-    # -- tier 4: oldest stale refreshes (displaced in r5/r6; all carry
+    # -- tier 4: round-7 new queries (windowed the round they are born,
+    #    so the never-driver-checked queue stays EMPTY after this round) -
+    "text_duplicated_ngram_coverage",
+    "agg_group_quantiles",
+    "skyline_pareto_frontier",
+    # -- tier 5: oldest stale refreshes (displaced in r5/r6; all carry
     #    older driver greens, so the invariant never depended on them) --
     "trending_topk",
     "join_cross",
-    "join_theta_range",
     "join_self_pairs",
-    "dedup_exact",
-    "text_stats",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1413,3 +1413,46 @@ def agg_pareto_share(spark, sf_dir):
             ).alias("top_decile_share"),
         )
     )
+
+
+@register(
+    "agg_group_quantiles",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.50), 6) AS p50,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("agg", "quantiles", "exact"),
+)
+def agg_group_quantiles(spark, sf_dir):
+    """EXACT per-group quartiles of document length (linear
+    interpolation, the type-7 definition both Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` implement) — the length-profile
+    screen a corpus build runs per language before setting chunking
+    thresholds. Distinct from agg_exact_median_histogram (two-phase
+    histogram median, the no-sort 100 TB path): this pins the BUILT-IN
+    exact-percentile aggregate itself against an independent engine.
+
+    Cross-engine float note: quartile fractions (.25/.5/.75) are exact
+    binary, h = (n−1)·q is exact, values are integers — both engines'
+    interpolation ``lo + (hi−lo)·frac`` is exact in IEEE double, so
+    round(6) is belt-and-braces, not a mask.
+
+    Scale shape: Spark's percentile is a hash aggregate over
+    per-partition value buffers (partial-combine, one shuffle on
+    lang). Exact quantiles at 100 TB with HIGH-cardinality values is
+    where you swap in the histogram/offsets pattern; n_chars has
+    bounded cardinality, so the buffer stays small per group.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("double")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(v, F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("p75"),
+    )

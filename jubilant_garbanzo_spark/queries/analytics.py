@@ -2371,3 +2371,99 @@ def event_path_trigrams(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@register(
+    "skyline_pareto_frontier",
+    oracle="""
+        WITH g AS (
+            SELECT n_name AS nation, s_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, s_suppkey
+        )
+        SELECT p.nation, p.s_suppkey, p.total_qty,
+               p.rev_cents / 100.0 AS revenue
+        FROM g p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM g q
+            WHERE q.nation = p.nation
+              AND q.total_qty >= p.total_qty
+              AND q.rev_cents >= p.rev_cents
+              AND (q.total_qty > p.total_qty OR q.rev_cents > p.rev_cents)
+        )
+    """,
+    tags=("analytics", "skyline", "window"),
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE'01): per
+    nation, the suppliers NOT dominated on (total shipped quantity,
+    total revenue) — no other same-nation supplier is ≥ on both axes
+    and > on at least one. The classic OLAP dominance operator the
+    registry lacked; equal-on-both-axes ties all survive (dominance
+    requires a strict axis).
+
+    Spark shape is the sort-sweep, not the quadratic NOT EXISTS the
+    oracle runs: collapse to one row per (nation, qty) keeping the
+    group's max revenue, take the running max of that revenue over
+    STRICTLY higher qty rows (rowsBetween(-∞, -1) after the
+    collapse), and a supplier survives iff its revenue beats that
+    running max AND is its own qty-group's max. Two hash aggregates +
+    one window per nation partition — O(n log n) per nation vs the
+    oracle's O(n²), same rows (pinned by the driver hash).
+
+    Money discipline: revenue accumulates as exact integer cents and
+    divides once in the projection (functions/money.py idiom).
+
+    Scale shape: everything partitions by nation (the window included);
+    a single giant partition would use the two-phase bucket-offset
+    prefix-max (the ids_global_row_number pattern) — with 2-D skyline
+    the collapse step already bounds the window input to distinct
+    qty values per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    g = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    grp = g.groupBy("nation", "total_qty").agg(
+        F.max("rev_cents").alias("gmax")
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy(F.desc("total_qty"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.select(
+        "nation", "total_qty", "gmax", F.max("gmax").over(w).alias("prevmax")
+    )
+    return (
+        g.join(grp, ["nation", "total_qty"])
+        .filter(
+            (F.col("prevmax").isNull() | (F.col("rev_cents") > F.col("prevmax")))
+            & (F.col("rev_cents") == F.col("gmax"))
+        )
+        .select(
+            "nation",
+            "s_suppkey",
+            "total_qty",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+        )
+    )

@@ -218,6 +218,89 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+#: Span width for duplicated-substring coverage — 8 tokens, the scale
+#: of the boilerplate fragments exact-substring dedup targets.
+_SPAN_N = 8
+
+
+@register(
+    "text_duplicated_ngram_coverage",
+    oracle=f"""
+        WITH sp AS (
+            SELECT doc_id,
+                   unnest([array_to_string(
+                              string_split(text, ' ')[i:i+{_SPAN_N - 1}], ' ')
+                           FOR i IN range(1, len(string_split(text, ' '))
+                                             - {_SPAN_N - 2})]) AS span
+            FROM documents
+        ), per_ds AS (
+            SELECT doc_id, span, count(*) AS m
+            FROM sp GROUP BY doc_id, span
+        ), per_s AS (
+            SELECT span, sum(m) AS tot FROM per_ds GROUP BY span
+        )
+        SELECT d.doc_id,
+               CAST(sum(d.m) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN s.tot >= 2 THEN d.m ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               round(CAST(sum(CASE WHEN s.tot >= 2 THEN d.m ELSE 0 END)
+                          AS DOUBLE) / CAST(sum(d.m) AS DOUBLE), 6)
+                   AS dup_ratio
+        FROM per_ds d JOIN per_s s USING (span)
+        GROUP BY d.doc_id
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def text_duplicated_ngram_coverage(spark, sf_dir):
+    """Exact duplicated-substring coverage, the fifth dedup geometry
+    (after MinHash, SimHash, PPJoin n-gram, winnowing): for every
+    8-token span of every document, is that exact span repeated
+    ANYWHERE in the corpus (including elsewhere in the same doc)?
+    Per-doc output: total spans, duplicated spans, duplication ratio —
+    the screen behind exact-substring dedup of training corpora
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — their suffix-array EXACTSUBSTR finds the same
+    repeated spans; a fixed-width span inventory is the
+    shuffle-friendly distributed formulation of it).
+
+    Scale shape: spans are generated with the same zipped-slice trick
+    as operators/dedup.shingles (no per-element re-tokenize), exploded
+    to ~|tokens| rows/doc, then TWO hash aggregations — (doc, span)
+    partial-combines locally, span totals shuffle once on the span —
+    and one hash join back. Everything is linear in corpus tokens; no
+    all-pairs stage exists. Docs shorter than 8 tokens have no spans
+    and are absent (both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = D.tokens(F.col("text"))
+    m = F.greatest(F.size(toks) - (_SPAN_N - 1), F.lit(0))
+    zipped = F.slice(toks, 1, m)
+    for j in range(1, _SPAN_N):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    spans = d.select("doc_id", F.explode(zipped).alias("span"))
+    per_ds = spans.groupBy("doc_id", "span").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    per_s = per_ds.groupBy("span").agg(F.sum("m").alias("tot"))
+    dup = F.sum(F.when(F.col("tot") >= 2, F.col("m")).otherwise(0)).cast(
+        "bigint"
+    )
+    total = F.sum("m").cast("bigint")
+    return (
+        per_ds.join(per_s, "span")
+        .groupBy("doc_id")
+        .agg(
+            total.alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            F.round(
+                dup.cast("double") / total.cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 # -- text analysis -----------------------------------------------------------
 
 

@@ -786,3 +786,47 @@ def test_parameterized_sql_pushes_bound_literal(spark, sf_dir):
     df = q(spark, sf_dir, "sql_parameterized")
     pushed = " ".join(pushed_filters(df))
     assert "c_nationkey" in pushed, pushed
+
+
+def test_minhash_accuracy_has_no_nested_loop(spark, sf_dir):
+    """Round-7 regression pin: dedup_minhash_accuracy's candidate stage
+    must be the banded hash equi-join. The round-6 body joined on
+    (id_a < id_b) AND (OR of per-band equalities) — Catalyst can only
+    execute that as a BroadcastNestedLoopJoin over all N² signature
+    pairs (the 12.5 s x1 outlier in BENCH_scale). If either shows up
+    again, the scale story is gone regardless of row correctness."""
+    from jubilant_garbanzo_spark.plans import formatted_plan
+
+    df = q(spark, sf_dir, "dedup_minhash_accuracy")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_duplicated_ngram_coverage_hash_joins_only(spark, sf_dir):
+    """The duplicated-span coverage query is two hash aggregates plus
+    one hash join on the span — any nested-loop/cartesian means the
+    span join lost its equi-key."""
+    from jubilant_garbanzo_spark.plans import formatted_plan
+
+    df = q(spark, sf_dir, "text_duplicated_ngram_coverage")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert has_partial_aggregate(df)
+
+
+def test_skyline_is_sort_sweep_not_quadratic(spark, sf_dir):
+    """The skyline operator must plan as aggregates + a partitioned
+    window + an equi-join on (nation, qty) — the quadratic NOT-EXISTS
+    shape lives only in the oracle. The two fact-side joins broadcast
+    the supplier/nation dims."""
+    from jubilant_garbanzo_spark.plans import formatted_plan, join_strategies
+
+    df = q(spark, sf_dir, "skyline_pareto_frontier")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
