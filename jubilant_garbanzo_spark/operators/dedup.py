@@ -149,12 +149,22 @@ def minhash_band_candidates(
     band-collision pairs (id_a < id_b). Split out so scale benchmarks
     (scripts/bench_scale.py) can count candidates on EXACTLY the
     production stage rather than a reimplementation."""
+    # Materialize the shingle sets and the banded index ONCE (eager
+    # localCheckpoint). Catalyst does not CSE sibling subplans, so
+    # without this the self-join below runs the whole
+    # shingle→signature pipeline TWICE and the verify stage in
+    # minhash_lsh_pairs two more times — the r7 plan audit counted 12
+    # parquet scans / 0 reused exchanges across this family. At
+    # cluster scale this materialization IS the "build the index once,
+    # probe many" step every LSH deployment has.
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, "id", "sh")
-    banded = sig.select("id", F.explode(band_keys()).alias("band"))
+    banded = sig.select(
+        "id", F.explode(band_keys()).alias("band")
+    ).localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band")
@@ -372,6 +382,16 @@ def ngram_prefix_candidates(
 
     from pyspark.sql import Window
 
+    # Deliberately NO checkpoint here, unlike minhash_band_candidates:
+    # measured A/B at sf0.1 (median-of-5, same session), the original
+    # lazy pipeline runs the full Jaccard query in 4.65 s vs 5.27 s
+    # with sh+prefix checkpointed and 5.62 s with prefix alone. The
+    # self-join's two sides shuffle on the SAME key from canonically
+    # identical subplans, so AQE reuses the exchange at runtime — a
+    # checkpoint only adds a serialization pass and breaks codegen
+    # fusion. The minhash family is the opposite (verify re-runs a
+    # 32-hash aggregation through a DIFFERENT exchange key — no reuse
+    # possible), which is why it does checkpoint.
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
@@ -497,10 +517,15 @@ def containment_pairs(
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
+    # sh materializes once (measured A/B at sf0.1, median-of-5: 1.65 s
+    # with the checkpoint vs 2.29 s without): unlike the symmetric
+    # Jaccard self-join, the containee prefix and the full posting
+    # index are DIFFERENT subplans (no runtime exchange reuse), and
+    # both verify joins rebuild shingles through different keys.
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     ex = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     ceil_t_sz = F.expr(

@@ -210,17 +210,27 @@ def hyperplane_candidates(
     :func:`adaptive_bits`; when omitted it is counted here — one
     metadata-only parquet count at cluster scale, the index-build step
     every LSH deployment pays once."""
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).select("id", "v", norm(F.col("v")).alias("nrm"))
+    # Vectors+norms and the banded signature index materialize ONCE
+    # (eager localCheckpoint): the band self-join below and the two
+    # verify joins in similarity_join are sibling subplans Catalyst
+    # will not CSE — without this the 4×bits hyperplane dot products
+    # run twice and the norm fold four times. The build-once/probe-many
+    # index step, same as minhash_band_candidates.
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .select("id", "v", norm(F.col("v")).alias("nrm"))
+        .localCheckpoint(eager=True)
+    )
     bits = adaptive_bits(n if n is not None else embeddings.count())
     banded = e.select(
         "id",
         F.posexplode(hyperplane_band_keys(F.col("v"), dim, bits)).alias(
             "band", "key"
         ),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])

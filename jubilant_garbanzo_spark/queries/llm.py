@@ -2277,10 +2277,17 @@ def dedup_minhash_accuracy(spark, sf_dir):
     arrays instead of a 64-column comparison row.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Build-once materialization (see minhash_band_candidates): the
+    # shingle sets feed the signature pipeline AND both exact-Jaccard
+    # joins; the signatures feed the banded self-join AND both packed-
+    # array joins. Without the checkpoints each consumer re-runs the
+    # whole upstream pipeline (sibling subplans are not CSE'd).
     shingled = d.select(
         F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(shingled, id_col="id").localCheckpoint(
+        eager=True
     )
-    sigs = D.minhash_signatures(shingled, id_col="id")
     banded = sigs.select("id", F.explode(D.band_keys()).alias("band"))
     cand = (
         banded.alias("x")
