@@ -74,8 +74,8 @@ def register(
 #: regrow) and the oldest stale refreshes displaced in r5/r6 (tier 5 —
 #: all carry older driver greens AND current local-strict-gate
 #: greens). New-operator addition this round was gated on the queue
-#: fitting the window first (40 + 4 changed + 3 new + 3 refreshes
-#: = 50).
+#: fitting the window first (40 never-checked + 4 changed + 3 new +
+#: 2 more changed + 1 stale refresh = 50).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- tier 1: never driver-checked — round-6 wave-5/late-wave-4 SQL,
     #    stats, timeseries, graph, dedup and streaming queries ----------
