@@ -138,13 +138,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    (operators/dedup.py minhash family + containment,
     #    operators/similarity.py hyperplane index) touches these two
     #    bodies too, so they take refresh slots. dedup_ngram_jaccard
-    #    deliberately did NOT change (A/B showed checkpoints LOSE for
-    #    the symmetric prefix self-join — comment-only diff), so the
-    #    last slot refreshes the flagship; join_cross/join_self_pairs
-    #    queue for round 8 with older driver greens ---------------------
+    #    rejected checkpoints (A/B showed they LOSE for the symmetric
+    #    prefix self-join) but later gained the PPJoin POSITIONAL
+    #    filter in its candidate stage (candidates 409 k → 125 k,
+    #    lossless — measured in operators/dedup.py), so it takes the
+    #    last slot; the flagship trending_topk keeps its six prior
+    #    driver greens and rotates back in round 8 ----------------------
     "dedup_minhash_lsh",
     "dedup_shingle_containment",
-    "trending_topk",
+    "dedup_ngram_jaccard",
 )
 
 def load_all() -> dict[str, QuerySpec]:
