@@ -535,14 +535,27 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
     fixture's embeddings are random — max pairwise candidate cosine
     ≈ 0.51 at every SF, so un-seeded near-dup thresholds never fire).
 
-    Band width is corpus-adaptive (round-6: ``ab.bits`` =
-    ``adaptive_bits(count(v))``, integer-exact on both engines): the
-    SQL packs each band's full MAX_BITS planes and truncates by
-    integer division, which equals the Spark side packing only the
-    first ``bits`` planes."""
-    bands = S.hyperplane_band_sql("v", dim, "ab.bits")
-    band_cols = ",\n                   ".join(
-        f"{expr} AS b{i}" for i, expr in enumerate(bands)
+    Band width is skew-adaptive (round-7, mirroring
+    ``operators/similarity.py::effective_bits``): the SQL computes each
+    band's full MAX_BITS-bit key once (``sig24``, materialized), then
+    measures the collision mass Σ c·(c−1)/2 at every candidate width
+    on a static [MIN_BITS, MAX_BITS] grid and picks the smallest width
+    ≥ the ``adaptive_bits`` floor whose mass is ≤ SKEW_MASS_PER_VEC·N
+    (else MAX_BITS) — the identical integer selection the Spark index
+    build collects, so both engines derive the same geometry. ``sig``
+    truncates the full-width keys by integer division, which equals
+    Spark's same division of its own checkpointed full-width keys."""
+    bands = S.hyperplane_band_sql("v", dim, str(S.MAX_BITS))
+    k24_cols = ",\n                   ".join(
+        f"{expr} AS k{i}" for i, expr in enumerate(bands)
+    )
+    k24_union = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, k{i} AS key FROM sig24"
+        for i in range(S.N_SIG_BANDS)
+    )
+    sig_cols = ", ".join(
+        f"k{i} // (1 << ({S.MAX_BITS} - eb.bits)) AS b{i}"
+        for i in range(S.N_SIG_BANDS)
     )
     seed_union = (
         """
@@ -557,12 +570,34 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             {seed_union}
-        ), ab AS (
-            SELECT {S.adaptive_bits_sql("(SELECT count(*) FROM v)")} AS bits
-        ), sig AS (
+        ), bfloor AS (
+            SELECT {S.adaptive_bits_sql("(SELECT count(*) FROM v)")} AS b,
+                   (SELECT count(*) FROM v) AS n
+        ), sig24 AS MATERIALIZED (
             SELECT vec_id, v,
-                   {band_cols}
-            FROM v, ab
+                   {k24_cols}
+            FROM v
+        ), k24 AS (
+            {k24_union}
+        ), bucket_counts AS (
+            SELECT g.b, t.band,
+                   t.key // (1 << ({S.MAX_BITS} - g.b)) AS kk,
+                   count(*) AS c
+            FROM k24 t
+            CROSS JOIN (SELECT unnest(range({S.MIN_BITS}, {S.MAX_BITS} + 1)) AS b) g
+            GROUP BY 1, 2, 3
+        ), masses AS (
+            SELECT b, sum(c * (c - 1) // 2) AS mass
+            FROM bucket_counts GROUP BY b
+        ), eb AS (
+            SELECT min(m.b) AS bits
+            FROM masses m, bfloor
+            WHERE m.b >= bfloor.b
+              AND (m.mass <= {S.SKEW_MASS_PER_VEC} * bfloor.n
+                   OR m.b = {S.MAX_BITS})
+        ), sig AS (
+            SELECT vec_id, v, {sig_cols}
+            FROM sig24, eb
         )
     """
 

@@ -298,6 +298,86 @@ def test_adaptive_bits_bounds_bucket_growth():
     assert S.adaptive_bits(S.TARGET_BUCKET * 32 + 1) == 6
 
 
+def test_hyperplane_kernel_matches_expression(spark, sf_dir):
+    """The Arrow signature kernel (hyperplane_keys_full) must produce
+    the IDENTICAL (id, band, key) set as the codegen HOF expression at
+    the same width — the coordinate-sequential accumulation is the same
+    left-to-right IEEE order as the fold, so sign bits cannot differ.
+    Same equality discipline as the k-means dual kernel."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        S.as_double(F.col("embedding")).alias("v"),
+    )
+    kernel = {
+        (r["id"], r["band"], r["key"])
+        for r in S.hyperplane_keys_full(e, 64).collect()
+    }
+    expr = {
+        (r["id"], r["band"], r["key"])
+        for r in e.select(
+            "id",
+            F.posexplode(
+                S.hyperplane_band_keys(F.col("v"), 64, S.MAX_BITS)
+            ).alias("band", "key"),
+        ).collect()
+    }
+    assert kernel == expr
+    assert kernel, "fixture should produce signatures"
+
+
+def test_effective_bits_widens_on_skew_and_matches_oracle(spark):
+    """Skew adaptation end to end on a deliberately clustered corpus
+    (10 tight clusters of 100 — hyperplanes rarely split a cluster, so
+    collision mass at the uniform-formula width blows past the cap):
+    effective_bits must (a) widen beyond the adaptive_bits floor and
+    (b) agree EXACTLY with the DuckDB oracle CTE's ``eb`` selection —
+    the same differential discipline as the adaptive_bits twin test,
+    but through the full measured-mass grid."""
+    import random
+
+    import duckdb
+
+    from jubilant_garbanzo_spark.queries.llm import _hyperplane_sig_cte
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(10):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(100):
+            rows.append(
+                (vid, [b + rng.uniform(-0.02, 0.02) for b in base], "x")
+            )
+            vid += 1
+    n = len(rows)
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).select(F.col("vec_id").alias("id"), S.as_double(F.col("embedding")).alias("v"))
+    banded_full = S.hyperplane_keys_full(e, 64).localCheckpoint(eager=True)
+    spark_bits = S.effective_bits(banded_full, n)
+    assert spark_bits > S.adaptive_bits(n), "skew cap should engage"
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings_src",
+        __import__("pandas").DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+            }
+        ),
+    )
+    con.execute(
+        "CREATE TABLE embeddings AS "
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, "
+        "'x' AS label FROM embeddings_src"
+    )
+    duck_bits = con.execute(
+        _hyperplane_sig_cte(seeded=False) + " SELECT bits FROM eb"
+    ).fetchone()[0]
+    assert duck_bits == spark_bits
+
+
 def test_hyperplane_band_buckets_bounded(spark, sf_dir):
     """Candidate buckets must be bounded by signature geometry: every
     (band, key) bucket well under the corpus size, and each band using
