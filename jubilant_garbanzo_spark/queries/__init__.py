@@ -125,9 +125,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_minhash_accuracy (tier 1) also changed: band join repacked
     # onto array-typed signatures (VERDICT r6 item 3).
     "dedup_cluster_cc",  # checkpoint cadence profile/fix (r6 item 4)
-    "embed_similarity_join",  # LSH oracle width now generated (r6 item 5)
-    "embed_ann_lsh",  # same generated-width oracle
-    "dedup_embedding_cosine",  # same adaptive-bits geometry
+    # The three LSH queries changed twice in round 7: generated-width
+    # oracle (r6 item 5), then the late-round skew-adaptive band width
+    # (measured collision-mass grid + Arrow signature kernel — the x30
+    # probe fix; BASELINE.md "skew-adaptive LSH geometry").
+    "embed_similarity_join",
+    "embed_ann_lsh",
+    "dedup_embedding_cosine",
     # -- tier 4: round-7 new queries (windowed the round they are born,
     #    so the never-driver-checked queue stays EMPTY after this round) -
     "text_duplicated_ngram_coverage",

@@ -378,6 +378,17 @@ def test_effective_bits_widens_on_skew_and_matches_oracle(spark):
     assert duck_bits == spark_bits
 
 
+def test_effective_bits_saturates_on_unsplittable_corpus(spark):
+    """A corpus of IDENTICAL vectors can never satisfy the mass cap
+    (identical keys at every width), so the measured widening must
+    terminate at MAX_BITS instead of looping or erroring — the
+    planes-run-out clamp."""
+    rows = [(i, [float(j % 5) for j in range(64)]) for i in range(200)]
+    e = spark.createDataFrame(rows, "id long, v array<double>")
+    banded = S.hyperplane_keys_full(e, 64).localCheckpoint(eager=True)
+    assert S.effective_bits(banded, 200) == S.MAX_BITS
+
+
 def test_hyperplane_band_buckets_bounded(spark, sf_dir):
     """Candidate buckets must be bounded by signature geometry: every
     (band, key) bucket well under the corpus size, and each band using
