@@ -258,13 +258,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_scale.json")
     ap.add_argument("--runs", type=int, default=3)
+    # Round 7 added an x30 probe row (it caught the uniform-hash LSH
+    # width formula — BASELINE.md "skew-adaptive LSH geometry"), so a
+    # plain regeneration of the default grid would silently DROP it.
+    # Regenerate the full artifact with `--scales 1 3 10 30`; the
+    # default stays the cheap committed grid.
+    ap.add_argument("--scales", type=int, nargs="+", default=list(SCALES))
     args = ap.parse_args()
 
     spark = get_spark("bench-scale")
     specs = load_all()
     result: dict = {"base": BASE, "scales": {}, "method": f"median-of-{args.runs}"}
 
-    for scale in SCALES:
+    for scale in args.scales:
         dest = f"{WORK}/x{scale}"
         shutil.rmtree(dest, ignore_errors=True)
         generate(spark, scale, dest)
@@ -305,21 +311,22 @@ def main() -> int:
         result["scales"][f"x{scale}"] = entry
 
     # Slopes: wall(x10)/wall(x1) per query; 10.0 = perfectly linear.
-    result["slope_x10_over_x1"] = {
-        name: round(
-            result["scales"]["x10"]["queries"][name]["wall_sec"]
-            / max(result["scales"]["x1"]["queries"][name]["wall_sec"], 1e-9),
-            2,
-        )
-        for name in QUERIES
-    }
+    if {"x1", "x10"} <= result["scales"].keys():
+        result["slope_x10_over_x1"] = {
+            name: round(
+                result["scales"]["x10"]["queries"][name]["wall_sec"]
+                / max(result["scales"]["x1"]["queries"][name]["wall_sec"], 1e-9),
+                2,
+            )
+            for name in QUERIES
+        }
     result["candidates_per_doc"] = {
         f"x{s}": round(
             result["scales"][f"x{s}"]["candidates"]["minhash_band_candidates"]
             / result["scales"][f"x{s}"]["n_docs"],
             4,
         )
-        for s in SCALES
+        for s in args.scales
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
