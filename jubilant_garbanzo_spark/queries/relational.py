@@ -899,7 +899,7 @@ def sql_udf_scalar(spark, sf_dir):
                CAST(count(*) AS BIGINT) AS n_items,
                (CAST(sum(CAST(round(jg_net(l_extendedprice, l_discount)
                                     * 100.0) AS BIGINT)) AS BIGINT)
-                / 100.0) AS net_revenue
+                / CAST(100.0 AS DOUBLE)) AS net_revenue
         FROM udf_lineitem_src
         GROUP BY l_returnflag
         """
@@ -940,7 +940,7 @@ def sql_parameterized(spark, sf_dir):
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_customers,
                (CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT))
-                     AS BIGINT) / 100.0) AS total_balance
+                     AS BIGINT) / CAST(100.0 AS DOUBLE)) AS total_balance
         FROM IDENTIFIER(:tbl)
         WHERE c_nationkey < :max_nation
         GROUP BY c_mktsegment

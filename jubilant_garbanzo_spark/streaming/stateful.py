@@ -15,6 +15,14 @@ Scale: state lives in the executor-side state store partitioned by
 grouping key (RocksDB-backed in production config); a 1000-executor
 cluster shards users horizontally, and the Arrow batch transfer keeps
 the Python hop vectorized.
+
+Serialization contract: every state-update function is NESTED inside
+its public wrapper, so cloudpickle ships it BY VALUE (with its
+referenced constants) instead of by module reference — executors never
+need this package importable on their own sys.path. A vanilla-session
+driver rehearsal caught the by-reference form failing with
+ModuleNotFoundError in exactly the environments where the engine is
+loaded from a file path rather than an installed package.
 """
 
 from __future__ import annotations
@@ -36,20 +44,6 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 
 
-def _update_running_count(
-    key: tuple[Any, ...],
-    pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this batch's rows for one user into the persistent counter."""
-    (user_id,) = key
-    n = state.get[0] if state.exists else 0
-    for pdf in pdf_iter:
-        n += len(pdf)
-    state.update((n,))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
-
-
 def running_count_per_user(events: DataFrame) -> DataFrame:
     """Streaming DataFrame of cumulative per-user event counts.
 
@@ -58,6 +52,19 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
     ``update`` mode; no timeout (counters live for the query lifetime —
     a production TTL would use ``GroupStateTimeout.EventTimeTimeout``).
     """
+    def _update_running_count(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this batch's rows for one user into the persistent counter."""
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
     return events.groupBy("user_id").applyInPandasWithState(
         _update_running_count,
         outputStructType=OUTPUT_SCHEMA,
@@ -86,39 +93,6 @@ SESSION_STATE_SCHEMA = T.StructType(
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
-def _update_session(
-    key: tuple[Any, ...],
-    pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Close a session when the watermark passes last-event + gap."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        n, _last = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "closed_by": ["timeout"],
-            }
-        )
-        return
-    n, last_ms = (state.get if state.exists else (0, 0))
-    for pdf in pdf_iter:
-        n += len(pdf)
-        if len(pdf):
-            batch_max = int(pdf["ts"].max().value // 1_000_000)
-            last_ms = max(last_ms, batch_max)
-    state.update((n, last_ms))
-    # Event-time timeout: fires once the WATERMARK (not wall clock)
-    # passes last event + gap — deterministic under availableNow.
-    state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
-    yield pd.DataFrame(
-        {"user_id": [], "n_events": [], "closed_by": []}
-    ).astype({"user_id": "int64", "n_events": "int64", "closed_by": "object"})
-
-
 def timeout_session_summary(events: DataFrame) -> DataFrame:
     """Sessions closed by EVENT-TIME TIMEOUT: one summary row per
     (user, session) emitted only when the watermark passes the last
@@ -131,6 +105,38 @@ def timeout_session_summary(events: DataFrame) -> DataFrame:
     Sessions still open when a bounded drain ends are deliberately
     withheld (their timeout never fired) — the append-mode contract.
     """
+    def _update_session(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Close a session when the watermark passes last-event + gap."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        n, last_ms = (state.get if state.exists else (0, 0))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = int(pdf["ts"].max().value // 1_000_000)
+                last_ms = max(last_ms, batch_max)
+        state.update((n, last_ms))
+        # Event-time timeout: fires once the WATERMARK (not wall clock)
+        # passes last event + gap — deterministic under availableNow.
+        state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
+        yield pd.DataFrame(
+            {"user_id": [], "n_events": [], "closed_by": []}
+        ).astype({"user_id": "int64", "n_events": "int64", "closed_by": "object"})
+
     return events.groupBy("user_id").applyInPandasWithState(
         _update_session,
         outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -158,63 +164,6 @@ TTL_SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_ttl_sessions(
-    key: tuple[Any, ...],
-    pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Full sessionization in arbitrary state: split on in-batch gaps,
-    carry the open session across batches, close it on event-time
-    timeout."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        n, start_ms, last_ms = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start_ms": [start_ms],
-                "n_events": [n],
-                "closed_by": ["timeout"],
-            }
-        )
-        return
-    ts_ms: list[int] = []
-    for pdf in pdf_iter:
-        if len(pdf):
-            ts_ms.extend(int(v.value // 1_000_000) for v in pdf["ts"])
-    ts_ms.sort()
-    open_sess = list(state.get) if state.exists else None  # [n, start, last]
-    closed: list[tuple[int, int, str]] = []
-    for t_ in ts_ms:
-        if open_sess is None:
-            open_sess = [1, t_, t_]
-        elif t_ - open_sess[2] > SESSION_GAP_MS:
-            closed.append((open_sess[1], open_sess[0], "gap"))
-            open_sess = [1, t_, t_]
-        else:
-            open_sess[0] += 1
-            open_sess[2] = max(open_sess[2], t_)
-    if open_sess is not None:
-        state.update(tuple(open_sess))
-        state.setTimeoutTimestamp(open_sess[2] + SESSION_GAP_MS)
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id] * len(closed),
-            "session_start_ms": [c[0] for c in closed],
-            "n_events": [c[1] for c in closed],
-            "closed_by": [c[2] for c in closed],
-        }
-    ).astype(
-        {
-            "user_id": "int64",
-            "session_start_ms": "int64",
-            "n_events": "int64",
-            "closed_by": "object",
-        }
-    )
-
-
 def ttl_sessionize(events: DataFrame) -> DataFrame:
     """Gap-sessionization as a CUSTOM stateful operator with state TTL:
     sessions split on 30-min gaps (in-batch and across batches), and
@@ -228,6 +177,62 @@ def ttl_sessionize(events: DataFrame) -> DataFrame:
     batch SQL, making a custom applyInPandasWithState operator fully
     value-oracled (not just smoke-tested).
     """
+    def _update_ttl_sessions(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Full sessionization in arbitrary state: split on in-batch gaps,
+        carry the open session across batches, close it on event-time
+        timeout."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, start_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start_ms],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        ts_ms: list[int] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_ms.extend(int(v.value // 1_000_000) for v in pdf["ts"])
+        ts_ms.sort()
+        open_sess = list(state.get) if state.exists else None  # [n, start, last]
+        closed: list[tuple[int, int, str]] = []
+        for t_ in ts_ms:
+            if open_sess is None:
+                open_sess = [1, t_, t_]
+            elif t_ - open_sess[2] > SESSION_GAP_MS:
+                closed.append((open_sess[1], open_sess[0], "gap"))
+                open_sess = [1, t_, t_]
+            else:
+                open_sess[0] += 1
+                open_sess[2] = max(open_sess[2], t_)
+        if open_sess is not None:
+            state.update(tuple(open_sess))
+            state.setTimeoutTimestamp(open_sess[2] + SESSION_GAP_MS)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start_ms": [c[0] for c in closed],
+                "n_events": [c[1] for c in closed],
+                "closed_by": [c[2] for c in closed],
+            }
+        ).astype(
+            {
+                "user_id": "int64",
+                "session_start_ms": "int64",
+                "n_events": "int64",
+                "closed_by": "object",
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
         _update_ttl_sessions,
         outputStructType=TTL_SESSION_OUTPUT_SCHEMA,
@@ -263,55 +268,6 @@ ATTR_STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_last_touch(
-    key: tuple[Any, ...],
-    pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Replay this batch's rows for one user in (ts, event_id) order:
-    touches advance the latest-touch state, purchases attribute against
-    it (7-day lookback, lexicographic "before" — identical tie
-    semantics to the batch window form)."""
-    (user_id,) = key
-    rows: list[tuple[int, int, str]] = []
-    for pdf in pdf_iter:
-        for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
-            rows.append((int(ts.value // 1_000), int(eid), str(etype)))
-    rows.sort()
-    touch = tuple(state.get) if state.exists else None  # (tts_us, tid, ttype)
-    out: list[tuple[int, int, int, str, int]] = []
-    for tus, eid, etype in rows:
-        if etype in ("click", "view"):
-            if touch is None or (tus, eid) > (touch[0], touch[1]):
-                touch = (tus, eid, etype)
-        elif etype == "purchase" and touch is not None:
-            if touch[0] >= tus - ATTRIBUTION_LOOKBACK_US:
-                out.append(
-                    (eid, tus, touch[1], touch[2], (tus - touch[0]) // 1_000_000)
-                )
-    if touch is not None:
-        state.update(touch)
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id] * len(out),
-            "purchase_id": [o[0] for o in out],
-            "purchase_ts_us": [o[1] for o in out],
-            "touch_event_id": [o[2] for o in out],
-            "touch_type": [o[3] for o in out],
-            "gap_seconds": [o[4] for o in out],
-        }
-    ).astype(
-        {
-            "user_id": "int64",
-            "purchase_id": "int64",
-            "purchase_ts_us": "int64",
-            "touch_event_id": "int64",
-            "touch_type": "object",
-            "gap_seconds": "int64",
-        }
-    )
-
-
 def attribute_last_touch(events: DataFrame) -> DataFrame:
     """Streaming last-touch attribution: one (latest-touch) struct per
     user in the state store; purchases emit their attribution the
@@ -325,6 +281,54 @@ def attribute_last_touch(events: DataFrame) -> DataFrame:
     users (the ttl_sessionize pattern) — elided here so the bounded
     drain keeps every key inspectable.
     """
+    def _update_last_touch(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Replay this batch's rows for one user in (ts, event_id) order:
+        touches advance the latest-touch state, purchases attribute against
+        it (7-day lookback, lexicographic "before" — identical tie
+        semantics to the batch window form)."""
+        (user_id,) = key
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdf_iter:
+            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                rows.append((int(ts.value // 1_000), int(eid), str(etype)))
+        rows.sort()
+        touch = tuple(state.get) if state.exists else None  # (tts_us, tid, ttype)
+        out: list[tuple[int, int, int, str, int]] = []
+        for tus, eid, etype in rows:
+            if etype in ("click", "view"):
+                if touch is None or (tus, eid) > (touch[0], touch[1]):
+                    touch = (tus, eid, etype)
+            elif etype == "purchase" and touch is not None:
+                if touch[0] >= tus - ATTRIBUTION_LOOKBACK_US:
+                    out.append(
+                        (eid, tus, touch[1], touch[2], (tus - touch[0]) // 1_000_000)
+                    )
+        if touch is not None:
+            state.update(touch)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "purchase_id": [o[0] for o in out],
+                "purchase_ts_us": [o[1] for o in out],
+                "touch_event_id": [o[2] for o in out],
+                "touch_type": [o[3] for o in out],
+                "gap_seconds": [o[4] for o in out],
+            }
+        ).astype(
+            {
+                "user_id": "int64",
+                "purchase_id": "int64",
+                "purchase_ts_us": "int64",
+                "touch_event_id": "int64",
+                "touch_type": "object",
+                "gap_seconds": "int64",
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
         _update_last_touch,
         outputStructType=ATTR_OUTPUT_SCHEMA,
