@@ -74,6 +74,25 @@ def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
         return (img.width, img.height, int(getattr(img, "n_frames", 1)))
 
 
+def _ship_by_value(fn):
+    """Rebind a module-level kernel as a DYNAMIC function so cloudpickle
+    serializes it by value instead of by module reference — executors
+    never need this package importable (the serialization contract in
+    streaming/stateful.py). The kernels keep their module-level
+    definitions for direct unit testing; the clone shares the same code
+    object, and every kernel here touches only builtins plus imports it
+    performs inside its own body, so empty globals suffice."""
+    import types
+
+    return types.FunctionType(
+        fn.__code__,
+        {"__builtins__": __builtins__},
+        fn.__name__,
+        fn.__defaults__,
+        fn.__closure__,
+    )
+
+
 def _require_real(kernel: str) -> None:
     if kernel == "real" and not REAL_DECODERS_AVAILABLE:
         raise NotImplementedError(
@@ -98,7 +117,7 @@ def decode_metadata(
     (``REAL_DECODERS_AVAILABLE`` is a try-import probe, not a constant).
     """
     _require_real(kernel)
-    decode = _real_decode if kernel == "real" else _fake_decode
+    decode = _ship_by_value(_real_decode if kernel == "real" else _fake_decode)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,7 +194,7 @@ def resize_payload(
     ``kernel='real'`` (auto-enabled when Pillow is installed) decodes
     and resamples actual images with the same output contract."""
     _require_real(kernel)
-    resize = _real_resize if kernel == "real" else _fake_resize
+    resize = _ship_by_value(_real_resize if kernel == "real" else _fake_resize)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -153,6 +153,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
 )
 
+#: Round-7 adjudication — serialization-packaging changes outside the
+#: window. The late-round pickle-by-value hardening (udf factories in
+#: functions/groupedagg.py + functions/scalariter.py, _ship_by_value
+#: multimodal kernel clones, register_pickle_by_value on the two
+#: Python DataSource modules) touches ten queries that hold r5/r6
+#: driver greens but have no r7 slot: the two pandas-seam queries, the
+#: five multimodal queries, and the three Python-DataSource queries.
+#: These changes move WHERE the kernel is defined, not what it
+#: computes — the shipped code objects are identical — so they do not
+#: displace tier-1/2 never-checked queries from the full window.
+#: Evidence standing in for the fresh driver row: (a) the
+#: tests/test_serialization.py subprocess roundtrips (kernels execute
+#: with the package unimportable, outputs pinned), and (b) a
+#: vanilla-session drive_entry rehearsal of all ten at sf0.01, green
+#: (BASELINE.md "Round-7 serialization hardening"). They rotate into
+#: the round-8 window first.
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills QUERIES).
 

@@ -585,12 +585,15 @@ def pandas_grouped_agg_seam(spark, sf_dir):
     uses. The seam exists for aggregates that genuinely need
     numpy/scipy, priced accordingly (docstring policy, SURVEY §2c).
     """
-    # Defined in functions/groupedagg.py (a module WITHOUT the
-    # __future__ annotations import) so pandas_udf can infer the
-    # GROUPED_AGG eval type from the real pd.Series signature.
-    from jubilant_garbanzo_spark.functions.groupedagg import trimmed_mean_chars
+    # Built by a factory in functions/groupedagg.py (a module WITHOUT
+    # the __future__ annotations import) so pandas_udf can infer the
+    # GROUPED_AGG eval type from the real pd.Series signature, and the
+    # udf pickles by value (serialization contract).
+    from jubilant_garbanzo_spark.functions.groupedagg import (
+        make_trimmed_mean_chars,
+    )
 
-    trimmed_mean = trimmed_mean_chars
+    trimmed_mean = make_trimmed_mean_chars()
     d = load_table(spark, sf_dir, "documents")
     # Catalyst forbids mixing a GROUPED_AGG pandas UDF with built-in
     # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
@@ -777,8 +780,11 @@ def pandas_scalar_iter_seam(spark, sf_dir):
     amortization is exactly what makes Python-side inference viable at
     100 TB (setup cost ÷ batches-per-worker → 0), and the plain scalar
     form would re-pay it per batch."""
-    from jubilant_garbanzo_spark.functions.scalariter import alnum_count_iter
+    from jubilant_garbanzo_spark.functions.scalariter import (
+        make_alnum_count_iter,
+    )
 
+    alnum_count_iter = make_alnum_count_iter()
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -140,5 +140,17 @@ class JsonlSinkDataSource(DataSource):
 
 
 def register_jsonl_sink(spark) -> None:
-    """Idempotent registration of the sink with a SparkSession."""
+    """Idempotent registration of the sink with a SparkSession.
+
+    Marked pickle-by-value like register_tweet_source, so executors
+    never need this package importable (serialization contract in
+    streaming/stateful.py)."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older cloudpickle
+        pass
     spark.dataSource.register(JsonlSinkDataSource)

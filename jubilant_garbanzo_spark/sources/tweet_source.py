@@ -160,5 +160,22 @@ class TweetFirehoseDataSource(DataSource):
 
 
 def register_tweet_source(spark) -> None:
-    """Idempotent registration of the connector on a session."""
+    """Idempotent registration of the connector on a session.
+
+    The module is marked pickle-BY-VALUE first (the cloudpickle API
+    for exactly this case): Spark serializes the DataSource class to
+    executors, and a module-level class otherwise pickles by reference
+    — requiring this package on every executor's sys.path (the
+    serialization contract in streaming/stateful.py; a vanilla-session
+    driver rehearsal caught the by-reference form failing with
+    PYTHON_DATA_SOURCE_ERROR). The classes stay module-level so tests
+    can import them directly."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older cloudpickle
+        pass
     spark.dataSource.register(TweetFirehoseDataSource)

@@ -46,7 +46,10 @@ print("SAMPLE:", srows[0] if srows else None)
 # of stateful update functions in round 7 (both would plausibly have
 # been driver reds). Raw-tuple compare with only float rounding, i.e.
 # STRICTER than the comparator in jubilant_garbanzo_spark.testing.
-if "--window" in sys.argv:
+# --names a b c: same rehearsal over an explicit query list instead
+# (used for out-of-window queries whose worker-side Python changed,
+# e.g. the round-7 pickle-by-value adjudication set).
+if "--window" in sys.argv or "--names" in sys.argv:
     import math
 
     def _norm(v):
@@ -54,8 +57,15 @@ if "--window" in sys.argv:
             return "nan" if math.isnan(v) else round(v, 9)
         return v
 
+    if "--names" in sys.argv:
+        targets = sys.argv[sys.argv.index("--names") + 1 :]
+        unknown = [n for n in targets if n not in q]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+    else:
+        targets = list(q)[:50]
     fails = []
-    for name in list(q)[:50]:
+    for name in targets:
         try:
             srows = sorted(
                 tuple(_norm(x) for x in r)
@@ -75,6 +85,9 @@ if "--window" in sys.argv:
         except Exception as exc:  # noqa: BLE001
             fails.append(name)
             print("FAIL", name, "EXC", type(exc).__name__, flush=True)
-    print(f"{50 - len(fails)}/50 vanilla-session window pass; fails: {fails}")
+    print(
+        f"{len(targets) - len(fails)}/{len(targets)} vanilla-session "
+        f"rehearsal pass; fails: {fails}"
+    )
 
 spark.stop()
