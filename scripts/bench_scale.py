@@ -94,6 +94,11 @@ QUERIES = (
     "tpch_q9_product_profit",
     "tpch_q18_large_volume_customers",
     "tpch_q21_suppliers_kept_waiting",
+    # round-7 late: the asymmetric-containment candidate stage (its x30
+    # row existed from the probe session but had no x1/x3/x10 baseline,
+    # so no slope was computable — the grid must include every query
+    # any committed scale row mentions)
+    "dedup_shingle_containment",
 )
 ID_STRIDE = 10_000_000
 
@@ -264,7 +269,17 @@ def main() -> int:
     # Regenerate the full artifact with `--scales 1 3 10 30`; the
     # default stays the cheap committed grid.
     ap.add_argument("--scales", type=int, nargs="+", default=list(SCALES))
+    # Targeted regeneration: --queries restricts measurement to the
+    # named queries and --merge deep-merges the new rows into the
+    # existing artifact instead of replacing it — so one new grid query
+    # doesn't force re-measuring (and re-noising) the other ~24 rows.
+    ap.add_argument("--queries", nargs="+", default=None)
+    ap.add_argument("--merge", action="store_true")
     args = ap.parse_args()
+    bench_queries = tuple(args.queries) if args.queries else QUERIES
+    unknown = [n for n in bench_queries if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"--queries not in the pinned grid: {unknown}")
 
     spark = get_spark("bench-scale")
     specs = load_all()
@@ -283,8 +298,13 @@ def main() -> int:
             f"SELECT count(*) FROM read_parquet('{dest}/embeddings.parquet/*.parquet')"
         ).fetchone()[0]
         entry: dict = {"n_docs": n_docs, "n_vecs": n_vecs, "queries": {}}
-        entry["candidates"] = candidate_counts(spark, dest)
-        for name in QUERIES:
+        # Candidate-mass counts cover the four dedup/ANN families; on a
+        # --queries targeted run they are unchanged, so keep the prior
+        # artifact's values instead of re-paying the four pipelines.
+        entry["candidates"] = (
+            None if args.queries else candidate_counts(spark, dest)
+        )
+        for name in bench_queries:
             fn = specs[name].fn
             # warm-up (codegen/JIT), then median-of-N
             fn(spark, dest).write.format("noop").mode("overwrite").save()
@@ -310,6 +330,19 @@ def main() -> int:
             )
         result["scales"][f"x{scale}"] = entry
 
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        for sc, entry in result["scales"].items():
+            merged = prior["scales"].setdefault(sc, entry)
+            if merged is not entry:
+                merged["queries"].update(entry["queries"])
+                if entry["candidates"] is not None:
+                    merged["candidates"] = entry["candidates"]
+                merged["n_docs"] = entry["n_docs"]
+                merged["n_vecs"] = entry["n_vecs"]
+        result = prior
+
     # Slopes: wall(x10)/wall(x1) per query; 10.0 = perfectly linear.
     if {"x1", "x10"} <= result["scales"].keys():
         result["slope_x10_over_x1"] = {
@@ -318,15 +351,15 @@ def main() -> int:
                 / max(result["scales"]["x1"]["queries"][name]["wall_sec"], 1e-9),
                 2,
             )
-            for name in QUERIES
+            for name in result["scales"]["x1"]["queries"]
+            if name in result["scales"]["x10"]["queries"]
         }
     result["candidates_per_doc"] = {
-        f"x{s}": round(
-            result["scales"][f"x{s}"]["candidates"]["minhash_band_candidates"]
-            / result["scales"][f"x{s}"]["n_docs"],
-            4,
+        sc: round(
+            entry["candidates"]["minhash_band_candidates"] / entry["n_docs"], 4
         )
-        for s in args.scales
+        for sc, entry in result["scales"].items()
+        if entry.get("candidates")
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
