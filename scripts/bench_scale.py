@@ -160,9 +160,20 @@ def generate(spark, scale: int, dest: str) -> None:
     out_vecs = vec_parts[0]
     for p in vec_parts[1:]:
         out_vecs = out_vecs.unionByName(p)
-    # Single files named <table>.parquet so load_table() finds them.
-    out_docs.coalesce(4).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
-    out_vecs.coalesce(4).write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+    # Directories named <table>.parquet so load_table() finds them.
+    # File count scales WITH the corpus (4 per replica; x1 keeps the
+    # historical 4-file layout): a fixed 4-file layout capped the x30
+    # documents scan at ceil(470MB/128MB)=7 tasks on 32 cores, so every
+    # map-side stage (shingle explode, signature hashing) ran 4-8x
+    # under-parallel and the measured "slope" included a file-layout
+    # artifact no real corpus has — at 100 TB the scan has millions of
+    # row groups (A/B numbers: BASELINE.md "x30 file-layout artifact").
+    out_docs.repartition(4 * scale).write.mode("overwrite").parquet(
+        f"{dest}/documents.parquet"
+    )
+    out_vecs.repartition(4 * scale).write.mode("overwrite").parquet(
+        f"{dest}/embeddings.parquet"
+    )
 
     # Iterative-family inputs (round-6: scale slopes for pagerank/BFS/
     # interval-overlap). Facts replicate with key strides — each replica
@@ -215,7 +226,9 @@ def generate(spark, scale: int, dest: str) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.coalesce(4).write.mode("overwrite").parquet(f"{dest}/{table}.parquet")
+        out.repartition(4 * scale).write.mode("overwrite").parquet(
+            f"{dest}/{table}.parquet"
+        )
     spark.read.parquet(f"{BASE}/nation.parquet").write.mode("overwrite").parquet(
         f"{dest}/nation.parquet"
     )
@@ -230,7 +243,9 @@ def generate(spark, scale: int, dest: str) -> None:
     out_ev = ev_parts[0]
     for p in ev_parts[1:]:
         out_ev = out_ev.unionByName(p)
-    out_ev.coalesce(4).write.mode("overwrite").parquet(f"{dest}/events.parquet")
+    out_ev.repartition(4 * scale).write.mode("overwrite").parquet(
+        f"{dest}/events.parquet"
+    )
 
 
 def candidate_counts(spark, sf_dir: str) -> dict:
