@@ -105,6 +105,16 @@ def main() -> int:
     # wrong" #3). The median of three post-warm-up runs is stable to
     # ~±0.1s; the extra pass costs ~20s at sf0.1.
     ap.add_argument("--runs", type=int, default=3)
+    # Where the full payload lands. The default is the committed artifact
+    # next to this script (what the driver and BASELINE.md reference);
+    # tests point it at a tmp path so an end-to-end format check can't
+    # clobber the committed numbers.
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        ),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -161,8 +171,7 @@ def main() -> int:
     #   2. noise-band on its OWN earlier line (sacrificial if truncated);
     #   3. LAST line = compact summary (no spaces, total before the
     #      per-query dict) so the parseable JSON always fits the tail.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_out.json"), "w") as fh:
+    with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"metric": "noise_band", "bands": spreads,
                       "method": method}, separators=(",", ":")))

@@ -1,0 +1,80 @@
+"""End-to-end guard for bench.py's output contract (VERDICT r6 item 2).
+
+Round 6's driver artifact was lost to stdout-tail truncation: the single
+pretty JSON line outgrew the bounded window the driver records, so
+``BENCH_r06.json`` parsed as null and 8 headline medians vanished. The
+fix is an output ORDER contract — sacrificial noise-band line first,
+compact summary (no spaces, ``value`` before ``queries``) as the very
+LAST stdout line, full payload mirrored to a file readable whole. A
+format contract that only lives in comments regresses silently, so this
+runs the real script end-to-end (subprocess, one query, single run,
+sf0.001, tmp --out) and pins every piece the driver's parser needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_bench_stdout_tail_is_compact_parseable_summary(tmp_path):
+    out_file = tmp_path / "bench_probe.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "bench.py"),
+            "--sf",
+            "/root/testdata/sf0.001",
+            "--runs",
+            "1",
+            "--out",
+            str(out_file),
+            "trending_topk",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) >= 2, f"expected >=2 stdout lines, got: {lines!r}"
+
+    # LAST line: the compact summary the driver's bounded tail must catch.
+    summary = json.loads(lines[-1])
+    assert summary["metric"] == "headline_total_wall"
+    assert summary["unit"] == "sec"
+    assert isinstance(summary["value"], (int, float))
+    assert summary["queries"] == {
+        "trending_topk": summary["value"]
+    } or set(summary["queries"]) == {"trending_topk"}
+    assert summary["method"] == "single-run"
+    assert summary["sf"] == 0.001
+    # Compactness + field order keep the line small and the total ahead
+    # of the per-query dict, so a truncated tail still yields the total.
+    assert " " not in lines[-1], "summary line must use compact separators"
+    assert lines[-1].index('"value"') < lines[-1].index('"queries"')
+    # noise_band is the one dict allowed to be sacrificed to truncation —
+    # it must NOT ride on the summary line.
+    assert "noise_band" not in summary
+
+    # Second-to-last line: the sacrificial noise-band record.
+    bands = json.loads(lines[-2])
+    assert bands["metric"] == "noise_band"
+    assert set(bands["bands"]) == {"trending_topk"}
+
+    # File mirror: full payload, readable whole, includes the noise band.
+    payload = json.loads(out_file.read_text())
+    assert payload["value"] == summary["value"]
+    assert payload["noise_band"].keys() == payload["queries"].keys()
+
+    # The committed artifact must be untouched by an --out run.
+    committed = json.loads((REPO / "bench_out.json").read_text())
+    assert len(committed["queries"]) >= 36
