@@ -614,6 +614,37 @@ def knn_join(
     )
 
 
+def _pq_frames(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ inputs: ``v`` = (vec_id, vi) with coordinates scaled to
+    integer millionths, ``cb`` = (j, ci) the deterministic k-row sampled
+    codebook (smallest md5(vec_id), j = 0..k-1). Both :func:`pq_encode`
+    and :func:`pq_adc_topk` derive from exactly these frames so encode
+    and search agree on the codebook bit for bit."""
+    from pyspark.sql import Window
+
+    vi = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * float(scale)).cast("bigint"),
+    )
+    v = embeddings.select(F.col(id_col).alias("vec_id"), vi.alias("vi"))
+    cbk = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cb = cbk.withColumn(
+        "j",
+        F.row_number().over(Window.orderBy("h", "vec_id")) - 1,
+    ).select("j", F.col("vi").alias("ci"))
+    return v, cb
+
+
 def pq_encode(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -649,23 +680,8 @@ def pq_encode(
     vector. Returns (vec_id, codes array<int>, err_scaled bigint —
     total squared quantization error in scaled-int units).
     """
-    from pyspark.sql import Window
-
     sub = dim // m
-    vi = F.transform(
-        as_double(F.col(vec_col)),
-        lambda x: F.round(x * float(scale)).cast("bigint"),
-    )
-    v = embeddings.select(F.col(id_col).alias("vec_id"), vi.alias("vi"))
-    cb16 = (
-        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(k)
-    )
-    cb = cb16.withColumn(
-        "j",
-        F.row_number().over(Window.orderBy("h", "vec_id")) - 1,
-    ).select("j", F.col("vi").alias("ci"))
+    v, cb = _pq_frames(embeddings, id_col, vec_col, k, scale)
 
     def dist(s: int) -> Column:
         a = F.slice(F.col("vi"), s * sub + 1, sub)
@@ -735,6 +751,164 @@ def pq_oracle_sql(
                array_to_string([{codes}], ',') AS codes,
                CAST({err} AS BIGINT) AS err_scaled
         FROM best
+    """
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    topk: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al., TPAMI
+    2011 §IV.A — public literature): the SEARCH half of the PQ stack
+    that :func:`pq_encode` builds. The query vector stays un-quantized;
+    per subspace, its squared distance to each of the ``k`` codebook
+    centroids is precomputed once into an m×k lookup table, and every
+    corpus vector's approximate distance is then ``Σ_s LUT[s][code_s]``
+    — m integer array lookups per row instead of a dim-wide float scan.
+
+    Query pick is deterministic and engine-reproducible: the corpus
+    vector with the LARGEST vec_id (the codebook samples the smallest
+    md5 order, so overlap is arbitrary but identical in both engines);
+    the query row itself is excluded from results, mirroring
+    :func:`cosine_topk`.
+
+    Same exact-integer discipline as the encoder: scaled-int
+    coordinates make every LUT cell and every summed distance a BIGINT,
+    so the ranking (and the (adc_dist, vec_id) total order under the
+    LIMIT) is bit-identical across engines — the whole search is
+    hash-verified, not rows-only.
+
+    Scale shape: the LUT derives from two broadcast-size frames (k-row
+    codebook × 1-row query) and lands as ONE broadcast row of m
+    k-length arrays; the corpus side reads only the m-byte codes (at
+    100 TB the codes come from the stored encode stage — 32× smaller
+    than the raw vectors, the entire point of PQ), adds m element_at
+    lookups inside one codegen stage, and finishes with
+    TakeOrderedAndProject — no shuffle wider than top-k partials.
+    """
+    sub = dim // m
+    v, cb = _pq_frames(embeddings, id_col, vec_col, k, scale)
+    enc = pq_encode(embeddings, id_col, vec_col, m, k, dim, scale)
+    qv = (
+        v.orderBy(F.col("vec_id").desc())
+        .limit(1)
+        .select(F.col("vec_id").alias("q_id"), F.col("vi").alias("qi"))
+    )
+
+    def qdist(s: int) -> Column:
+        a = F.slice(F.col("qi"), s * sub + 1, sub)
+        b = F.slice(F.col("ci"), s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    lut_rows = cb.crossJoin(F.broadcast(qv)).select(
+        "q_id", "j", *[qdist(s).alias(f"d{s}") for s in range(m)]
+    )
+    lut = lut_rows.groupBy("q_id").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("j"), F.col(f"d{s}").alias("d"))
+                    )
+                ),
+                lambda x: x["d"],
+            ).alias(f"lut{s}")
+            for s in range(m)
+        ]
+    )
+    adc_dist = sum(
+        [
+            F.element_at(F.col(f"lut{s}"), F.col("codes")[s] + 1)
+            for s in range(1, m)
+        ],
+        F.element_at(F.col("lut0"), F.col("codes")[0] + 1),
+    )
+    return (
+        enc.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", adc_dist.cast("bigint").alias("adc_dist")
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(topk)
+    )
+
+
+def pq_adc_oracle_sql(
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    topk: int = 10,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk` — same scaled-int codebook,
+    codes, LUT, and (adc_dist, vec_id) total order."""
+    sub = dim // m
+    keys, luts = [], []
+    for s in range(m):
+        lo = s * sub
+        keys.append(
+            f"(CAST(list_sum([(v.vi[{lo}+i] - c.ci[{lo}+i]) *"
+            f" (v.vi[{lo}+i] - c.ci[{lo}+i]) FOR i IN range(1, {sub + 1})])"
+            f" AS BIGINT) * {k} + c.j) AS key{s}"
+        )
+        luts.append(
+            f"CAST(list_sum([(q.qi[{lo}+i] - c.ci[{lo}+i]) *"
+            f" (q.qi[{lo}+i] - c.ci[{lo}+i]) FOR i IN range(1, {sub + 1})])"
+            f" AS BIGINT) AS d{s}"
+        )
+    keys_sql = ",\n                   ".join(keys)
+    luts_sql = ",\n                   ".join(luts)
+    mins = ", ".join(f"min(key{s}) AS k{s}" for s in range(m))
+    joins = "\n        ".join(
+        f"JOIN lut l{s} ON l{s}.j = b.k{s} % {k}" for s in range(m)
+    )
+    dist = " + ".join(f"l{s}.d{s}" for s in range(m))
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   [CAST(round(x * {scale}.0) AS BIGINT)
+                    FOR x IN CAST(embedding AS DOUBLE[])] AS vi
+            FROM embeddings
+        ), cb AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS j,
+                   vi AS ci
+            FROM v
+            QUALIFY j < {k}
+        ), q AS (
+            SELECT vec_id AS q_id, vi AS qi
+            FROM v ORDER BY vec_id DESC LIMIT 1
+        ), lut AS (
+            SELECT q.q_id, c.j,
+                   {luts_sql}
+            FROM cb c CROSS JOIN q
+        ), pairs AS (
+            SELECT v.vec_id,
+                   {keys_sql}
+            FROM v CROSS JOIN cb c
+        ), best AS (
+            SELECT vec_id, {mins}
+            FROM pairs GROUP BY vec_id
+        )
+        SELECT l0.q_id, b.vec_id,
+               CAST({dist} AS BIGINT) AS adc_dist
+        FROM best b
+        {joins}
+        WHERE b.vec_id <> l0.q_id
+        ORDER BY adc_dist, b.vec_id
+        LIMIT {topk}
     """
 
 

@@ -74,8 +74,8 @@ def register(
 #: regrow) and the oldest stale refreshes displaced in r5/r6 (tier 5 —
 #: all carry older driver greens AND current local-strict-gate
 #: greens). New-operator addition this round was gated on the queue
-#: fitting the window first (40 never-checked + 4 changed + 3 new +
-#: 2 more changed + 1 stale refresh = 50).
+#: fitting the window first (40 never-checked + 4 changed + 4 new +
+#: 2 more changed = 50).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- tier 1: never driver-checked — round-6 wave-5/late-wave-4 SQL,
     #    stats, timeseries, graph, dedup and streaming queries ----------
@@ -137,6 +137,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_duplicated_ngram_coverage",
     "agg_group_quantiles",
     "skyline_pareto_frontier",
+    "embed_ann_pq_adc",
     # -- tier 5: also changed in round 7 — the measured build-once
     #    localCheckpoint pass over the candidate-stage operators
     #    (operators/dedup.py minhash family + containment,
@@ -147,8 +148,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    filter in its candidate stage (candidates 409 k → 125 k,
     #    lossless — measured in operators/dedup.py), so it takes the
     #    last slot; the flagship trending_topk keeps its six prior
-    #    driver greens and rotates back in round 8 ----------------------
-    "dedup_minhash_lsh",
+    #    driver greens and rotates back in round 8.
+    #    dedup_minhash_lsh was displaced from this tier by the late
+    #    tier-4 addition embed_ann_pq_adc (never-checked queries hold
+    #    absolute priority over refresh slots — the test enforces the
+    #    subset, the window caps at 50). Its round-7 change is the
+    #    output-identical build-once checkpoint; stand-in evidence =
+    #    the full-window vanilla-session rehearsal this session (50/50
+    #    green WITH dedup_minhash_lsh still in the window at rehearsal
+    #    time) on top of r1-r6 driver greens. It rotates into round 8
+    #    with the serialization set. ------------------------------------
     "dedup_shingle_containment",
     "dedup_ngram_jaccard",
 )

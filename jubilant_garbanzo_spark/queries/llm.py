@@ -1225,6 +1225,24 @@ def embed_pq_encode(spark, sf_dir):
 
 
 @register(
+    "embed_ann_pq_adc",
+    oracle=S.pq_adc_oracle_sql(),
+    tags=("llm", "embedding", "ann", "pq"),
+)
+def embed_ann_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-10 search
+    (operators/similarity.pq_adc_topk): the query vector stays exact,
+    every corpus vector is m integer LUT lookups over its PQ codes —
+    the search half that completes the IVFPQ ANN stack (brute-force
+    cosine = exact baseline, IVF = bucket pruning, LSH = hash pruning,
+    PQ-ADC = compressed-domain scoring). Fully hash-verified: the
+    scaled-int arithmetic makes codebook, codes, LUT and ranking
+    bit-identical in DuckDB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(e)
+
+
+@register(
     "text_bigram_pmi",
     oracle="""
         WITH toks AS (

@@ -830,3 +830,21 @@ def test_skyline_is_sort_sweep_not_quadratic(spark, sf_dir):
     assert "Window" in plan, plan[:2000]
     strategies = join_strategies(df)
     assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_pq_adc_broadcast_lut_take_ordered(spark, sf_dir):
+    """PQ-ADC search must score in the compressed domain: the only
+    per-corpus-row work is m element_at lookups against the ONE-row
+    broadcast LUT (BroadcastNestedLoopJoin with a 1-row build side is
+    the intended shape here — never a shuffle), and the top-k must
+    fuse to TakeOrderedAndProject, not a global sort."""
+    from jubilant_garbanzo_spark.plans import formatted_plan
+
+    df = q(spark, sf_dir, "embed_ann_pq_adc")
+    plan = formatted_plan(df)
+    assert uses_take_ordered(df)
+    assert "Exchange hashpartitioning" not in plan.replace(
+        "Exchange hashpartitioning(vec_id", "ENCODE-GROUPBY(vec_id"
+    ), plan[:2000]
+    assert "element_at" in plan
+    assert "BroadcastExchange" in plan
