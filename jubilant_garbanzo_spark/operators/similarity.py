@@ -653,6 +653,7 @@ def pq_encode(
     k: int = 16,
     dim: int = 64,
     scale: int = 1_000_000,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Product quantization encode (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011 — public literature): split
@@ -679,9 +680,13 @@ def pq_encode(
     partial-agg'd groupBy on vec_id — shuffle carries m smalls per
     vector. Returns (vec_id, codes array<int>, err_scaled bigint —
     total squared quantization error in scaled-int units).
+
+    ``frames`` lets a caller that already built (and possibly
+    checkpointed) the scaled frame + codebook share them —
+    :func:`pq_adc_topk` does, so encode and search cannot diverge.
     """
     sub = dim // m
-    v, cb = _pq_frames(embeddings, id_col, vec_col, k, scale)
+    v, cb = frames or _pq_frames(embeddings, id_col, vec_col, k, scale)
 
     def dist(s: int) -> Column:
         a = F.slice(F.col("vi"), s * sub + 1, sub)
@@ -763,6 +768,7 @@ def pq_adc_topk(
     dim: int = 64,
     scale: int = 1_000_000,
     topk: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k search (Jégou et al., TPAMI
     2011 §IV.A — public literature): the SEARCH half of the PQ stack
@@ -791,10 +797,21 @@ def pq_adc_topk(
     than the raw vectors, the entire point of PQ), adds m element_at
     lookups inside one codegen stage, and finishes with
     TakeOrderedAndProject — no shuffle wider than top-k partials.
+
+    Build-once discipline (the round-7 checkpoint pass): the scaled
+    frame and the codebook feed three consumers (encode, query row,
+    LUT), and Catalyst does not CSE sibling subplans — without a
+    checkpoint the parquet scan + codebook top-k re-run per consumer.
+    Eager localCheckpoint on both: measured median-of-5 at sf0.1
+    1.80 s → 1.37 s in one session.
     """
     sub = dim // m
     v, cb = _pq_frames(embeddings, id_col, vec_col, k, scale)
-    enc = pq_encode(embeddings, id_col, vec_col, m, k, dim, scale)
+    v = v.localCheckpoint(eager=True)
+    cb = cb.localCheckpoint(eager=True)
+    enc = pq_encode(
+        embeddings, id_col, vec_col, m, k, dim, scale, frames=(v, cb)
+    )
     qv = (
         v.orderBy(F.col("vec_id").desc())
         .limit(1)
@@ -833,10 +850,14 @@ def pq_adc_topk(
         ],
         F.element_at(F.col("lut0"), F.col("codes")[0] + 1),
     )
+    scored = enc.crossJoin(F.broadcast(lut))
+    if exclude_self:
+        # Mirrors cosine_topk. Keeping the query row instead
+        # (exclude_self=False) exposes the encode⇄search identity
+        # ADC(q, codes(q)) == err_scaled(q), which the unit tests pin.
+        scored = scored.filter(F.col("vec_id") != F.col("q_id"))
     return (
-        enc.crossJoin(F.broadcast(lut))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        scored.select(
             "q_id", "vec_id", adc_dist.cast("bigint").alias("adc_dist")
         )
         .orderBy("adc_dist", "vec_id")

@@ -99,6 +99,10 @@ QUERIES = (
     # so no slope was computable — the grid must include every query
     # any committed scale row mentions)
     "dedup_shingle_containment",
+    # round-7 late: PQ-ADC search — encode is crossJoin(N × k) so wall
+    # should be ~linear in N; the search half is m lookups/row against
+    # a broadcast LUT, so the slope measures the encode stage
+    "embed_ann_pq_adc",
 )
 ID_STRIDE = 10_000_000
 

@@ -653,3 +653,48 @@ def test_winnowing_shared_run_guarantee(spark):
     s0 = {r["fp"] for r in rows if r["doc_id"] == 0}
     s1 = {r["fp"] for r in rows if r["doc_id"] == 1}
     assert s0 & s1, "8-token shared run produced no shared fingerprint"
+
+
+def test_pq_adc_self_distance_equals_encode_error(spark, sf_dir):
+    """The encode⇄search identity: the ADC distance from the query
+    vector to its OWN code word must equal that row's err_scaled from
+    pq_encode — both are Σ_s ||q_s − centroid(code_s)||² in scaled-int
+    units. Catches any drift between the encoder's argmin keys and the
+    search LUT (off-by-one subspace slicing, wrong centroid order)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q_id, err = (
+        S.pq_encode(e)
+        .join(e.select("vec_id"), "vec_id")
+        .orderBy(F.col("vec_id").desc())
+        .select("vec_id", "err_scaled")
+        .first()
+    )
+    ranked = S.pq_adc_topk(e, topk=n, exclude_self=False).collect()
+    self_rows = [r for r in ranked if r["vec_id"] == q_id]
+    assert len(self_rows) == 1, "query row missing with exclude_self=False"
+    assert self_rows[0]["adc_dist"] == err, (self_rows[0]["adc_dist"], err)
+
+
+def test_pq_adc_separates_constructed_clusters(spark):
+    """On 4 well-separated clusters, every same-cluster vector must
+    outrank every other-cluster vector under ADC (the sampled codebook
+    contains members of each cluster, so same-cluster codes land on
+    near centroids and cross-cluster sums dominate)."""
+    import math
+
+    dim = 64
+    rows = []
+    for cluster in range(4):
+        base = [math.sin(cluster * 37 + d) for d in range(dim)]
+        for i in range(50):
+            vec = [
+                base[d] + 0.02 * math.sin(i * 13 + d + cluster)
+                for d in range(dim)
+            ]
+            rows.append((cluster * 50 + i, [float(x) for x in vec]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query = max vec_id = 199, cluster 3 (ids 150..199)
+    top = S.pq_adc_topk(e, topk=49).collect()
+    got = {r["vec_id"] for r in top}
+    assert got == set(range(150, 199)), sorted(got - set(range(150, 199)))
