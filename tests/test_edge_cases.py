@@ -684,3 +684,30 @@ def test_adaptive_bits_holds_past_two_million_vectors():
         assert sql_bits == bits, n
     assert S.adaptive_bits(3_000_000) == 17
     assert S.adaptive_bits(S.TARGET_BUCKET * 2**S.MAX_BITS + 1) == S.MAX_BITS
+
+
+def test_pq_adc_corpus_smaller_than_codebook(spark):
+    """N < k: the sampled codebook degrades to N centroids and the
+    search must still return N-1 ranked rows (self excluded) with the
+    encode-search identity intact — the boundary a tiny partition
+    fragment or a filtered shard hits in production."""
+    from jubilant_garbanzo_spark.operators import similarity as S
+
+    rows = [
+        (i, [float((i * 7 + d) % 5 - 2) / 2.0 for d in range(64)])
+        for i in range(5)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ranked = S.pq_adc_topk(e, topk=10).collect()
+    assert len(ranked) == 4, ranked
+    assert all(r["q_id"] == 4 for r in ranked)
+    dists = [r["adc_dist"] for r in ranked]
+    assert dists == sorted(dists)
+    # identity: with every vector a centroid, codes are exact → the
+    # self row (exclude_self=False) has err == 0 == its own ADC dist
+    own = {
+        r["vec_id"]: r["adc_dist"]
+        for r in S.pq_adc_topk(e, topk=10, exclude_self=False).collect()
+    }
+    enc = {r["vec_id"]: r["err_scaled"] for r in S.pq_encode(e).collect()}
+    assert own[4] == enc[4] == 0, (own.get(4), enc.get(4))
