@@ -640,9 +640,18 @@ _KCORE_ROUNDS = 3
 
 def _kcore_edge_cte() -> str:
     """Shared oracle CTE: the symmetrized significant-trade graph
-    (graph_bfs_hops' sparsification, undirected, self-loops dropped)."""
+    (graph_bfs_hops' sparsification, undirected, self-loops dropped).
+
+    Every CTE is ``AS MATERIALIZED`` (evaluate once, then reuse —
+    supported by DuckDB and PostgreSQL): consumers reference ``und``
+    many times, and without the hint the planner inlines each
+    reference, re-running the 4-way fact join per mention — for the
+    unrolled k-core rounds that inlining compounds to ~50
+    re-evaluations and exhausted single-node temp disk at sf0.1. With
+    materialization the whole cascade runs in <0.1 s at sf0.1 on the
+    identical rows (verified equal at sf0.001/sf0.01)."""
     return """
-        WITH e0 AS (
+        WITH e0 AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
                    CAST(s.s_nationkey AS BIGINT) AS dst,
                    CAST(count(*) AS BIGINT) AS w
@@ -651,11 +660,11 @@ def _kcore_edge_cte() -> str:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1, 2
-        ), tot AS (
+        ), tot AS MATERIALIZED (
             SELECT CAST(sum(w) AS BIGINT) AS tw,
                    CAST(count(*) AS BIGINT) AS ne
             FROM e0
-        ), und AS (
+        ), und AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM e0, tot WHERE w * ne >= tw
                 UNION ALL
@@ -669,12 +678,12 @@ def _kcore_oracle() -> str:
     prev = "und"
     for i in range(1, _KCORE_ROUNDS + 1):
         parts.append(f"""
-        , deg{i} AS (
+        , deg{i} AS MATERIALIZED (
             SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
             FROM {prev} GROUP BY src
-        ), keep{i} AS (
+        ), keep{i} AS MATERIALIZED (
             SELECT node FROM deg{i} WHERE deg >= {k}
-        ), e{i} AS (
+        ), e{i} AS MATERIALIZED (
             SELECT u.src, u.dst FROM und u
             JOIN keep{i} a ON a.node = u.src
             JOIN keep{i} b ON b.node = u.dst
@@ -767,12 +776,12 @@ def graph_kcore(spark, sf_dir):
 @register(
     "graph_link_prediction_jaccard",
     oracle=_kcore_edge_cte() + """
-        , nbr AS (
+        , nbr AS MATERIALIZED (
             SELECT src AS node, dst AS nb FROM und
-        ), deg AS (
+        ), deg AS MATERIALIZED (
             SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbr
             GROUP BY node
-        ), common AS (
+        ), common AS MATERIALIZED (
             SELECT a.node AS na, b.node AS nb2,
                    CAST(count(*) AS BIGINT) AS c
             FROM nbr a JOIN nbr b
