@@ -82,3 +82,24 @@ def test_cooccurrence_threshold_is_exact_ratio(spark):
     at51 = cooccurrence_edges(dt, min_ratio_pct=51).collect()
     assert [(r["a"], r["b"], r["c_ab"]) for r in at50] == [("x", "y", 1)]
     assert at51 == []
+
+
+def test_iterative_oracles_materialize_their_ctes():
+    """The unrolled k-core/link-prediction oracles reference the shared
+    edge CTE once per round per join side; DuckDB inlines each
+    reference, so without AS MATERIALIZED the 4-way fact join re-runs
+    ~50x and exhausts temp disk at sf0.1 (it presented as 'oracle
+    resource exhaustion' for a round before the one-keyword fix). Pin
+    the hint so a regenerated oracle cannot silently reintroduce the
+    explosion."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    specs = load_all()
+    for name in ("graph_kcore", "graph_link_prediction_jaccard"):
+        sql = specs[name].oracle
+        assert "AS MATERIALIZED (" in sql, f"{name} lost MATERIALIZED"
+        # every multiply-referenced CTE in the shared edge block
+        for cte in ("e0", "tot", "und"):
+            assert f"{cte} AS MATERIALIZED (" in sql, (
+                f"{name}: CTE {cte} is inlined again"
+            )
