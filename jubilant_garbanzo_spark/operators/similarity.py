@@ -417,11 +417,23 @@ def lsh_topk(
     this is an index lookup into 4 posting lists, not a scan.
     Fully deterministic (integer-LCG planes) → DuckDB-oracle-checkable,
     unlike centroid-probing IVF which is approximate-by-construction
-    relative to any simple SQL twin. Band width is corpus-adaptive
-    (:func:`adaptive_bits` over the corpus count) so posting-list
-    length per key stays ~TARGET_BUCKET as the corpus grows — the
-    fixed-geometry round-2 version's posting lists grew linearly with
-    N."""
+    relative to any simple SQL twin.
+
+    Width policy — the FLOOR width (:func:`adaptive_bits`), NOT the
+    skew-widened :func:`effective_bits` the pairwise index uses. The
+    skew cap exists to bound the pairwise join's total collision mass
+    (an O(Σc²) cost); a point probe touches only N_SIG_BANDS posting
+    lists, so bucket skew costs bounded per-query latency, not a
+    quadratic blowup. Widening the probe width instead collapses
+    recall: on the x30 scale corpus (60 k vectors) the skew-widened
+    geometry concentrates the remaining collisions in hot buckets and
+    the query's own buckets go EMPTY — measured 5/10 results at x10
+    and 0/10 at x30, vs 10/10 at every scale with the floor width
+    (BENCH_scale.json). The floor keeps expected posting-list length
+    ~TARGET_BUCKET as the corpus grows, which is the right contract
+    for a probe path. The DuckDB twin derives the same floor width
+    (``_hyperplane_sig_cte(skew=False)``) so candidate sets and
+    ranking match exactly at every SF."""
     bits = adaptive_bits(embeddings.count())
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")

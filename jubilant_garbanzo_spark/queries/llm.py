@@ -523,11 +523,19 @@ def embed_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
-def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
+def _hyperplane_sig_cte(
+    dim: int = 64, seeded: bool = False, skew: bool = True
+) -> str:
     """Shared oracle CTE: per-vector hyperplane band keys, derived with
     the IDENTICAL integer planes and left-to-right IEEE sums the Spark
     side uses (operators/similarity.py) — so both engines produce the
     same candidate pairs.
+
+    ``skew=False`` selects the :func:`adaptive_bits` FLOOR width
+    directly, skipping the collision-mass grid — the point-probe
+    geometry ``lsh_topk`` uses (the skew cap protects the pairwise
+    join's O(Σc²) mass; widening a single-query probe only collapses
+    recall — see the lsh_topk docstring for the measured x30 numbers).
 
     ``seeded=True`` unions in the five exact-copy probe vectors that
     :func:`_seeded_embeddings` adds on the Spark side, so the
@@ -535,7 +543,7 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
     fixture's embeddings are random — max pairwise candidate cosine
     ≈ 0.51 at every SF, so un-seeded near-dup thresholds never fire).
 
-    Band width is skew-adaptive (round-7, mirroring
+    Band width (``skew=True``) is skew-adaptive (round-7, mirroring
     ``operators/similarity.py::effective_bits``): the SQL computes each
     band's full MAX_BITS-bit key once (``sig24``, materialized), then
     measures the collision mass Σ c·(c−1)/2 at every candidate width
@@ -566,18 +574,8 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
         if seeded
         else ""
     )
-    return f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            {seed_union}
-        ), bfloor AS (
-            SELECT {S.adaptive_bits_sql("(SELECT count(*) FROM v)")} AS b,
-                   (SELECT count(*) FROM v) AS n
-        ), sig24 AS MATERIALIZED (
-            SELECT vec_id, v,
-                   {k24_cols}
-            FROM v
-        ), k24 AS (
+    eb_ctes = (
+        f"""k24 AS (
             {k24_union}
         ), bucket_counts AS (
             SELECT g.b, t.band,
@@ -595,7 +593,22 @@ def _hyperplane_sig_cte(dim: int = 64, seeded: bool = False) -> str:
             WHERE m.b >= bfloor.b
               AND (m.mass <= {S.SKEW_MASS_PER_VEC} * bfloor.n
                    OR m.b = {S.MAX_BITS})
-        ), sig AS (
+        ),"""
+        if skew
+        else "eb AS (SELECT b AS bits FROM bfloor),"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            {seed_union}
+        ), bfloor AS (
+            SELECT {S.adaptive_bits_sql("(SELECT count(*) FROM v)")} AS b,
+                   (SELECT count(*) FROM v) AS n
+        ), sig24 AS MATERIALIZED (
+            SELECT vec_id, v,
+                   {k24_cols}
+            FROM v
+        ), {eb_ctes} sig AS (
             SELECT vec_id, v, {sig_cols}
             FROM sig24, eb
         )

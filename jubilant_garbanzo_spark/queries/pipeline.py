@@ -167,7 +167,7 @@ def text_decontamination(spark, sf_dir):
 
 @register(
     "embed_ann_lsh",
-    oracle=_hyperplane_sig_cte()
+    oracle=_hyperplane_sig_cte(skew=False)
     + """
         , qsig AS (
             SELECT * FROM sig WHERE vec_id = 0

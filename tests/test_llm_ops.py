@@ -376,6 +376,14 @@ def test_effective_bits_widens_on_skew_and_matches_oracle(spark):
         _hyperplane_sig_cte(seeded=False) + " SELECT bits FROM eb"
     ).fetchone()[0]
     assert duck_bits == spark_bits
+    # The point-probe variant (lsh_topk's oracle) must select the
+    # adaptive_bits FLOOR even on this skewed corpus — probe geometry
+    # ignores pairwise collision mass by design (recall collapses
+    # otherwise; see lsh_topk docstring).
+    duck_floor = con.execute(
+        _hyperplane_sig_cte(seeded=False, skew=False) + " SELECT bits FROM eb"
+    ).fetchone()[0]
+    assert duck_floor == S.adaptive_bits(n) < spark_bits
 
 
 def test_effective_bits_saturates_on_unsplittable_corpus(spark):
