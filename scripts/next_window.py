@@ -1,0 +1,99 @@
+"""Compute the next round's DRIVER_PRIORITY window from the artifacts.
+
+The driver checks the FIRST 50 registry entries each round
+(`queries/__init__.py::DRIVER_PRIORITY` reorders them), and rounds 5-6
+showed the rotation drifting from prose when rebuilt by hand. This
+prints the mechanical inputs for the next window, straight from the
+committed `CORRECTNESS_r*.json` artifacts:
+
+1. never-driver-checked queries (MUST lead the window — the r7
+   invariant: every registered query has a driver-green row);
+2. queries whose LATEST driver check failed (need a fresh green);
+3. every other query ranked by staleness (oldest last-green round
+   first) — the refresh-slot ordering.
+
+What it cannot know: which bodies/oracles changed this round (those
+need fresh greens regardless of an old row) — take that from
+`git log --stat` and the session's own edits.
+
+Usage: PYTHONPATH=. python scripts/next_window.py [--slots 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jubilant_garbanzo_spark.queries import load_all  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=50)
+    args = ap.parse_args()
+
+    specs = load_all()
+    last_green: dict[str, int] = {}
+    last_status: dict[str, tuple[int, bool]] = {}
+    for path in sorted(
+        f for f in os.listdir(REPO) if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    ):
+        rnd = int(re.search(r"\d+", path).group())
+        with open(os.path.join(REPO, path)) as fh:
+            for name, row in json.load(fh).items():
+                ok = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    # rows-only queries (no oracle) carry hash_match=None
+                    and row.get("hash_match") is not False
+                    and not row.get("err")
+                )
+                last_status[name] = (rnd, ok)
+                if ok:
+                    last_green[name] = rnd
+
+    never = sorted(set(specs) - set(last_status))
+    red = sorted(
+        n for n, (_, ok) in last_status.items() if not ok and n in specs
+    )
+    stale = sorted(
+        (n for n in specs if n in last_green and n not in red),
+        key=lambda n: (last_green[n], n),
+    )
+
+    print(f"registry: {len(specs)} queries; window slots: {args.slots}\n")
+    print(f"tier 1 — never driver-checked ({len(never)}):")
+    for n in never:
+        print(f"    {n}")
+    print(f"\ntier 2 — latest check FAILED ({len(red)}):")
+    for n in red:
+        print(f"    {n} (last seen r{last_status[n][0]})")
+    remaining = args.slots - len(never) - len(red)
+    print(
+        f"\ntier 3 — changed bodies/oracles this round: (from git, not "
+        f"computable here)"
+    )
+    print(
+        f"\ntier 4 — staleness-ranked refreshes for the ~{max(remaining, 0)} "
+        f"remaining slots (oldest green first):"
+    )
+    for n in stale[: max(remaining, 0) + 10]:
+        print(f"    {n} (green r{last_green[n]})")
+    if len(never) + len(red) > args.slots:
+        print(
+            f"\nWARNING: tiers 1+2 alone ({len(never) + len(red)}) exceed "
+            f"the {args.slots}-slot window — gate new operators on draining "
+            "this queue (VERDICT r6 #1)."
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
