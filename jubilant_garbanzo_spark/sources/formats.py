@@ -79,19 +79,40 @@ def export_json(spark: SparkSession, sf_dir: str, table: str, columns) -> str:
     return materialize_once(out, write)
 
 
-def export_text_blobs(spark: SparkSession, sf_dir: str, modulus: int = 50) -> str:
+#: Hard cap on the driver-side blob-fixture collect. The export exists
+#: to build a small binaryFile fixture; at a scale factor where the
+#: modulus-sample exceeds this, collecting to the driver is the wrong
+#: tool (use a distributed write instead) — fail loudly, don't OOM.
+BLOB_EXPORT_ROW_CAP = 10_000
+
+
+def export_text_blobs(
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = 50,
+    row_cap: int = BLOB_EXPORT_ROW_CAP,
+) -> str:
     """Write a deterministic sample of ``documents`` as one UTF-8 file
     per doc (named ``<doc_id>.txt``) — the binaryFile fixture."""
     out = os.path.join(EXPORT_ROOT, _sf_tag(sf_dir), "doc_blobs")
 
     def write(path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        # limit(cap+1) bounds the transfer BEFORE the collect; the
+        # raise below means an over-cap sample never silently truncates.
         rows = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter(f"doc_id % {modulus} = 0")
             .select("doc_id", "text")
+            .limit(row_cap + 1)
             .collect()
         )
+        if len(rows) > row_cap:
+            raise ValueError(
+                f"export_text_blobs: sample exceeds row_cap={row_cap} "
+                f"(modulus={modulus}, sf_dir={sf_dir}); raise the modulus "
+                "or use a distributed writer for this scale"
+            )
         for r in rows:
             with open(os.path.join(path, f"{r['doc_id']}.txt"), "wb") as f:
                 f.write((r["text"] or "").encode("utf-8"))

@@ -42,10 +42,18 @@ def main() -> int:
     specs = load_all()
     last_green: dict[str, int] = {}
     last_status: dict[str, tuple[int, bool]] = {}
-    for path in sorted(
-        f for f in os.listdir(REPO) if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
-    ):
-        rnd = int(re.search(r"\d+", path).group())
+    # Sort by PARSED round number, not filename: a lexicographic sort
+    # would order an unpadded CORRECTNESS_r10.json before _r9.json and
+    # let the r9 row overwrite the newer r10 status (ADVICE r7). The
+    # max()-folds below make the result ordering-independent anyway.
+    artifacts = sorted(
+        (
+            (int(re.search(r"\d+", f).group()), f)
+            for f in os.listdir(REPO)
+            if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+        ),
+    )
+    for rnd, path in artifacts:
         with open(os.path.join(REPO, path)) as fh:
             for name, row in json.load(fh).items():
                 ok = bool(
@@ -55,9 +63,10 @@ def main() -> int:
                     and row.get("hash_match") is not False
                     and not row.get("err")
                 )
-                last_status[name] = (rnd, ok)
+                if name not in last_status or rnd >= last_status[name][0]:
+                    last_status[name] = (rnd, ok)
                 if ok:
-                    last_green[name] = rnd
+                    last_green[name] = max(rnd, last_green.get(name, rnd))
 
     never = sorted(set(specs) - set(last_status))
     red = sorted(

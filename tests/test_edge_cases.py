@@ -711,3 +711,25 @@ def test_pq_adc_corpus_smaller_than_codebook(spark):
     }
     enc = {r["vec_id"]: r["err_scaled"] for r in S.pq_encode(e).collect()}
     assert own[4] == enc[4] == 0, (own.get(4), enc.get(4))
+
+
+def test_blob_export_collect_is_row_capped(spark, tmp_path, monkeypatch):
+    """The one fixture-export collect (sources/formats.py) must refuse —
+    not OOM the driver — when the modulus-sample exceeds its cap
+    (VERDICT r7 #8: guard the collect with a row-cap assert). The
+    limit(cap+1) bound means an over-cap sample raises instead of
+    silently truncating."""
+    from jubilant_garbanzo_spark.sources import formats as FMT
+
+    monkeypatch.setattr(FMT, "EXPORT_ROOT", str(tmp_path))
+    with pytest.raises(ValueError, match="row_cap"):
+        FMT.export_text_blobs(
+            spark, "/root/testdata/sf0.001", modulus=1, row_cap=3
+        )
+    # under the cap the export succeeds and is marker-idempotent
+    out = FMT.export_text_blobs(
+        spark, "/root/testdata/sf0.001", modulus=997, row_cap=1000
+    )
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
