@@ -54,130 +54,94 @@ def register(
     return deco
 
 
+#: Queries whose bodies/oracles changed (or were born) this round, or
+#: whose latest body has never had a driver row. The rotation
+#: discipline (VERDICT r4/r7): a changed query needs a fresh driver
+#: green even if an old row exists. This tuple is ENFORCED as the head
+#: prefix of :data:`DRIVER_PRIORITY` by
+#: tests/test_doc_counts.py::test_changed_this_round_leads_window —
+#: ADVICE r8's fix for the round-8 failure where a promised rotation
+#: silently never happened.
+#:
+#: Round-9 contents: the 12 queries whose round-7 bodies were never
+#: driver-checked (the r8 window burned its slots re-verifying the
+#: unchanged r7 window) — the pickle-by-value serialization set (two
+#: pandas seams, five multimodal, three Python-DataSource), the
+#: build-once-checkpoint `dedup_minhash_lsh`, and the flagship
+#: `trending_topk` — plus everything round 9 itself adds or touches.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r7 serialization hardening, never driver-checked (VERDICT r8 #1)
+    "pandas_grouped_agg_seam",
+    "pandas_scalar_iter_seam",
+    "multimodal_binary_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "source_python_datasource",
+    "sink_python_datasource_writer",
+    "stream_python_datasource_sink",
+    # r7 build-once-checkpoint body, displaced from the r7 window
+    "dedup_minhash_lsh",
+    # flagship — rotates back per the r7 adjudication comment
+    "trending_topk",
+)
+
 #: Names promoted to the head of the registry. The driver's correctness
 #: check covers the FIRST 50 registry entries per round; queries already
 #: proven green in a prior round's CORRECTNESS_r{N}.json don't need the
-#: slot again, so each round this list rotates the not-yet-driver-verified
-#: queries (plus any whose implementation/oracle changed this round) into
-#: the window.
+#: slot again, so each round this list rotates (a) every
+#: :data:`CHANGED_THIS_ROUND` query, then (b) the stalest prior greens
+#: (``scripts/next_window.py --slots 50`` prints the staleness ranking
+#: straight from the committed artifacts), into the window.
 #:
-#: Round 7 is the consolidation round mandated by VERDICT r6 "Next
-#: round" #1: tiers 1-2 below are EXACTLY the 40 queries with no
-#: CORRECTNESS_r01-r06 row (set(QUERIES) minus the union of all prior
-#: driver artifacts — pinned by tests/test_doc_counts.py so this list
-#: cannot drift again), restoring the round-4 invariant that every
-#: registered query has a driver-green row. Tier 3 holds the bodies/
-#: oracles changed in round 7 (rotation discipline: a changed query
-#: needs a fresh green even if an old row exists). Tier 4 fills the
-#: remaining slots with the round-7 additions (tier 4 — new queries
-#: enter the window the round they are born, so the queue cannot
-#: regrow) and the oldest stale refreshes displaced in r5/r6 (tier 5 —
-#: all carry older driver greens AND current local-strict-gate
-#: greens). New-operator addition this round was gated on the queue
-#: fitting the window first (40 never-checked + 4 changed + 4 new +
-#: 2 more changed = 50).
+#: Round 9: the never-driver-checked queue is EMPTY (r7 drained it;
+#: union of CORRECTNESS_r01–r08 covers all 257 prior queries), so the
+#: window is CHANGED_THIS_ROUND + the oldest greens — the r1 cohort
+#: (last green round 1) and the front of the r2 cohort.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- tier 1: never driver-checked — round-6 wave-5/late-wave-4 SQL,
-    #    stats, timeseries, graph, dedup and streaming queries ----------
-    "agg_welch_ttest",
-    "agg_mutual_information",
-    "agg_cramers_v",
-    "agg_pareto_share",
-    "agg_gini_concentration",
-    "agg_filter_clause",
-    "event_attribution_last_touch",
-    "event_cumulative_reach",
-    "event_activity_streaks",
-    "event_rfm_segmentation",
-    "event_spike_detection",
-    "event_path_trigrams",
-    "timeseries_linear_interpolate",
-    "timeseries_holt_linear",
-    "timeseries_seasonal_decompose",
-    "scd2_apply_changes",
-    "window_rolling_distinct_users",
-    "graph_degree_distribution",
-    "graph_kcore",
-    "graph_link_prediction_jaccard",
-    "join_range_lookup",
-    "join_lateral_topn",
-    "text_zipf_slope",
-    "text_bigram_avg_nll",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_overlap",
-    "dedup_minhash_accuracy",
-    "dedup_semantic_clusters",
-    "pipeline_temperature_mixture",
-    "profile_ks_two_sample",
-    "quality_iqr_fences",
-    "json_variant_type",
-    "string_collation_ci",
-    "conditional_try_functions",
-    # -- tier 2: never driver-checked — Spark-4 SQL surface + streaming
-    #    stateful + versioned table ------------------------------------
-    "sql_pipe_syntax",
-    "sql_udf_scalar",
-    "sql_parameterized",
-    "table_time_travel",
-    "stream_session_ttl",
-    "stream_attribution_last_touch",
-    # -- tier 3: changed in round 7 (fresh green required) --------------
-    # dedup_minhash_accuracy (tier 1) also changed: band join repacked
-    # onto array-typed signatures (VERDICT r6 item 3).
-    "dedup_cluster_cc",  # checkpoint cadence profile/fix (r6 item 4)
-    # The three LSH queries changed twice in round 7: generated-width
-    # oracle (r6 item 5), then the late-round skew-adaptive band width
-    # (measured collision-mass grid + Arrow signature kernel — the x30
-    # probe fix; BASELINE.md "skew-adaptive LSH geometry").
-    "embed_similarity_join",
-    "embed_ann_lsh",
-    "dedup_embedding_cosine",
-    # -- tier 4: round-7 new queries (windowed the round they are born,
-    #    so the never-driver-checked queue stays EMPTY after this round) -
-    "text_duplicated_ngram_coverage",
-    "agg_group_quantiles",
-    "skyline_pareto_frontier",
-    "embed_ann_pq_adc",
-    # -- tier 5: also changed in round 7 — the measured build-once
-    #    localCheckpoint pass over the candidate-stage operators
-    #    (operators/dedup.py minhash family + containment,
-    #    operators/similarity.py hyperplane index) touches these two
-    #    bodies too, so they take refresh slots. dedup_ngram_jaccard
-    #    rejected checkpoints (A/B showed they LOSE for the symmetric
-    #    prefix self-join) but later gained the PPJoin POSITIONAL
-    #    filter in its candidate stage (candidates 409 k → 125 k,
-    #    lossless — measured in operators/dedup.py), so it takes the
-    #    last slot; the flagship trending_topk keeps its six prior
-    #    driver greens and rotates back in round 8.
-    #    dedup_minhash_lsh was displaced from this tier by the late
-    #    tier-4 addition embed_ann_pq_adc (never-checked queries hold
-    #    absolute priority over refresh slots — the test enforces the
-    #    subset, the window caps at 50). Its round-7 change is the
-    #    output-identical build-once checkpoint; stand-in evidence =
-    #    the full-window vanilla-session rehearsal this session (50/50
-    #    green WITH dedup_minhash_lsh still in the window at rehearsal
-    #    time) on top of r1-r6 driver greens. It rotates into round 8
-    #    with the serialization set. ------------------------------------
-    "dedup_shingle_containment",
-    "dedup_ngram_jaccard",
+    *CHANGED_THIS_ROUND,
+    # -- staleness refreshes: last green r1 --------------------------------
+    "dedup_exact",
+    "dedup_exact_by_fingerprint",
+    "embed_norms",
+    "join_broadcast_star",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_salted_skew",
+    "join_self_pairs",
+    "join_theta_range",
+    "text_chunking",
+    "text_lang_filter",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats",
+    "text_term_frequency",
+    "text_token_count_regex",
+    # -- staleness refreshes: last green r2 --------------------------------
+    "cast_coercion",
+    "conditional_case",
+    "datetime_functions",
+    "filter_comparison",
+    "filter_in_between_like",
+    "filter_null_logic",
+    "json_functions",
+    "limit_topk",
+    "map_functions",
+    "math_functions",
+    "scan_csv",
+    "scan_json",
+    "scan_projection",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_parquet_partitioned",
+    "sort_multikey_nulls",
+    "source_binaryfile",
 )
-
-#: Round-7 adjudication — serialization-packaging changes outside the
-#: window. The late-round pickle-by-value hardening (udf factories in
-#: functions/groupedagg.py + functions/scalariter.py, _ship_by_value
-#: multimodal kernel clones, register_pickle_by_value on the two
-#: Python DataSource modules) touches ten queries that hold r5/r6
-#: driver greens but have no r7 slot: the two pandas-seam queries, the
-#: five multimodal queries, and the three Python-DataSource queries.
-#: These changes move WHERE the kernel is defined, not what it
-#: computes — the shipped code objects are identical — so they do not
-#: displace tier-1/2 never-checked queries from the full window.
-#: Evidence standing in for the fresh driver row: (a) the
-#: tests/test_serialization.py subprocess roundtrips (kernels execute
-#: with the package unimportable, outputs pinned), and (b) a
-#: vanilla-session drive_entry rehearsal of all ten at sf0.01, green
-#: (BASELINE.md "Round-7 serialization hardening"). They rotate into
-#: the round-8 window first.
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills QUERIES).

@@ -12,7 +12,11 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from jubilant_garbanzo_spark.queries import DRIVER_PRIORITY, load_all
+from jubilant_garbanzo_spark.queries import (
+    CHANGED_THIS_ROUND,
+    DRIVER_PRIORITY,
+    load_all,
+)
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -84,6 +88,24 @@ def test_driver_priority_covers_unverified_queue():
     )
     unknown = sorted(set(DRIVER_PRIORITY) - set(specs))
     assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
+
+
+def test_changed_this_round_leads_window():
+    """A promised rotation must be structurally unable to silently not
+    happen (ADVICE r8 / VERDICT r8 "What's wrong" #1-2: round 8's
+    rotation lived only in a comment and was never executed). Every
+    query whose body/oracle changed this round — recorded in
+    ``CHANGED_THIS_ROUND`` as part of making the change — must occupy
+    the head prefix of ``DRIVER_PRIORITY``, so the driver's 50-slot
+    window re-verifies it this round."""
+    head = DRIVER_PRIORITY[: len(CHANGED_THIS_ROUND)]
+    assert head == CHANGED_THIS_ROUND, (
+        "CHANGED_THIS_ROUND is not the head prefix of DRIVER_PRIORITY — "
+        f"head={head}, changed={CHANGED_THIS_ROUND}"
+    )
+    assert len(set(CHANGED_THIS_ROUND)) == len(CHANGED_THIS_ROUND), (
+        "duplicate names in CHANGED_THIS_ROUND"
+    )
 
 
 def test_every_query_has_a_coverage_row():
