@@ -1,0 +1,237 @@
+"""Byte-pair-encoding tokenizer APPLY (GPT-2 greedy merge semantics).
+
+Reference behavior (public literature, not the reference repo —
+``/root/reference`` has no tokenizer): Sennrich et al. ACL'16 "Neural
+Machine Translation of Rare Words with Subword Units" + the GPT-2
+``bpe()`` loop (Radford et al. 2019): given an ordered merge-rank
+table, repeatedly (1) find the lowest-rank adjacent token pair present
+in the word, (2) merge ALL its occurrences in one left-to-right
+non-overlapping pass, until no ranked pair remains.
+
+Spark-first shape — everything stays JVM-side per-row, zero shuffle
+until the caller aggregates:
+
+- the merge table ships as a ``map(...)`` PLAN LITERAL (the broadcast
+  analog for a table this small: constant-folded, serialized once into
+  the task binary). A production 50k-merge vocabulary would swap
+  :func:`merge_rank_map_expr` for ``F.create_map`` over a broadcast
+  variable or a broadcast pair→rank join — the round pipeline is
+  unchanged;
+- one merge ROUND = pure higher-order functions (``zip_with`` builds
+  adjacent pairs, ``transform``+``try_element_at`` ranks them,
+  ``array_min`` picks the merge, ``aggregate`` replays the greedy
+  left-to-right pass as a fold whose accumulator is the merged-token
+  array);
+- rounds are UNROLLED ``N_ROUNDS`` times (loop-free plan; a round with
+  no applicable merge is the identity, so any word that converges
+  early just coasts). ``N_ROUNDS`` bounds the longest merge chain —
+  tests/test_llm_ops.py asserts the corpus reaches the fixpoint.
+
+The greedy fold is exact, not approximate: merging pair (a,b) never
+creates a new (a,b) occurrence mid-pass (the merged token ``a||b`` ≠
+``a`` since ``b`` is non-empty), so the fold's "merge when
+last(acc)=a ∧ current=b" rule reproduces GPT-2's skip-ahead scan —
+property-pinned against an independent Python reference in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Ordered merge table (rank = list index, lower merges first). A
+#: hand-built English-ish vocabulary sized to the fixture corpus: some
+#: chains complete ("b a t c h" → "batch"), others are deliberately
+#: pre-empted by a lower-rank merge ("d a t a" → ["d","at","a"]
+#: because (a,t)=7 outranks (d,a)=9) — exercising the greedy-order
+#: semantics, not just happy paths.
+MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("a", "n"),
+    ("o", "r"), ("s", "t"), ("a", "t"), ("r", "o"), ("d", "a"),
+    ("da", "t"), ("dat", "a"), ("j", "o"), ("jo", "in"), ("w", "in"),
+    ("s", "c"), ("sc", "an"), ("m", "er"), ("mer", "g"), ("merg", "e"),
+    ("b", "at"), ("bat", "c"), ("batc", "h"), ("f", "i"), ("fi", "l"),
+    ("s", "or"), ("sor", "t"),
+)
+
+#: Unrolled merge rounds. The fixture corpus needs at most 4 (computed
+#: by replaying the reference loop over every vocabulary-word prefix —
+#: "batch" is the deepest chain); 6 leaves two identity rounds of
+#: margin, and tests/test_llm_ops.py asserts the corpus fixpoint at
+#: this depth.
+N_ROUNDS = 6
+
+#: Pair-key separator inside the rank map. Words come from a
+#: whitespace split, so no token ever contains a space — and the GPT-2
+#: merges.txt format is literally "a b" per line.
+_SEP = " "
+
+
+def merge_rank_map_expr() -> str:
+    """SQL ``map('a b', rank, ...)`` literal for the merge table."""
+    entries = ", ".join(
+        f"'{a}{_SEP}{b}', {rank}" for rank, (a, b) in enumerate(MERGES)
+    )
+    return f"map({entries})"
+
+
+def _let(value: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``value`` ONCE, bind it to lambda
+    variable ``var``, use it freely in ``body``.
+
+    Encoded as ``element_at(transform(array(value), var -> body), 1)``.
+    This is load-bearing, not a style choice: intermediate withColumn
+    columns get INLINED by Catalyst's CollapseProject (each reference
+    duplicates the whole subtree, ~7× per round → ~7^rounds nodes; 5+
+    unrolled rounds under an explode() was measured to OOM the driver
+    during optimization). A lambda variable is a leaf node, so
+    repeated references stay O(1) and the full N-round expression is
+    LINEAR in N.
+    """
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _round_expr(src: str) -> str:
+    """One BPE merge round as a single SQL expression over token-array
+    expression ``src`` (referenced exactly once — see :func:`_let`)."""
+    rank_map = merge_rank_map_expr()
+    fold = (
+        "aggregate(slice(t, 2, size(t) - 1), array(element_at(t, 1)),"
+        " (acc, x) -> IF(element_at(acc, -1) = pa AND x = pb,"
+        "   concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb))),"
+        "   concat(acc, array(x))))"
+    )
+    # try_element_at everywhere a NULL/absent lookup is legitimate
+    # (ANSI element_at throws); rm IS NULL == no applicable merge.
+    body = _let(
+        f"zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        f" (x, y) -> concat(x, '{_SEP}', y))",
+        "ps",
+        _let(
+            f"transform(ps, p -> try_element_at({rank_map}, p))",
+            "rk",
+            _let(
+                "array_min(rk)",
+                "rm",
+                _let(
+                    "try_element_at(ps,"
+                    " CAST(array_position(rk, rm) AS INT))",
+                    "bst",
+                    _let(
+                        f"try_element_at(split(bst, '{_SEP}'), 1)",
+                        "pa",
+                        _let(
+                            f"try_element_at(split(bst, '{_SEP}'), 2)",
+                            "pb",
+                            f"IF(rm IS NULL, t, {fold})",
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return _let(src, "t", body)
+
+
+def bpe_tokens(
+    df: DataFrame, word_col: str = "word", out_col: str = "tokens",
+    rounds: int = N_ROUNDS,
+) -> DataFrame:
+    """Append ``out_col``: the BPE token array for ``word_col``.
+
+    Per-row only — safe on any partitioning, no shuffle introduced.
+    Empty words yield an empty token array (the char split of '' is
+    filtered to [] and every round is the identity on it).
+    """
+    expr = f"filter(split({word_col}, ''), c -> c <> '')"
+    for _ in range(rounds):
+        expr = _round_expr(expr)
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def mergeable_rank_min(tokens_col: str) -> F.Column:
+    """NULL iff no ranked pair remains in ``tokens_col`` — the BPE
+    fixpoint probe (used by the N_ROUNDS-sufficiency test)."""
+    rank_map = merge_rank_map_expr()
+    return F.expr(
+        f"array_min(transform("
+        f" zip_with(slice({tokens_col}, 1, size({tokens_col}) - 1),"
+        f"          slice({tokens_col}, 2, size({tokens_col}) - 1),"
+        f"          (x, y) -> concat(x, '{_SEP}', y)),"
+        f" p -> try_element_at({rank_map}, p)))"
+    )
+
+
+# -- DuckDB oracle replay -----------------------------------------------------
+#
+# The oracle is an INDEPENDENT formulation of the same semantics: the
+# word is exploded to (wid, pos, sym) rows and each round is pure
+# relational algebra — pair ranks via a positional self-join against a
+# VALUES merge table, the per-word min rank via a window, and the
+# greedy left-to-right non-overlap rule via gaps-and-islands (within a
+# maximal run of consecutive mergeable positions, greedy takes the
+# odd row offsets; two mergeable positions ≥2 apart never conflict).
+# Every CTE is AS MATERIALIZED: rounds reference their predecessor
+# 2-3×, and DuckDB would otherwise inline the references
+# exponentially across N_ROUNDS.
+
+
+def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
+    """WITH-clause body (merges → words → r0 → ... → r{rounds}) whose
+    final CTE ``r{rounds}`` holds (wid, doc_id, pos, sym) BPE tokens
+    for every word of ``documents``."""
+    vals = ", ".join(
+        f"('{a}', '{b}', {rank})" for rank, (a, b) in enumerate(MERGES)
+    )
+    parts = [
+        f"merges(a, b, rank) AS MATERIALIZED (VALUES {vals})",
+        """words AS MATERIALIZED (
+            SELECT doc_id, source, unnest(ws) AS word,
+                   doc_id * 1024 + generate_subscripts(ws, 1) AS wid
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM documents)
+        )""",
+        """r0 AS MATERIALIZED (
+            SELECT wid, doc_id, source,
+                   generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
+            FROM (SELECT wid, doc_id, source, string_split(word, '') AS cs
+                  FROM words WHERE word <> '')
+        )""",
+    ]
+    for i in range(rounds):
+        parts.append(f"""p{i} AS MATERIALIZED (
+            SELECT s.wid, s.doc_id, s.source, s.pos, s.sym,
+                   nx.sym AS nsym, m.rank AS rank
+            FROM r{i} s
+            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            LEFT JOIN merges m ON m.a = s.sym AND m.b = nx.sym
+        ), g{i} AS MATERIALIZED (
+            SELECT p.wid, p.doc_id, p.source, p.pos, p.sym, p.nsym,
+                   (p.rank IS NOT NULL
+                    AND p.rank = min(p.rank) OVER (PARTITION BY p.wid))
+                       AS mergeable
+            FROM p{i} p
+        ), m{i} AS MATERIALIZED (
+            SELECT wid, pos
+            FROM (SELECT wid, pos,
+                         ROW_NUMBER() OVER (PARTITION BY wid, isl
+                                            ORDER BY pos) AS rn
+                  FROM (SELECT wid, pos,
+                               pos - ROW_NUMBER() OVER (PARTITION BY wid
+                                                        ORDER BY pos) AS isl
+                        FROM g{i} WHERE mergeable))
+            WHERE rn % 2 = 1
+        ), r{i + 1} AS MATERIALIZED (
+            SELECT wid, doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+                   sym
+            FROM (SELECT g.wid, g.doc_id, g.source, g.pos,
+                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
+                              ELSE g.sym END AS sym
+                  FROM g{i} g
+                  LEFT JOIN m{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
+                  LEFT JOIN m{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
+                  WHERE pr.pos IS NULL)
+        )""")
+    return ",\n".join(parts)

@@ -97,3 +97,109 @@ def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Colum
         F.lit(0).cast("long"),
         lambda acc, t: (acc * base + token_hash(t)) % mod,
     )
+
+
+# -- hashed bag-of-words linear classifier (round 9) --------------------------
+
+#: Hashing-trick feature dimension (Weinberger et al. ICML'09). 64
+#: buckets suits the 31-word fixture vocabulary; a production
+#: fastText-style model (Joulin et al. EACL'17) uses ~2M — still only
+#: a few MB of weights, still broadcast.
+HASH_DIM = 64
+
+#: Fixed-point (milli-unit) "trained" weights, derived per bucket by a
+#: Knuth multiplicative mix so both engines rebuild the identical
+#: table arithmetically: w(j) = ((j * 2654435761) % 2001) - 1000,
+#: range [-1000, 1000] milli. Integer end-to-end — the doc logit is
+#: exact cross-engine; only the final sigmoid is IEEE (round 6).
+WEIGHT_MIX = 2654435761
+WEIGHT_MOD = 2001
+WEIGHT_OFF = 1000
+BIAS_MILLI = -37
+
+
+def feature_hash_bucket(col: Column, dim: int = HASH_DIM) -> Column:
+    """md5-derived hashing-trick bucket in [0, dim) — portable (same
+    first-8-hex-digits idiom as the sampling/bootstrap queries)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % dim
+    )
+
+
+def bucket_weight_sql(bucket_expr: str) -> str:
+    """DuckDB twin of the weight formula, inline on a bucket expr."""
+    return f"((({bucket_expr}) * {WEIGHT_MIX}) % {WEIGHT_MOD}) - {WEIGHT_OFF}"
+
+
+def weight_table(spark) -> "DataFrame":  # noqa: F821
+    """The broadcast-able (bucket, w_milli) weight table."""
+    return spark.range(HASH_DIM).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * WEIGHT_MIX) % WEIGHT_MOD - WEIGHT_OFF)
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+
+
+# -- URL/host canonicalization (round 9) --------------------------------------
+
+#: Query params that never affect page identity (the CommonCrawl /
+#: web-archive SURT-style normalization drop list).
+TRACKING_PARAM_REGEX = "^(utm_[a-z]+|fbclid|gclid|ref)="
+
+#: RFC-3986-ish splitter: 1=scheme, 2=authority, 3=path, 4=?query, 5=#frag.
+URL_REGEX = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """CommonCrawl-style URL canonicalization, pure regexp built-ins:
+    force https, lowercase the authority, strip www. and default
+    ports, collapse duplicate path slashes, drop the trailing slash
+    and the fragment, and remove tracking query params (keeping real
+    ones, original order). Per-row, zero shuffle — at 100 TB this runs
+    inside the scan stage ahead of the dedup groupBy."""
+    auth = F.lower(F.regexp_extract(col, URL_REGEX, 2))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.regexp_replace(auth, ":(80|443)$", "")
+    path = F.regexp_extract(col, URL_REGEX, 3)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", "/").otherwise(path)
+    qs = F.regexp_replace(F.regexp_extract(col, URL_REGEX, 4), r"^\?", "")
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    q_c = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(F.lit("https://"), auth, path, q_c)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (note the 'g' flag:
+    DuckDB regexp_replace is first-match-only by default, Spark's is
+    global — only the slash-collapse needs more than one hit)."""
+    auth = (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({expr}, '{URL_REGEX}', 2)),"
+        f" '^www\\.', ''), ':(80|443)$', '')"
+    )
+    path = (
+        f"CASE WHEN regexp_replace(regexp_replace("
+        f"regexp_extract({expr}, '{URL_REGEX}', 3),"
+        f" '/{{2,}}', '/', 'g'), '/+$', '') = '' THEN '/'"
+        f" ELSE regexp_replace(regexp_replace("
+        f"regexp_extract({expr}, '{URL_REGEX}', 3),"
+        f" '/{{2,}}', '/', 'g'), '/+$', '') END"
+    )
+    kept = (
+        f"list_filter(string_split(regexp_replace("
+        f"regexp_extract({expr}, '{URL_REGEX}', 4), '^\\?', ''), '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_REGEX}'))"
+    )
+    q_c = (
+        f"CASE WHEN len({kept}) > 0"
+        f" THEN '?' || array_to_string({kept}, '&') ELSE '' END"
+    )
+    return f"('https://' || {auth} || {path} || {q_c})"

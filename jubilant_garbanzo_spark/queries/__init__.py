@@ -85,6 +85,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_minhash_lsh",
     # flagship — rotates back per the r7 adjudication comment
     "trending_topk",
+    # round-9 new operators (windowed the round they are born)
+    "text_bpe_tokenize",
+    "text_bpe_pack",
+    "text_quality_classifier",
+    "text_url_canonical_dedup",
+    "stream_stream_full_outer",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -136,11 +142,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "set_intersect",
     "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    "sink_parquet_partitioned",
-    "sort_multikey_nulls",
-    "source_binaryfile",
 )
 
 def load_all() -> dict[str, QuerySpec]:

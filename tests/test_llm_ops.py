@@ -706,3 +706,121 @@ def test_pq_adc_separates_constructed_clusters(spark):
     top = S.pq_adc_topk(e, topk=49).collect()
     got = {r["vec_id"] for r in top}
     assert got == set(range(150, 199)), sorted(got - set(range(150, 199)))
+
+
+# -- BPE tokenizer apply (round 9) --------------------------------------------
+
+
+def _py_bpe(word, merges):
+    """Independent imperative reference: the GPT-2 bpe() loop (find
+    lowest-rank pair, merge all occurrences left-to-right, repeat)."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    toks = list(word)
+    while len(toks) > 1:
+        pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        cand = [(ranks[p], p) for p in pairs if p in ranks]
+        if not cand:
+            break
+        _, (a, b) = min(cand)
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_matches_gpt2_reference_loop(spark):
+    """The unrolled HOF pipeline must equal the imperative GPT-2 merge
+    loop word-for-word — including greedy-order pre-emption ("data" →
+    [d, at, a] because (a,t) outranks (d,a)), completed chains
+    ("batch"), repeated merges in one pass ("thethe"), and
+    single-char/unmergeable words."""
+    from jubilant_garbanzo_spark.operators import bpe as BPE
+
+    words = [
+        "the", "data", "join", "batch", "merge", "sort", "customer",
+        "scan", "window", "a", "aaaa", "filter", "stream", "thethe",
+        "sorting", "vector", "column", "query", "thee", "batchbatch",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in BPE.bpe_tokens(df).collect()
+    }
+    for w in words:
+        assert got[w] == _py_bpe(w, BPE.MERGES), w
+
+
+def test_bpe_corpus_reaches_fixpoint_within_n_rounds(spark, sf_dir):
+    """N_ROUNDS must cover the longest merge chain on the real corpus:
+    after N_ROUNDS no ranked pair may remain in any word (otherwise
+    the unrolled plan silently under-merges)."""
+    from jubilant_garbanzo_spark.operators import bpe as BPE
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = BPE.bpe_tokens(words, "word", "tokens")
+    leftovers = toks.filter(
+        BPE.mergeable_rank_min("tokens").isNotNull()
+    ).count()
+    assert leftovers == 0
+
+
+# -- URL canonicalization (round 9) -------------------------------------------
+
+
+def test_url_canonicalization_cases(spark):
+    """Closed-form expectations for each normalization rule, plus the
+    rule that REAL query params survive in original order."""
+    from jubilant_garbanzo_spark.operators import textops as TX
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a//b/?utm_source=x#f",
+         "https://example.com/a/b"),
+        ("https://Example.com:443/a/", "https://example.com/a"),
+        ("https://example.com//", "https://example.com/"),
+        ("https://example.com/p?lang=en&utm_medium=m&page=2",
+         "https://example.com/p?lang=en&page=2"),
+        ("http://sub.example.com/p?fbclid=1&gclid=2&ref=3",
+         "https://sub.example.com/p"),
+        ("https://example.com/p?utm_campaign=a", "https://example.com/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = {
+        r["raw"]: r["canon"]
+        for r in df.select(
+            "raw", TX.canonicalize_url(F.col("raw")).alias("canon")
+        ).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_dedup_group_shape(spark, sf_dir):
+    """The synthesized mess packs exactly 2 variants per canonical URL
+    (10 consecutive doc_ids x 5 host residues), and every canonical
+    matches the closed form https://site{m}.example.com/docs/page-{g}
+    with ?lang=en on g % 4 == 0 groups."""
+    import re
+
+    from jubilant_garbanzo_spark.queries.llm import text_url_canonical_dedup
+
+    rows = text_url_canonical_dedup(spark, sf_dir).collect()
+    assert rows, "dedup produced no groups"
+    pat = re.compile(
+        r"^https://site[0-4]\.example\.com/docs/page-\d+(\?lang=en)?$"
+    )
+    for r in rows:
+        assert r["n_copies"] == 2, r
+        assert pat.match(r["canonical_url"]), r["canonical_url"]
+        g = int(r["canonical_url"].split("page-")[1].split("?")[0])
+        assert (
+            r["canonical_url"].endswith("?lang=en") == (g % 4 == 0)
+        ), r["canonical_url"]

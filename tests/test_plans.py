@@ -848,3 +848,24 @@ def test_pq_adc_broadcast_lut_take_ordered(spark, sf_dir):
     ), plan[:2000]
     assert "element_at" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_quality_classifier_broadcasts_weights(spark, sf_dir):
+    """The hashed-BoW weight table (64 rows; a few MB even at fastText
+    scale) must broadcast onto the token stream — a shuffle join here
+    would shuffle the whole corpus by hash bucket."""
+    df = q(spark, sf_dir, "text_quality_classifier")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_bpe_tokenize_shuffles_only_for_the_count(spark, sf_dir):
+    """The tokenizer itself is per-row HOF work: the only exchanges in
+    the plan belong to the final token-frequency aggregation (partial
+    agg + one hash exchange + TakeOrdered), never the merge rounds."""
+    df = q(spark, sf_dir, "text_bpe_tokenize")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert has_partial_aggregate(df)
+    assert uses_take_ordered(df)

@@ -598,3 +598,76 @@ def test_attribution_state_carries_across_batches(spark, tmp_path):
         for r in out.collect()
     ]
     assert rows == [(7, 3, 1, 1800)], rows
+
+
+def test_full_outer_eviction_boundaries(spark, tmp_path):
+    """Pins the PER-SIDE strict (<) eviction bounds the
+    stream_stream_full_outer oracle encodes: an unmatched click emits
+    only once wm > click_ts + 30 min, an unmatched purchase only once
+    wm > purchase_ts — rows exactly ON their bound must NOT emit.
+    Final watermark here: min(max click, max purchase) − 1 h = 12:00.
+    """
+    import datetime as dt
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+    rows = [
+        # matched pair (emits c4,p4)
+        (t(10, 0), 6, "click", 40), (t(10, 20), 6, "purchase", 41),
+        # unmatched click, bound 10:30 < 12:00 -> emits (c1, NULL)
+        (t(10, 0), 1, "click", 10),
+        # unmatched click exactly ON the bound: 11:30+30m = 12:00 -> held
+        (t(11, 30), 2, "click", 20),
+        # unmatched purchases: 09:00 emits; 11:59 emits; ON-bound 12:00 held
+        (t(9, 0), 3, "purchase", 30),
+        (t(11, 59), 5, "purchase", 50),
+        (t(12, 0), 4, "purchase", 31),
+        # watermark advancers (distinct users, never match, never evict)
+        (t(13, 0), 9, "click", 90), (t(13, 0), 10, "purchase", 91),
+    ]
+    path = str(tmp_path / "fo_src")
+    spark.createDataFrame(rows, ev_schema).coalesce(1).write.parquet(path)
+
+    def side(event_type, prefix):
+        return (
+            spark.readStream.schema(ev_schema)
+            .parquet(path)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("u"),
+        "c_id",
+        "p_id",
+    )
+    got = {
+        (r["u"], r["c_id"], r["p_id"])
+        for r in run_available_now(
+            joined, output_mode="append", name_prefix="fob"
+        ).collect()
+    }
+    assert got == {
+        (6, 40, 41),    # matched
+        (1, 10, None),  # click past its bound
+        (3, None, 30),  # purchase past its bound
+        (5, None, 50),  # purchase just inside
+    }, got
