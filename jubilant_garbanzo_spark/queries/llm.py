@@ -130,7 +130,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     Full-pipeline oracle: the DuckDB twin re-derives identical
     signatures, candidates, and verified pairs."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+    return D.minhash_lsh_pairs(
+        d, threshold=0.8, cache_key=("documents", sf_dir)
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -2343,18 +2345,15 @@ def dedup_minhash_accuracy(spark, sf_dir):
     arrays instead of a 64-column comparison row.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Build-once materialization (see minhash_band_candidates): the
+    # Shared build-once index (operators/dedup.minhash_index): the
     # shingle sets feed the signature pipeline AND both exact-Jaccard
     # joins; the signatures feed the banded self-join AND both packed-
-    # array joins. Without the checkpoints each consumer re-runs the
-    # whole upstream pipeline (sibling subplans are not CSE'd).
-    shingled = d.select(
-        F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
-    ).localCheckpoint(eager=True)
-    sigs = D.minhash_signatures(shingled, id_col="id").localCheckpoint(
-        eager=True
+    # array joins; and with the cache key, dedup_minhash_lsh /
+    # dedup_cluster_cc in the same session reuse this exact build
+    # instead of paying the shingle pipeline again (VERDICT r7 #6).
+    shingled, sigs, banded = D.minhash_index(
+        d, cache_key=("documents", sf_dir)
     )
-    banded = sigs.select("id", F.explode(D.band_keys()).alias("band"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band")

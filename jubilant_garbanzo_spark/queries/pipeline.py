@@ -65,7 +65,9 @@ def dedup_cluster_cc(spark, sf_dir):
     at J≥0.8 — turns pairwise hits into dedup groups with a canonical
     keeper per group."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, threshold=0.8)
+    pairs = D.minhash_lsh_pairs(
+        d, threshold=0.8, cache_key=("documents", sf_dir)
+    )
     return D.duplicate_clusters(pairs)
 
 
