@@ -91,6 +91,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_quality_classifier",
     "text_url_canonical_dedup",
     "stream_stream_full_outer",
+    # round-9 shared minhash_index build (VERDICT r7 #6): both bodies
+    # now consume the session-memoized index; dedup_minhash_lsh (also
+    # rerouted) already holds a head slot above.
+    "dedup_minhash_accuracy",
+    "dedup_cluster_cc",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -140,8 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_projection",
     "set_except",
     "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
 )
 
 def load_all() -> dict[str, QuerySpec]:
