@@ -118,7 +118,7 @@ def _sign_pattern(r: int, dim: int) -> list[float]:
     ]
 
 
-def generate(spark, scale: int, dest: str) -> None:
+def generate(spark, scale: int, dest: str, skip_relational: bool = False) -> None:
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     vecs = spark.read.parquet(f"{BASE}/embeddings.parquet")
     dim = len(vecs.select("embedding").first()[0])
@@ -179,6 +179,11 @@ def generate(spark, scale: int, dest: str) -> None:
         f"{dest}/embeddings.parquet"
     )
 
+    if skip_relational:
+        # Targeted vector-family runs (e.g. the x100 LSH-decade row)
+        # need only documents + embeddings; replicating lineitem x100
+        # would dominate generation for tables no measured query reads.
+        return
     # Iterative-family inputs (round-6: scale slopes for pagerank/BFS/
     # interval-overlap). Facts replicate with key strides — each replica
     # is a disjoint copy of the entity graph collapsing onto the SAME
@@ -294,6 +299,9 @@ def main() -> int:
     # doesn't force re-measuring (and re-noising) the other ~24 rows.
     ap.add_argument("--queries", nargs="+", default=None)
     ap.add_argument("--merge", action="store_true")
+    # Only valid with --queries restricted to documents/embeddings
+    # readers: skips replicating the relational tables.
+    ap.add_argument("--skip-relational", action="store_true")
     args = ap.parse_args()
     bench_queries = tuple(args.queries) if args.queries else QUERIES
     unknown = [n for n in bench_queries if n not in QUERIES]
@@ -307,7 +315,7 @@ def main() -> int:
     for scale in args.scales:
         dest = f"{WORK}/x{scale}"
         shutil.rmtree(dest, ignore_errors=True)
-        generate(spark, scale, dest)
+        generate(spark, scale, dest, skip_relational=args.skip_relational)
         import duckdb
 
         n_docs = duckdb.sql(
