@@ -235,3 +235,149 @@ def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
                   WHERE pr.pos IS NULL)
         )""")
     return ",\n".join(parts)
+
+
+# -- BPE merge-loop TRAINING ---------------------------------------------------
+
+#: Learned merges per training run (each round = one distributed
+#: pair-count aggregation + one argmax + one merge map-pass).
+N_TRAIN_MERGES = 8
+
+
+def train_merges(words: DataFrame, rounds: int = N_TRAIN_MERGES) -> DataFrame:
+    """Learn the top-``rounds`` BPE merges from a (word, cnt) dict —
+    the Sennrich ACL'16 get_stats/merge loop, fully distributed.
+
+    Per round: (1) weighted adjacent-pair counts via explode +
+    groupBy(a, b) with map-side partial agg; (2) the argmax pair as a
+    ONE-ROW DataFrame (count desc, then (a, b) lexicographic — a total
+    tie order, so training is deterministic); (3) that row broadcast-
+    crossJoined onto every word and merged with the same greedy
+    left-to-right fold the apply path uses. No driver data path at
+    all — the learned state lives in 1-row frames, not collects.
+
+    Each round is eager-localCheckpointed: round r+1's words depend on
+    round r's argmax, and Catalyst does not CSE sibling subplans, so a
+    lazy chain would re-execute every earlier round once per consumer
+    (the same measured pathology duplicate_clusters fixed in r5).
+
+    Scale shape at 100 TB: training runs on the DISTINCT-word dict
+    (millions of rows, not trillions of tokens) — the pair-count agg
+    is the only shuffle per round and it carries one row per distinct
+    (a, b), i.e. vocabulary-sized, not corpus-sized.
+    """
+    toks = words.select(
+        F.expr("filter(split(word, ''), c -> c <> '')").alias("t"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).filter(F.size("t") >= 1).localCheckpoint(eager=True)
+    fold = (
+        "aggregate(slice(t, 2, size(t) - 1), array(element_at(t, 1)),"
+        " (acc, x) -> IF(element_at(acc, -1) = pa AND x = pb,"
+        "   concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb))),"
+        "   concat(acc, array(x))))"
+    )
+    bests = []
+    for r in range(rounds):
+        pairs = toks.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x AS pa, y AS pb))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("cnt").alias("weighted_count"))
+            .orderBy(F.desc("weighted_count"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_rank"),
+                F.col("pa").alias("a"),
+                F.col("pb").alias("b"),
+                F.concat("pa", "pb").alias("merged"),
+                F.col("weighted_count").cast("bigint").alias("weighted_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bests.append(best)
+        if r < rounds - 1:
+            toks = (
+                toks.crossJoin(
+                    F.broadcast(
+                        best.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+                    )
+                )
+                .select(F.expr(fold).alias("t"), "cnt")
+                .localCheckpoint(eager=True)
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_rank")
+
+
+def oracle_train_sql(rounds: int = N_TRAIN_MERGES) -> str:
+    """DuckDB replay of :func:`train_merges` — independent positional
+    formulation (same gaps-and-islands greedy rule as the apply
+    oracle, but the merged pair is the round's single weighted argmax
+    instead of a per-word min rank). Trains on the distinct-word dict
+    keyed by the word string itself."""
+    parts = [
+        """wcnt AS MATERIALIZED (
+            SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1
+        )""",
+        """r0 AS MATERIALIZED (
+            SELECT wid, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
+            FROM (SELECT wid, string_split(wid, '') AS cs FROM wcnt)
+        )""",
+    ]
+    for i in range(rounds):
+        parts.append(f"""pc{i} AS MATERIALIZED (
+            SELECT s.sym AS a, nx.sym AS b, CAST(sum(w.cnt) AS BIGINT) AS wcount
+            FROM r{i} s
+            JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            JOIN wcnt w ON w.wid = s.wid
+            GROUP BY 1, 2
+        ), best{i} AS MATERIALIZED (
+            SELECT {i} AS merge_rank, a, b, a || b AS merged,
+                   wcount AS weighted_count
+            FROM pc{i} ORDER BY wcount DESC, a ASC, b ASC LIMIT 1
+        ), g{i} AS MATERIALIZED (
+            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym,
+                   (nx.sym IS NOT NULL AND s.sym = bb.a AND nx.sym = bb.b)
+                       AS mergeable
+            FROM r{i} s
+            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            CROSS JOIN best{i} bb
+        ), m{i} AS MATERIALIZED (
+            SELECT wid, pos
+            FROM (SELECT wid, pos,
+                         ROW_NUMBER() OVER (PARTITION BY wid, isl
+                                            ORDER BY pos) AS rn
+                  FROM (SELECT wid, pos,
+                               pos - ROW_NUMBER() OVER (PARTITION BY wid
+                                                        ORDER BY pos) AS isl
+                        FROM g{i} WHERE mergeable))
+            WHERE rn % 2 = 1
+        ), r{i + 1} AS MATERIALIZED (
+            SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+                       AS pos, sym
+            FROM (SELECT g.wid, g.pos,
+                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
+                              ELSE g.sym END AS sym
+                  FROM g{i} g
+                  LEFT JOIN m{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
+                  LEFT JOIN m{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
+                  WHERE pr.pos IS NULL)
+        )""")
+    union = " UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(rounds))
+    return (
+        "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_rank"
+    )

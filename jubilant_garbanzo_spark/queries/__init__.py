@@ -96,6 +96,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # rerouted) already holds a head slot above.
     "dedup_minhash_accuracy",
     "dedup_cluster_cc",
+    # round-9 wave 2: the tokenizer TRAINING half
+    "text_bpe_train",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -144,7 +146,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_json",
     "scan_projection",
     "set_except",
-    "set_except_all",
 )
 
 def load_all() -> dict[str, QuerySpec]:

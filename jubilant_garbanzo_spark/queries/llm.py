@@ -2932,3 +2932,31 @@ def text_url_canonical_dedup(spark, sf_dir):
         )
         .orderBy("canonical_url")
     )
+
+
+@register(
+    "text_bpe_train",
+    oracle=BPE.oracle_train_sql(),
+    tags=("llm", "text", "tokenize", "bpe", "iterative"),
+)
+def text_bpe_train(spark, sf_dir):
+    """BPE merge-loop TRAINING (Sennrich ACL'16, operators/bpe.py
+    train_merges): learn the top-8 merges from the corpus's
+    distinct-word dict — each round one vocabulary-sized pair-count
+    shuffle, a 1-row argmax frame (total tie order: count desc, then
+    (a, b)), and a broadcast merge map-pass; rounds are
+    localCheckpointed so the iterative chain executes each round once.
+    No driver data path — the learned table is 1-row DataFrames
+    unioned. The apply half is `text_bpe_tokenize`; together they are
+    the full tokenizer lifecycle. Oracle replays training positionally
+    (unrolled MATERIALIZED CTEs, weighted argmax + gaps-and-islands
+    merge); both engines are pinned to the imperative Sennrich loop in
+    tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return BPE.train_merges(words)

@@ -824,3 +824,54 @@ def test_url_dedup_group_shape(spark, sf_dir):
         assert (
             r["canonical_url"].endswith("?lang=en") == (g % 4 == 0)
         ), r["canonical_url"]
+
+
+def test_bpe_training_matches_sennrich_loop(spark, sf_dir):
+    """train_merges must equal the imperative Sennrich get_stats/merge
+    loop on the real corpus — ranks, pairs, merged tokens AND weighted
+    counts (which pins the non-overlap pair-count semantics, not just
+    the argmax order)."""
+    from collections import Counter
+
+    from jubilant_garbanzo_spark.operators import bpe as BPE
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    expected = []
+    for r in range(BPE.N_TRAIN_MERGES):
+        stats = Counter()
+        for w, toks in words.items():
+            for i in range(len(toks) - 1):
+                stats[(toks[i], toks[i + 1])] += vocab[w]
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best
+        expected.append((r, a, b, a + b, stats[best]))
+        for w, toks in words.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            words[w] = out
+
+    wdf = spark.createDataFrame(
+        [(w, c) for w, c in vocab.items()], "word string, cnt long"
+    )
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["merged"], r["weighted_count"])
+        for r in BPE.train_merges(wdf).collect()
+    ]
+    assert got == expected
