@@ -1115,3 +1115,310 @@ def lloyd_assignments(
         )
         a = assign(cent)
     return a
+
+
+# -- IVFPQ residual search (round 9) -------------------------------------------
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    topk: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The FULL IVFADC system (Jégou et al. TPAMI'11 §V: "IVFADC —
+    coarse quantizer + product quantization on RESIDUALS"), combining
+    the repo's three existing ANN pieces into the deployed shape:
+
+    - IVF narrows WHERE to look: per-bucket coarse centroids, query
+      probes the ``n_probe`` nearest buckets only;
+    - PQ shrinks WHAT is resident: vectors are encoded as m-byte codes
+      of their RESIDUAL r = v − c(bucket) — residuals concentrate near
+      0, which is exactly why the residual codebook beats raw-vector
+      PQ at equal code size (the paper's central trick);
+    - ADC scores candidates with per-probed-bucket lookup tables built
+      from the query's own residual against each bucket's centroid.
+
+    Exact-integer discipline end to end, so the whole system is
+    hash-verified cross-engine: coordinates quantize to integer
+    millionths; coarse centroids use the shifted round-half-up floor
+    division the Lloyd ops pin (operands shifted positive so Spark DIV
+    truncation == DuckDB // floor); residuals are BIGINT differences
+    (|r| ≤ 2·scale ⇒ subspace keys ≤ ~4e15, inside BIGINT); codebook =
+    the k residuals with smallest md5(vec_id); assignment minimizes
+    dist·k + j (index tie-break built into one integer min).
+
+    Scale shape: centroids and codebook are broadcast-size; encode is
+    the linear crossJoin×k stage pq_encode already measured (~linear,
+    BENCH_scale.json embed_ann_pq_adc); search touches only probed
+    buckets' CODES (m bytes/vector — at 100 TB the codes table is the
+    only resident structure, 32× smaller than the vectors) with m
+    element_at lookups per row, finishing in TakeOrderedAndProject.
+    Build stages are eager-localCheckpointed (sibling-subplan CSE does
+    not exist; the r7 measured pattern).
+    """
+    vi = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * float(scale)).cast("bigint"),
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(bucket_col).cast("bigint").alias("bkt"),
+        vi.alias("vi"),
+    ).localCheckpoint(eager=True)
+
+    # Coarse centroids per bucket — shifted round-half-up floor div,
+    # identical literal arithmetic to lloyd_assignments' update step.
+    cent = (
+        v.select("bkt", F.posexplode("vi").alias("pos", "x"))
+        .groupBy("bkt", "pos")
+        .agg(F.sum("x").alias("sq"), F.count("*").alias("n"))
+        .select(
+            "bkt",
+            "pos",
+            (
+                F.expr(f"(2 * sq + n * {4 * scale} + n) DIV (2 * n)")
+                - 2 * scale
+            ).cast("bigint").alias("qc"),
+        )
+        .groupBy("bkt")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "qc"))),
+                lambda s: s["qc"],
+            ).alias("ca")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    rv = (
+        v.join(F.broadcast(cent), "bkt")
+        .select(
+            "vec_id",
+            "bkt",
+            F.zip_with("vi", "ca", lambda x, c: x - c).alias("ri"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Residual codebook: k smallest md5(vec_id) (same sampling contract
+    # as _pq_frames, but over residuals — the IVFADC difference).
+    from pyspark.sql import Window as W
+
+    hashed = rv.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+    cb = (
+        hashed.orderBy("h", "vec_id")
+        .limit(k)
+        .withColumn(
+            "j", F.row_number().over(W.orderBy("h", "vec_id")) - 1
+        )
+        .select("j", F.col("ri").alias("ci"))
+        .localCheckpoint(eager=True)
+    )
+
+    sub = dim // m
+
+    def sqdist(a_col: str, b_col: str, s: int) -> Column:
+        a = F.slice(F.col(a_col), s * sub + 1, sub)
+        b = F.slice(F.col(b_col), s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    enc = (
+        rv.select("vec_id", "bkt", F.col("ri").alias("vi"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "bkt",
+            *[
+                (sqdist("vi", "ci", s) * k + F.col("j")).alias(f"key{s}")
+                for s in range(m)
+            ],
+        )
+        .groupBy("vec_id", "bkt")
+        .agg(*[F.min(f"key{s}").alias(f"k{s}") for s in range(m)])
+        .select(
+            "vec_id",
+            "bkt",
+            F.array(
+                *[(F.col(f"k{s}") % k).cast("int") for s in range(m)]
+            ).alias("codes"),
+        )
+    )
+
+    qv = (
+        v.orderBy(F.col("vec_id").desc())
+        .limit(1)
+        .select(F.col("vec_id").alias("q_id"), F.col("vi").alias("qi"))
+    )
+
+    # Probe the n_probe nearest coarse buckets (integer L2, bkt
+    # tie-break) and build that bucket's query residual.
+    probed = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "bkt",
+            "ca",
+            "q_id",
+            "qi",
+            F.aggregate(
+                F.zip_with("qi", "ca", lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("cdist"),
+        )
+        .orderBy(F.asc("cdist"), F.asc("bkt"))
+        .limit(n_probe)
+        .select(
+            "bkt",
+            "q_id",
+            F.zip_with("qi", "ca", lambda x, c: x - c).alias("qr"),
+        )
+    )
+
+    # Per-bucket m×k LUT: distance of the bucket's query residual to
+    # each codebook centroid, per subspace — n_probe broadcast rows.
+    lut = (
+        probed.crossJoin(F.broadcast(cb))
+        .select(
+            "bkt",
+            "q_id",
+            "j",
+            *[sqdist("qr", "ci", s).alias(f"d{s}") for s in range(m)],
+        )
+        .groupBy("bkt", "q_id")
+        .agg(
+            *[
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", f"d{s}"))),
+                    lambda st: st[f"d{s}"],
+                ).alias(f"lut{s}")
+                for s in range(m)
+            ]
+        )
+    )
+
+    adc = sum(
+        [
+            F.expr(f"element_at(lut{s}, codes[{s}] + 1)")
+            for s in range(1, m)
+        ],
+        F.expr("element_at(lut0, codes[0] + 1)"),
+    )
+    return (
+        enc.join(F.broadcast(lut), "bkt")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "bkt",
+            adc.cast("bigint").alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+def ivfpq_oracle_sql(
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    topk: int = 10,
+    n_probe: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_adc_topk` — replays the full IVFADC
+    system in the same scaled-int arithmetic: shifted-floor-div coarse
+    centroids (operands positive, so // here == Spark's DIV there),
+    residuals, md5-sampled residual codebook, dist·k+j code assignment,
+    bucket probing, per-bucket LUTs, (adc_dist, vec_id) total order."""
+    sub = dim // m
+    keys, luts = [], []
+    for s in range(m):
+        lo = s * sub
+        keys.append(
+            f"(CAST(list_sum([(r.ri[{lo}+i] - c.ci[{lo}+i]) *"
+            f" (r.ri[{lo}+i] - c.ci[{lo}+i]) FOR i IN range(1, {sub + 1})])"
+            f" AS BIGINT) * {k} + c.j) AS key{s}"
+        )
+        luts.append(
+            f"CAST(list_sum([(p.qr[{lo}+i] - c.ci[{lo}+i]) *"
+            f" (p.qr[{lo}+i] - c.ci[{lo}+i]) FOR i IN range(1, {sub + 1})])"
+            f" AS BIGINT) AS d{s}"
+        )
+    keys_sql = ",\n                   ".join(keys)
+    luts_sql = ",\n                   ".join(luts)
+    mins = ", ".join(f"min(key{s}) AS k{s}" for s in range(m))
+    joins = "\n        ".join(
+        f"JOIN lut l{s} ON l{s}.bkt = b.bkt AND l{s}.j = b.k{s} % {k}"
+        for s in range(m)
+    )
+    dist = " + ".join(f"l{s}.d{s}" for s in range(m))
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS bkt,
+                   [CAST(round(x * {scale}.0) AS BIGINT)
+                    FOR x IN CAST(embedding AS DOUBLE[])] AS vi
+            FROM embeddings
+        ), cm AS (
+            SELECT bkt, u.i AS pos,
+                   CAST(sum(vi[u.i]) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM v, unnest(generate_series(1, {dim})) AS u(i)
+            GROUP BY 1, 2
+        ), cent AS (
+            SELECT bkt,
+                   list((2 * sq + n * {4 * scale} + n) // (2 * n)
+                        - {2 * scale} ORDER BY pos) AS ca
+            FROM cm GROUP BY bkt
+        ), rv AS (
+            SELECT v.vec_id, v.bkt,
+                   [v.vi[i] - c.ca[i] FOR i IN range(1, {dim + 1})] AS ri
+            FROM v JOIN cent c ON c.bkt = v.bkt
+        ), cb AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS j,
+                   ri AS ci
+            FROM rv
+            QUALIFY j < {k}
+        ), pairs AS (
+            SELECT r.vec_id, r.bkt,
+                   {keys_sql}
+            FROM rv r CROSS JOIN cb c
+        ), best AS (
+            SELECT vec_id, bkt, {mins}
+            FROM pairs GROUP BY vec_id, bkt
+        ), q AS (
+            SELECT vec_id AS q_id, vi AS qi
+            FROM v ORDER BY vec_id DESC LIMIT 1
+        ), probe AS (
+            SELECT c.bkt, q.q_id,
+                   [q.qi[i] - c.ca[i] FOR i IN range(1, {dim + 1})] AS qr
+            FROM cent c CROSS JOIN q
+            ORDER BY CAST(list_sum([(q.qi[i] - c.ca[i]) * (q.qi[i] - c.ca[i])
+                                    FOR i IN range(1, {dim + 1})])
+                          AS BIGINT) ASC, c.bkt ASC
+            LIMIT {n_probe}
+        ), lut AS (
+            SELECT p.bkt, p.q_id, c.j,
+                   {luts_sql}
+            FROM probe p CROSS JOIN cb c
+        )
+        SELECT l0.q_id, b.vec_id, b.bkt,
+               CAST({dist} AS BIGINT) AS adc_dist
+        FROM best b
+        {joins}
+        WHERE b.vec_id <> l0.q_id
+        ORDER BY adc_dist, b.vec_id
+        LIMIT {topk}
+    """

@@ -96,8 +96,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # rerouted) already holds a head slot above.
     "dedup_minhash_accuracy",
     "dedup_cluster_cc",
-    # round-9 wave 2: the tokenizer TRAINING half
+    # round-9 wave 2: the tokenizer TRAINING half + the full IVFADC
+    # residual search
     "text_bpe_train",
+    "embed_ann_ivfpq",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -145,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_csv",
     "scan_json",
     "scan_projection",
-    "set_except",
 )
 
 def load_all() -> dict[str, QuerySpec]:

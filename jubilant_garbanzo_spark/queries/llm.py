@@ -2960,3 +2960,25 @@ def text_bpe_train(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     return BPE.train_merges(words)
+
+
+@register(
+    "embed_ann_ivfpq",
+    oracle=S.ivfpq_oracle_sql(),
+    tags=("llm", "embedding", "ann", "ivfpq"),
+)
+def embed_ann_ivfpq(spark, sf_dir):
+    """The FULL IVFADC system (Jégou TPAMI'11 §V — coarse quantizer +
+    product quantization on RESIDUALS + per-bucket ADC lookup tables;
+    operators/similarity.ivfpq_adc_topk). Completes the ANN tier's
+    deployed shape next to brute-force / IVF / LSH / raw-vector
+    PQ-ADC: IVF narrows WHERE to look (2 probed buckets), PQ shrinks
+    WHAT stays resident (m-byte residual codes, 32x), ADC scores with
+    integer lookups. Every stage is exact scaled-int arithmetic
+    (shifted-floor-div centroids, BIGINT residual distances,
+    dist*k+j assignment), so the END-TO-END system — probing choice,
+    codes, and final (adc_dist, vec_id) ranking — is hash-verified
+    cross-engine, and a third independent NumPy replay pins both in
+    tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_adc_topk(e)

@@ -875,3 +875,71 @@ def test_bpe_training_matches_sennrich_loop(spark, sf_dir):
         for r in BPE.train_merges(wdf).collect()
     ]
     assert got == expected
+
+
+def test_ivfpq_matches_numpy_reference(spark, sf_dir):
+    """Third independent replay of the full IVFADC system: NumPy
+    computes shifted-floor-div coarse centroids, residuals, the
+    md5-sampled residual codebook, dist*k+j codes, bucket probing and
+    per-bucket ADC — the Spark result must match tuple-for-tuple
+    (which pins the integer discipline, not just the ranking)."""
+    import hashlib
+
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r["q_id"], r["vec_id"], r["bkt"], r["adc_dist"])
+        for r in S.ivfpq_adc_topk(e).collect()
+    ]
+
+    rows = e.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    bkt = np.array([r["label"] for r in rows], dtype=np.int64)
+    V = np.array(
+        [[round(float(x) * 1e6) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    m, k, dim, scale, n_probe, topk = 4, 16, 64, 1_000_000, 2, 10
+    sub = dim // m
+    cent = {}
+    for b in np.unique(bkt):
+        X = V[bkt == b]
+        sq = X.sum(axis=0).astype(np.int64)
+        n = X.shape[0]
+        cent[b] = (2 * sq + n * 4 * scale + n) // (2 * n) - 2 * scale
+    R = np.stack([V[i] - cent[bkt[i]] for i in range(len(ids))])
+    h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    order = sorted(range(len(ids)), key=lambda i: (h[i], ids[i]))[:k]
+    CB = R[order]
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        d = (
+            (R[:, None, s * sub : (s + 1) * sub]
+             - CB[None, :, s * sub : (s + 1) * sub]) ** 2
+        ).sum(axis=2)
+        keys = d * k + np.arange(k)[None, :]
+        codes[:, s] = keys.min(axis=1) % k
+    qidx = int(np.argmax(ids))
+    q_id, qi = ids[qidx], V[qidx]
+    probed = sorted(
+        cent, key=lambda b: (int(((qi - cent[b]) ** 2).sum()), b)
+    )[:n_probe]
+    cand = []
+    for b in probed:
+        qr = qi - cent[b]
+        lut = np.zeros((m, k), dtype=np.int64)
+        for s in range(m):
+            lut[s] = (
+                (qr[s * sub : (s + 1) * sub][None, :]
+                 - CB[:, s * sub : (s + 1) * sub]) ** 2
+            ).sum(axis=1)
+        for i in range(len(ids)):
+            if bkt[i] != b or ids[i] == q_id:
+                continue
+            cand.append(
+                (int(q_id), int(ids[i]), int(b),
+                 sum(int(lut[s][codes[i, s]]) for s in range(m)))
+            )
+    cand.sort(key=lambda t: (t[3], t[1]))
+    assert got == cand[:topk]
