@@ -100,6 +100,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # residual search
     "text_bpe_train",
     "embed_ann_ivfpq",
+    "text_quality_calibration",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -146,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "math_functions",
     "scan_csv",
     "scan_json",
-    "scan_projection",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -2982,3 +2982,195 @@ def embed_ann_ivfpq(spark, sf_dir):
     tests/test_llm_ops.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.ivfpq_adc_topk(e)
+
+
+def _irls_feat_sql() -> str:
+    """Shared feature CTE body for the calibration oracle: per-doc
+    classifier logit mean x (exact: integer numerator, one division),
+    milli-quantized xm for the moment products, label y."""
+    return f"""
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 8))::BIGINT % {TX.HASH_DIM})
+                       AS bucket
+            FROM toks WHERE tok <> ''
+        ), w AS (
+            SELECT CAST(j AS BIGINT) AS bucket,
+                   CAST({TX.bucket_weight_sql('j')} AS BIGINT) AS w_milli
+            FROM range({TX.HASH_DIM}) t(j)
+        ), perdoc AS (
+            SELECT b.doc_id, count(*) AS n_tokens,
+                   CAST(sum(w_milli) AS BIGINT) AS wsum
+            FROM b JOIN w USING (bucket)
+            GROUP BY b.doc_id
+        ), feat AS (
+            SELECT p.doc_id,
+                   (wsum + ({TX.BIAS_MILLI}) * n_tokens)
+                       / (1000.0 * n_tokens) AS x,
+                   CAST(round(((wsum + ({TX.BIAS_MILLI}) * n_tokens)
+                       / (1000.0 * n_tokens)) * 1000.0) AS BIGINT) AS xm,
+                   CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+            FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+        )"""
+
+
+def _irls_round_sql(i: int, prev_beta: str) -> str:
+    """One IRLS/Newton round as CTEs: micro-quantized p, BIGINT w/ru,
+    DECIMAL(38,0) moment sums, closed-form 2x2 solve."""
+    return f"""m{i} AS (
+            SELECT
+              CAST(sum(CAST(w12 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS swd,
+              CAST(sum(CAST(w12 * xm AS DECIMAL(38,0))) AS DOUBLE) / 1e15
+                  AS swxd,
+              CAST(sum(CAST(w12 * xm * xm AS DECIMAL(38,0))) AS DOUBLE) / 1e18
+                  AS swxxd,
+              CAST(sum(CAST(ru AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS srd,
+              CAST(sum(CAST(ru * xm AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                  AS srxd
+            FROM (
+              SELECT f.xm,
+                     pmu * (1000000 - pmu) AS w12,
+                     f.y * 1000000 - pmu AS ru
+              FROM (
+                SELECT f.xm, f.y,
+                       CAST(round(1000000.0
+                            / (1.0 + exp(-(bb.beta0 + bb.beta1 * f.x))))
+                            AS BIGINT) AS pmu
+                FROM feat f CROSS JOIN {prev_beta} bb
+              ) f
+            )
+        ), b{i} AS (
+            SELECT
+              bb.beta0 + (m.swxxd * m.srd - m.swxd * m.srxd)
+                  / (m.swd * m.swxxd - m.swxd * m.swxd) AS beta0,
+              bb.beta1 + (m.swd * m.srxd - m.swxd * m.srd)
+                  / (m.swd * m.swxxd - m.swxd * m.swxd) AS beta1
+            FROM m{i} m CROSS JOIN {prev_beta} bb
+        )"""
+
+
+@register(
+    "text_quality_calibration",
+    oracle=f"""
+        WITH {_irls_feat_sql()},
+        b0 AS (SELECT 0.0 AS beta0, 0.0 AS beta1),
+        {_irls_round_sql(1, 'b0')},
+        {_irls_round_sql(2, 'b1')}
+        SELECT 1 AS irls_round, round(beta0, 6) AS beta0,
+               round(beta1, 6) AS beta1 FROM b1
+        UNION ALL
+        SELECT 2 AS irls_round, round(beta0, 6) AS beta0,
+               round(beta1, 6) AS beta1 FROM b2
+        ORDER BY irls_round
+    """,
+    tags=("llm", "text", "quality", "classifier", "iterative"),
+)
+def text_quality_calibration(spark, sf_dir):
+    """Platt-style probability calibration of the quality classifier:
+    2 unrolled IRLS/Newton rounds of the 2-parameter logistic
+    regression p(y|x) = sigmoid(b0 + b1*x), x = the per-doc mean
+    hashed-BoW logit, y = a length label (n_chars >= 300). The
+    numerically honest distributed shape: the only float-sum hazard —
+    order-dependent accumulation of per-row transcendentals — is
+    removed by micro-quantizing each row's sigmoid to an integer
+    (p_mu) and forming ALL five Newton moments as exact
+    DECIMAL(38,0) sums of BIGINT terms; the 2x2 solve is one
+    fixed-shape IEEE expression over those sums. Each round is a
+    map-side-combinable aggregation to ONE row; the running beta lives
+    in 1-row broadcast frames (no driver data path), localCheckpointed
+    so the chain executes once — same discipline as text_bpe_train.
+    At 100 TB: two linear passes, each shuffling 5 numbers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = (
+        toks.select(
+            "doc_id", TX.feature_hash_bucket(F.col("tok")).alias("bucket")
+        )
+        .join(F.broadcast(TX.weight_table(spark)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_milli").alias("wsum"))
+    )
+    x = (
+        F.col("wsum") + F.lit(TX.BIAS_MILLI) * F.col("n_tokens")
+    ) / (F.lit(1000.0) * F.col("n_tokens"))
+    feat = (
+        per_doc.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            x.alias("x"),
+            F.round(x * 1000.0).cast("bigint").alias("xm"),
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def irls_round(beta_df):
+        pmu = F.expr(
+            "CAST(round(1000000.0 / (1.0 + exp(-(beta0 + beta1 * x))))"
+            " AS BIGINT)"
+        )
+        rows = feat.crossJoin(F.broadcast(beta_df)).select(
+            "xm",
+            "beta0",
+            "beta1",
+            pmu.alias("pmu"),
+            (pmu * (F.lit(1000000) - pmu)).alias("w12"),
+            (F.col("y") * 1000000 - pmu).alias("ru"),
+        )
+        m = rows.groupBy("beta0", "beta1").agg(
+            (
+                F.sum(F.col("w12").cast("decimal(38,0)")).cast("double")
+                / 1e12
+            ).alias("swd"),
+            (
+                F.sum((F.col("w12") * F.col("xm")).cast("decimal(38,0)"))
+                .cast("double") / 1e15
+            ).alias("swxd"),
+            (
+                F.sum(
+                    (F.col("w12") * F.col("xm") * F.col("xm"))
+                    .cast("decimal(38,0)")
+                ).cast("double") / 1e18
+            ).alias("swxxd"),
+            (
+                F.sum(F.col("ru").cast("decimal(38,0)")).cast("double") / 1e6
+            ).alias("srd"),
+            (
+                F.sum((F.col("ru") * F.col("xm")).cast("decimal(38,0)"))
+                .cast("double") / 1e9
+            ).alias("srxd"),
+        )
+        det = F.col("swd") * F.col("swxxd") - F.col("swxd") * F.col("swxd")
+        return m.select(
+            (
+                F.col("beta0")
+                + (F.col("swxxd") * F.col("srd") - F.col("swxd") * F.col("srxd"))
+                / det
+            ).alias("beta0"),
+            (
+                F.col("beta1")
+                + (F.col("swd") * F.col("srxd") - F.col("swxd") * F.col("srd"))
+                / det
+            ).alias("beta1"),
+        ).localCheckpoint(eager=True)
+
+    b0 = spark.range(1).select(
+        F.lit(0.0).alias("beta0"), F.lit(0.0).alias("beta1")
+    )
+    b1 = irls_round(b0)
+    b2 = irls_round(b1)
+    out1 = b1.select(
+        F.lit(1).alias("irls_round"),
+        F.round("beta0", 6).alias("beta0"),
+        F.round("beta1", 6).alias("beta1"),
+    )
+    out2 = b2.select(
+        F.lit(2).alias("irls_round"),
+        F.round("beta0", 6).alias("beta0"),
+        F.round("beta1", 6).alias("beta1"),
+    )
+    return out1.unionByName(out2).orderBy("irls_round")

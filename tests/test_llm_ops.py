@@ -943,3 +943,71 @@ def test_ivfpq_matches_numpy_reference(spark, sf_dir):
             )
     cand.sort(key=lambda t: (t[3], t[1]))
     assert got == cand[:topk]
+
+
+def test_irls_calibration_matches_numpy_newton(spark, sf_dir):
+    """Third replay of the calibration recurrence in NumPy — including
+    the micro-quantization of the per-row sigmoid and the exact-integer
+    moment sums, so the test pins the numeric DISCIPLINE, not just an
+    approximate fit. Also sanity: round 2 must move the intercept
+    toward the base rate (beta monotone step, det > 0)."""
+    import numpy as np
+
+    from jubilant_garbanzo_spark.operators import textops as TX
+    from jubilant_garbanzo_spark.queries.llm import text_quality_calibration
+
+    got = {
+        r["irls_round"]: (r["beta0"], r["beta1"])
+        for r in text_quality_calibration(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    W = [
+        (j * TX.WEIGHT_MIX) % TX.WEIGHT_MOD - TX.WEIGHT_OFF
+        for j in range(TX.HASH_DIM)
+    ]
+    import hashlib
+
+    xs, ys = [], []
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        wsum = sum(
+            W[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % TX.HASH_DIM]
+            for t in toks
+        )
+        x = (wsum + TX.BIAS_MILLI * len(toks)) / (1000.0 * len(toks))
+        xs.append(x)
+        ys.append(1 if r["n_chars"] >= 300 else 0)
+    x = np.array(xs)
+    xm = np.array([int(np.floor(v * 1000.0 + 0.5)) if v >= 0
+                   else -int(np.floor(-v * 1000.0 + 0.5)) for v in xs],
+                  dtype=np.int64)
+    y = np.array(ys, dtype=np.int64)
+
+    beta = (0.0, 0.0)
+    exp_rounds = {}
+    for rnd in (1, 2):
+        eta = beta[0] + beta[1] * x
+        p = 1.0 / (1.0 + np.exp(-eta))
+        pmu = np.array([int(np.floor(v * 1e6 + 0.5)) for v in p],
+                       dtype=np.int64)
+        w12 = pmu * (1000000 - pmu)
+        ru = y * 1000000 - pmu
+        swd = int(w12.sum()) / 1e12
+        swxd = int((w12 * xm).sum()) / 1e15
+        swxxd = int((w12 * xm * xm).sum()) / 1e18
+        srd = int(ru.sum()) / 1e6
+        srxd = int((ru * xm).sum()) / 1e9
+        det = swd * swxxd - swxd * swxd
+        assert det > 0
+        beta = (
+            beta[0] + (swxxd * srd - swxd * srxd) / det,
+            beta[1] + (swd * srxd - swxd * srd) / det,
+        )
+        exp_rounds[rnd] = (round(beta[0], 6), round(beta[1], 6))
+
+    for rnd in (1, 2):
+        assert abs(got[rnd][0] - exp_rounds[rnd][0]) < 2e-6, (rnd, got, exp_rounds)
+        assert abs(got[rnd][1] - exp_rounds[rnd][1]) < 2e-6, (rnd, got, exp_rounds)
