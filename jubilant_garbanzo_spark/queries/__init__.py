@@ -101,6 +101,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_bpe_train",
     "embed_ann_ivfpq",
     "text_quality_calibration",
+    "text_sparse_tfidf_cosine",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -146,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "map_functions",
     "math_functions",
     "scan_csv",
-    "scan_json",
 )
 
 def load_all() -> dict[str, QuerySpec]:

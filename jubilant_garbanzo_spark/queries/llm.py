@@ -3174,3 +3174,130 @@ def text_quality_calibration(spark, sf_dir):
         F.round("beta1", 6).alias("beta1"),
     )
     return out1.unionByName(out2).orderBy("irls_round")
+
+
+#: Stop-shingle cap for the sparse-cosine posting index: shingles that
+#: occur in more than this many docs are dropped from the TERM SPACE
+#: (both weights and norms — the operator is defined over the capped
+#: space, so it stays self-consistent and exactly oracle-replayable).
+#: This is the DAAT/impact-ordered pruning every sparse-vector engine
+#: applies: posting lists are bounded => candidate pairs grow linearly
+#: with the corpus instead of with df^2.
+_SPARSE_DF_CAP = 20
+_SPARSE_COS_THRESHOLD = 0.6
+
+
+@register(
+    "text_sparse_tfidf_cosine",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, s, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               FOR i IN range(1, greatest(len(ws) - 1, 1))])
+                           AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents)
+            )
+            GROUP BY doc_id, s
+        ), n AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sh
+        ), df AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS df
+            FROM sh GROUP BY s
+        ), post AS (
+            SELECT sh.doc_id, sh.s,
+                   sh.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                      * 1000000.0) AS BIGINT) AS w
+            FROM sh JOIN df USING (s) CROSS JOIN n
+            WHERE df.df <= {_SPARSE_DF_CAP}
+        ), nrm AS (
+            SELECT doc_id,
+                   CAST(sum(CAST(w * w AS DECIMAL(38,0))) AS DOUBLE) AS nn
+            FROM post GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CAST(a.w * b.w AS DECIMAL(38,0))) AS DOUBLE)
+                       AS dot
+            FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d.id_a, d.id_b,
+               round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos_sim
+        FROM dots d
+        JOIN nrm na ON na.doc_id = d.id_a
+        JOIN nrm nb ON nb.doc_id = d.id_b
+        WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {_SPARSE_COS_THRESHOLD}
+    """,
+    tags=("llm", "text", "similarity", "sparse"),
+)
+def text_sparse_tfidf_cosine(spark, sf_dir):
+    """Sparse-vector similarity join: docs as TF-IDF vectors over
+    3-gram shingles, cosine via the inverted-index (posting-list)
+    self-join — the DAAT shape sparse retrieval engines use, and the
+    lexical complement of the dense `embed_similarity_join`. Exactness:
+    idf = ln(N/df) is the ONE transcendental, computed once per term
+    from identical integers and micro-quantized, so weights, dots and
+    norms are exact integers (DECIMAL(38,0) sums) and only the final
+    cosine is a fixed-shape IEEE expression. Scale: the df cap drops
+    stop-shingles from the term space (bounded posting lists =>
+    linear candidates — same discipline as the rarest-first prefix
+    index); everything else is two hash aggs and one equi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sh = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    n_docs = sh.select("doc_id").distinct().count()
+    df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0
+    ).cast("bigint")
+    post = (
+        sh.join(df, "s")
+        .filter(F.col("df") <= _SPARSE_DF_CAP)
+        .select("doc_id", "s", (F.col("tf") * idf).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("nn")
+    )
+    a = post.select(
+        F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= _SPARSE_COS_THRESHOLD)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )
