@@ -102,6 +102,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "embed_ann_ivfpq",
     "text_quality_calibration",
     "text_sparse_tfidf_cosine",
+    "text_heaps_law",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -146,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "limit_topk",
     "map_functions",
     "math_functions",
-    "scan_csv",
 )
 
 def load_all() -> dict[str, QuerySpec]:

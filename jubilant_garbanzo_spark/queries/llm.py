@@ -3301,3 +3301,166 @@ def text_sparse_tfidf_cosine(spark, sf_dir):
         .filter(cos >= _SPARSE_COS_THRESHOLD)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+#: Heaps-law grid: vocabulary size is measured at these eighths of the
+#: corpus (by doc_id order — the deterministic "crawl so far" prefix).
+_HEAPS_POINTS = 8
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           FOR i IN range(1, greatest(len(ws) - 1, 1))])
+                       AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+        ), nd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ), grid AS (
+            SELECT CAST(i AS BIGINT) AS pt,
+                   (CAST(i AS BIGINT) * nd.n_docs) // {_HEAPS_POINTS}
+                       AS doc_cut
+            FROM range(1, {_HEAPS_POINTS} + 1) t(i), nd
+        ), firstdoc AS (
+            SELECT s, min(doc_id) AS fd FROM sh GROUP BY s
+        ), pts AS (
+            SELECT g.pt,
+                   (SELECT CAST(count(*) AS BIGINT) FROM sh
+                    WHERE sh.doc_id < g.doc_cut) AS n_tokens,
+                   (SELECT CAST(count(*) AS BIGINT) FROM firstdoc
+                    WHERE firstdoc.fd < g.doc_cut) AS vocab
+            FROM grid g
+        ), logs AS (
+            SELECT pt, n_tokens, vocab,
+                   CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS lx,
+                   CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS ly
+            FROM pts
+        ), fit AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(CAST(lx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(ly AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(lx AS DECIMAL(38,0))
+                            * CAST(ly AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(lx AS DECIMAL(38,0))
+                            * CAST(lx AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+            FROM logs
+        )
+        SELECT l.pt, l.n_tokens, l.vocab,
+               round((f.k * f.sxy - f.sx * f.sy)
+                     / (f.k * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
+               round(exp(((f.sy - ((f.k * f.sxy - f.sx * f.sy)
+                                   / (f.k * f.sxx - f.sx * f.sx)) * f.sx)
+                          / f.k) / 1000000000.0), 6) AS heaps_k
+        FROM logs l CROSS JOIN fit f
+        ORDER BY l.pt
+    """,
+    tags=("llm", "text", "statistics"),
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(n) = K*n^beta over 3-gram
+    shingle types — the corpus diagnostic that predicts how the dedup
+    index, the BPE vocabulary and the inverted index will GROW as the
+    crawl grows (beta < 1 = sublinear: the reason type-keyed structures
+    stay manageable at 100 TB). Grid = cumulative (tokens, types) at 8
+    doc-order prefixes; types-so-far comes from a first-occurrence
+    histogram + cumsum (two hash aggs — never 8 re-scans); the fit is
+    exact-integer OLS on nano-quantized logs (the text_zipf_slope
+    discipline: the 16 ln() calls are the only transcendentals, each
+    quantized before any cross-row sum). Output: the grid with the
+    fitted (beta, K) on every row."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    cuts = [(i, (i * n_docs) // _HEAPS_POINTS) for i in range(1, _HEAPS_POINTS + 1)]
+    sh = d.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+            )
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    # bucket index of a doc_id = number of cuts it falls below — both
+    # cumulative counts come from one histogram + running sum each.
+    def bucket(col):
+        return sum(
+            [F.when(F.col(col) < c, 0).otherwise(1) for _, c in cuts],
+            F.lit(0),
+        )
+
+    tok_hist = (
+        sh.select(bucket("doc_id").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("toks"))
+    )
+    fd_hist = (
+        sh.groupBy("s")
+        .agg(F.min("doc_id").alias("fd"))
+        .select(bucket("fd").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("types"))
+    )
+    grid = spark.createDataFrame(
+        [(i, c) for i, c in cuts], "pt long, doc_cut long"
+    )
+    w = W.orderBy("pt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # prefix i contains buckets with index < i (strictly below cut i)
+    pts = (
+        grid.join(
+            tok_hist.withColumnRenamed("b", "tb"),
+            F.col("tb") < F.col("pt"),
+            "left",
+        )
+        .groupBy("pt", "doc_cut")
+        .agg(F.coalesce(F.sum("toks"), F.lit(0)).alias("n_tokens"))
+        .join(
+            fd_hist.withColumnRenamed("b", "fb"),
+            F.col("fb") < F.col("pt"),
+            "left",
+        )
+        .groupBy("pt", "doc_cut", "n_tokens")
+        .agg(F.coalesce(F.sum("types"), F.lit(0)).alias("vocab"))
+        .localCheckpoint(eager=True)
+    )
+    lx = F.round(F.log(F.col("n_tokens").cast("double")) * 1e9).cast("bigint")
+    ly = F.round(F.log(F.col("vocab").cast("double")) * 1e9).cast("bigint")
+    logs = pts.select("pt", "n_tokens", "vocab", lx.alias("lx"), ly.alias("ly"))
+    fit = logs.groupBy().agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("lx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("lx").cast("decimal(38,0)") * F.col("ly").cast("decimal(38,0)")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.col("lx").cast("decimal(38,0)") * F.col("lx").cast("decimal(38,0)")
+        ).cast("double").alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    kconst = F.exp(
+        ((F.col("sy") - beta * F.col("sx")) / F.col("k")) / 1e9
+    )
+    return (
+        logs.crossJoin(F.broadcast(fit))
+        .select(
+            "pt",
+            "n_tokens",
+            "vocab",
+            F.round(beta, 6).alias("heaps_beta"),
+            F.round(kconst, 6).alias("heaps_k"),
+        )
+        .orderBy("pt")
+    )
