@@ -103,6 +103,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_quality_calibration",
     "text_sparse_tfidf_cosine",
     "text_heaps_law",
+    "sink_hilbert_parquet",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -146,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "json_functions",
     "limit_topk",
     "map_functions",
-    "math_functions",
 )
 
 def load_all() -> dict[str, QuerySpec]:

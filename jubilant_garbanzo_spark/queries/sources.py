@@ -289,6 +289,116 @@ def source_mergeschema(spark, sf_dir):
     )
 
 
+HILBERT_ORDER = 16
+
+
+def _hilbert_d(x_expr: str, y_expr: str, order: int = HILBERT_ORDER) -> "F.Column":
+    """Hilbert-curve distance d(x, y) on the 2^order x 2^order grid —
+    the standard xy->d conversion (16 unrolled reflect/rotate rounds,
+    public algorithm), as ONE pure SQL expression.
+
+    The per-round state [x, y, d] threads through let-binding lambdas
+    (operators/bpe._let): each round reads the previous state ~6 times,
+    and naive chained withColumns would let CollapseProject inline the
+    chain into ~6^16 nodes (the measured BPE pathology) — the lambda
+    binding keeps the whole 16-round expression LINEAR. The quadrant
+    value (3*rx) XOR ry is written arithmetically (3*rx + ry -
+    2*rx*ry; exact on {0,1} inputs) because ^ means POWER in DuckDB —
+    keeping the expression portable to any SQL twin.
+    """
+    from jubilant_garbanzo_spark.operators.bpe import _let
+
+    expr = (
+        f"array(CAST({x_expr} AS BIGINT), CAST({y_expr} AS BIGINT),"
+        f" CAST(0 AS BIGINT))"
+    )
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        body = _let(
+            f"IF((element_at(t, 1) & {s}) > 0, 1, 0)",
+            "rx",
+            _let(
+                f"IF((element_at(t, 2) & {s}) > 0, 1, 0)",
+                "ry",
+                f"array("
+                f" IF(ry = 0, IF(rx = 1, {s - 1} - element_at(t, 2),"
+                f"   element_at(t, 2)), element_at(t, 1)),"
+                f" IF(ry = 0, IF(rx = 1, {s - 1} - element_at(t, 1),"
+                f"   element_at(t, 1)), element_at(t, 2)),"
+                f" element_at(t, 3) + {s * s}L * (3*rx + ry - 2*rx*ry))",
+            ),
+        )
+        expr = _let(expr, "t", body)
+    return F.expr(f"element_at({expr}, 3)")
+
+
+@register(
+    "sink_hilbert_parquet",
+    # Layout queries are verified by CONTENT: the box-query answer is
+    # layout-independent, so a value-hash match against the unclustered
+    # oracle proves the curve rewrite lost/duplicated nothing. The
+    # curve math itself is pinned against an independent Python
+    # reference (bijection + exact d values) in tests/test_llm_ops.py.
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) / 100.0 AS price_sum
+        FROM orders
+        WHERE o_custkey >= 300 AND o_custkey < 400
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("sink", "parquet", "clustering", "hilbert", "layout"),
+)
+def sink_hilbert_parquet(spark, sf_dir):
+    """Hilbert-curve clustered layout — the locality upgrade over
+    Z-order (sink_zorder_parquet): the Hilbert curve has NO long
+    diagonal jumps (every curve step is a unit step in (x, y)), so
+    consecutive row groups cover compact squares and 2-D box queries
+    touch fewer row groups than under Morton interleave at the same
+    sort budget — why Delta's liquid clustering and many lakehouse
+    engines moved Morton -> Hilbert. Same pipeline shape: derive the
+    curve key (pure codegen expression, never persisted),
+    repartitionByRange + sortWithinPartitions on it, drop it, write;
+    answer the box query from the clustered copy. At larger key
+    domains the dimensions are first quantile-bucketed to 16 bits
+    (custkey and days-since-1995 already fit here)."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_hilbert"
+    )
+
+    def write(path: str) -> None:
+        days = F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        h = _hilbert_d("o_custkey", "CAST(_days AS BIGINT)")
+        (
+            o.withColumn("_days", days)
+            .withColumn("_h", h)
+            .repartitionByRange(8, "_h")
+            .sortWithinPartitions("_h")
+            .drop("_h", "_days")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    FMT.materialize_once(out, write)
+    back = spark.read.schema(o.schema).parquet(out)
+    box = back.filter(
+        (F.col("o_custkey") >= 300)
+        & (F.col("o_custkey") < 400)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return box.agg(
+        F.count("*").alias("n_rows"),
+        exact_sum(F.col("o_totalprice")).alias("price_sum"),
+    )
+
+
 def _zvalue(x, y):
     """Interleave the low 16 bits of two integer columns (Morton code).
 

@@ -733,3 +733,42 @@ def test_blob_export_collect_is_row_capped(spark, tmp_path, monkeypatch):
     import os
 
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_hilbert_curve_matches_reference_and_is_bijective(spark):
+    """The unrolled let-binding Hilbert expression must equal the
+    public iterative xy->d algorithm exactly (including reflections at
+    high coordinates) and be injective — the properties the clustered
+    layout's pruning story rests on."""
+    from jubilant_garbanzo_spark.queries.sources import (
+        HILBERT_ORDER,
+        _hilbert_d,
+    )
+
+    def py_hilbert(order, x, y):
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    pts += [(12345, 678), (65535, 65535), (40000, 1), (1, 40000)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", _hilbert_d("x", "y").alias("d")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == py_hilbert(HILBERT_ORDER, x, y), (x, y)
+    assert len({got[p] for p in pts}) == len(pts)
