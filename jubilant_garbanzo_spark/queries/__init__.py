@@ -104,6 +104,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_sparse_tfidf_cosine",
     "text_heaps_law",
     "sink_hilbert_parquet",
+    "stream_kmv_bottomk",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -146,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_null_logic",
     "json_functions",
     "limit_topk",
-    "map_functions",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1104,3 +1104,110 @@ def stream_attribution_last_touch(spark, sf_dir):
         "touch_type",
         "gap_seconds",
     )
+
+
+#: KMV sketch size (bottom-k of a uniform hash). 32 keeps the driver
+#: row count tiny while the (k-1)/h_k estimator stays within ~18%
+#: relative error — raise k for tighter bounds, the only knob.
+_KMV_K = 32
+#: md5 15-hex-digit hash domain (the repo's portable-hash idiom).
+_KMV_DOMAIN = 16 ** 15
+
+
+@register(
+    "stream_kmv_bottomk",
+    # Bottom-k under a uniform hash is a MERGEABLE sketch: the bottom-k
+    # of a union is the bottom-k of the per-part bottom-k's, so the
+    # per-micro-batch partials lose nothing and the final answer equals
+    # the batch sketch over all events — fully value-checkable, like
+    # the Count-Min twin (stream_countmin_topk).
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS h,
+                   event_id
+            FROM events
+        ), bk AS (
+            SELECT h, event_id,
+                   row_number() OVER (ORDER BY h, event_id) AS rnk
+            FROM h
+        ), kth AS (
+            SELECT h AS hk FROM bk WHERE rnk = {_KMV_K}
+        )
+        SELECT bk.rnk, bk.event_id, bk.h,
+               round(({_KMV_K} - 1) * {_KMV_DOMAIN}.0 / kth.hk, 6)
+                   AS est_distinct
+        FROM bk CROSS JOIN kth
+        WHERE bk.rnk <= {_KMV_K}
+        ORDER BY bk.rnk
+    """,
+    tags=("streaming", "sketch", "sampling"),
+)
+def stream_kmv_bottomk(spark, sf_dir):
+    """STREAMING KMV (k-minimum-values / bottom-k) sketch over the
+    event stream (Bar-Yossef et al. RANDOM'02 distinct-elements
+    sketch): keep the k smallest md5 hashes of the key seen so far.
+    One tiny structure is simultaneously (a) a uniform random sample
+    of distinct keys (hash-order = random order — the reservoir
+    equivalent that IS mergeable and partition-independent, unlike a
+    true sequential reservoir) and (b) a distinct-count estimator,
+    est = (k-1) * DOMAIN / h_(k).
+
+    Streaming shape: each micro-batch appends its own bottom-k partial
+    to a parquet side table via foreachBatch (constant state per
+    batch, same as the Count-Min partials); the final answer re-sketches
+    the union DISTRIBUTED — bottom-k is mergeable, so partial-then-
+    merge equals the one-shot batch sketch exactly, which is what the
+    oracle verifies value-for-value. At 100 TB: per-executor bottom-k
+    partials, one k-row merge — the cheapest streaming cardinality
+    monitor there is."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    partials_dir = tempfile.mkdtemp(prefix="jg_kmv_partials_")
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+
+    def sketch_batch(batch_df, batch_id):
+        (
+            batch_df.select("event_id")
+            .distinct()
+            .select("event_id", h)
+            .orderBy("h", "event_id")
+            .limit(_KMV_K)
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    s = read_events_stream(spark, sf_dir)
+    run_foreach_batch(s, sketch_batch, name_prefix="kmv")
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .distinct()  # duplicate keys across batches collapse
+        .withColumn("rnk", F.row_number().over(W.orderBy("h", "event_id")))
+        .filter(F.col("rnk") <= _KMV_K)
+    )
+    kth = merged.filter(F.col("rnk") == _KMV_K).select(
+        F.col("h").alias("hk")
+    )
+    return (
+        merged.crossJoin(F.broadcast(kth))
+        .select(
+            "rnk",
+            "event_id",
+            "h",
+            F.round(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(float(_KMV_DOMAIN))
+                / F.col("hk"),
+                6,
+            ).alias("est_distinct"),
+        )
+        .orderBy("rnk")
+    )
