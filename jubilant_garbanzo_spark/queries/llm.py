@@ -2722,14 +2722,29 @@ def text_bpe_tokenize(spark, sf_dir):
     answer; both are pinned to a third (imperative Python) reference in
     tests/test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    toks = BPE.bpe_tokens(words, "word", "tokens")
+    # Tokenize DISTINCT words, weight by occurrence count — tokens
+    # depend only on the word, so running the merge rounds per word
+    # INSTANCE wastes vocabulary-to-corpus ratio (Heaps-sublinear at
+    # web scale; measured here: the instance form cost 47 s at x10 vs
+    # the distinct form's scan-bound wall, BENCH_scale.json). This is
+    # the standard word-piece cache, expressed as a groupBy.
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        # Materialize the vocabulary BEFORE the merge rounds: left
+        # lazy, Catalyst's planning of the downstream aggregate was
+        # measured to evaluate the round expressions ~10x slower at
+        # x10 (23.5 s vs 2.0 s with the checkpoint) — and the frame is
+        # vocabulary-sized, so the checkpoint is pennies.
+        .localCheckpoint(eager=True)
+    )
+    toks = BPE.bpe_tokens(wc, "word", "tokens")
     return (
-        toks.select(F.explode("tokens").alias("token"))
+        toks.select(F.explode("tokens").alias("token"), "cnt")
         .groupBy("token")
-        .agg(F.count("*").alias("freq"))
+        .agg(F.sum("cnt").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(40)
     )
@@ -2763,14 +2778,23 @@ def text_bpe_pack(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
+    inst = d.select(
         "doc_id",
         "source",
         F.explode(F.split("text", " ")).alias("word"),
     ).filter(F.col("word") != "")
-    toks = BPE.bpe_tokens(words, "word", "tokens")
-    per_doc = toks.groupBy("doc_id", "source").agg(
-        F.sum(F.size("tokens")).alias("n_bpe_tokens")
+    # Same distinct-word tokenizer cache as text_bpe_tokenize: the
+    # per-word token COUNT is vocabulary-sized, broadcast back onto
+    # the word instances.
+    wn = BPE.bpe_tokens(
+        inst.select("word").distinct().localCheckpoint(eager=True),
+        "word",
+        "tokens",
+    ).select("word", F.size("tokens").alias("n_tok"))
+    per_doc = (
+        inst.join(F.broadcast(wn), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_tok").alias("n_bpe_tokens"))
     )
     w = (
         Window.partitionBy("source")

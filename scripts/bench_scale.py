@@ -103,6 +103,15 @@ QUERIES = (
     # should be ~linear in N; the search half is m lookups/row against
     # a broadcast LUT, so the slope measures the encode stage
     "embed_ann_pq_adc",
+    # round-9: the new heavy text/ANN operators — BPE apply is a pure
+    # map stage (slope ≈ scan), BPE train is 8 vocabulary-sized agg
+    # rounds (slope ≈ distinct-word growth, sublinear on a replica
+    # corpus), sparse cosine is df-cap-bounded posting joins, IVFPQ is
+    # the crossJoin-x16 encode plus a probed-bucket scan
+    "text_bpe_tokenize",
+    "text_bpe_train",
+    "text_sparse_tfidf_cosine",
+    "embed_ann_ivfpq",
 )
 ID_STRIDE = 10_000_000
 
