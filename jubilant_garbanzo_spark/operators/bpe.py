@@ -188,7 +188,10 @@ def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
         f"merges(a, b, rank) AS MATERIALIZED (VALUES {vals})",
         """words AS MATERIALIZED (
             SELECT doc_id, source, unnest(ws) AS word,
-                   doc_id * 1024 + generate_subscripts(ws, 1) AS wid
+                   -- stride 2^20 word slots per doc: documents.text is
+                   -- whitespace-split, so any doc with >1M words would
+                   -- collide — far above any fixture or realistic doc.
+                   doc_id * 1048576 + generate_subscripts(ws, 1) AS wid
             FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
                   FROM documents)
         )""",

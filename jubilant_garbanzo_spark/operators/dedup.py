@@ -146,6 +146,23 @@ def exact_jaccard(a: Column, b: Column) -> Column:
 _MINHASH_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
+def _dir_fingerprint(cache_key: tuple) -> tuple:
+    """Cheap content fingerprint of any filesystem paths inside a
+    cache key: (name, size, mtime_ns) per file, one level deep. Guards
+    the memo against parquet dirs REWRITTEN at the same path within a
+    single application (e.g. a regenerated scale dir) — without it the
+    checkpointed frames would silently serve the old data."""
+    import os
+
+    fps = []
+    for part in cache_key:
+        if isinstance(part, str) and os.path.isdir(part):
+            for e in sorted(os.scandir(part), key=lambda e: e.name):
+                st = e.stat()
+                fps.append((e.name, st.st_size, st.st_mtime_ns))
+    return tuple(fps)
+
+
 def minhash_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -175,7 +192,11 @@ def minhash_index(
     None so results never leak across different inputs.
     """
     if cache_key is not None:
-        key = (docs.sparkSession.sparkContext.applicationId, cache_key)
+        key = (
+            docs.sparkSession.sparkContext.applicationId,
+            cache_key,
+            _dir_fingerprint(cache_key),
+        )
         hit = _MINHASH_INDEX_CACHE.get(key)
         if hit is not None:
             return hit

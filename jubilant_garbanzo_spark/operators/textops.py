@@ -157,7 +157,12 @@ def canonicalize_url(col: Column) -> Column:
     ports, collapse duplicate path slashes, drop the trailing slash
     and the fragment, and remove tracking query params (keeping real
     ones, original order). Per-row, zero shuffle — at 100 TB this runs
-    inside the scan stage ahead of the dedup groupBy."""
+    inside the scan stage ahead of the dedup groupBy.
+
+    Inputs that do not match :data:`URL_REGEX` (bare hosts,
+    scheme-relative or malformed URLs) return NULL — regexp_extract
+    returns '' on no match, so without the guard every malformed URL
+    would collapse into the single canonical group ``https:///``."""
     auth = F.lower(F.regexp_extract(col, URL_REGEX, 2))
     auth = F.regexp_replace(auth, r"^www\.", "")
     auth = F.regexp_replace(auth, ":(80|443)$", "")
@@ -173,7 +178,10 @@ def canonicalize_url(col: Column) -> Column:
     q_c = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(F.lit("https://"), auth, path, q_c)
+    return F.when(
+        col.rlike(URL_REGEX),
+        F.concat(F.lit("https://"), auth, path, q_c),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def canonicalize_url_sql(expr: str) -> str:
@@ -202,4 +210,8 @@ def canonicalize_url_sql(expr: str) -> str:
         f"CASE WHEN len({kept}) > 0"
         f" THEN '?' || array_to_string({kept}, '&') ELSE '' END"
     )
-    return f"('https://' || {auth} || {path} || {q_c})"
+    return (
+        f"(CASE WHEN regexp_matches({expr}, '{URL_REGEX}')"
+        f" THEN 'https://' || {auth} || {path} || {q_c}"
+        f" ELSE NULL END)"
+    )

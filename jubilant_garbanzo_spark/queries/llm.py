@@ -3276,8 +3276,9 @@ def text_sparse_tfidf_cosine(spark, sf_dir):
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                    "IF(size(ws) < 3, array(),"
+                    " transform(sequence(1, size(ws) - 2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))"
                 )
             ).alias("s"),
         )
@@ -3409,8 +3410,9 @@ def text_heaps_law(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                "IF(size(ws) < 3, array(),"
+                " transform(sequence(1, size(ws) - 2),"
+                " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))"
             )
         ).alias("s"),
     ).localCheckpoint(eager=True)

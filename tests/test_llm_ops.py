@@ -1011,3 +1011,53 @@ def test_irls_calibration_matches_numpy_newton(spark, sf_dir):
     for rnd in (1, 2):
         assert abs(got[rnd][0] - exp_rounds[rnd][0]) < 2e-6, (rnd, got, exp_rounds)
         assert abs(got[rnd][1] - exp_rounds[rnd][1]) < 2e-6, (rnd, got, exp_rounds)
+
+
+def test_url_canonicalization_malformed_returns_null(spark):
+    """Non-URL inputs (bare hosts, scheme-relative, garbage) must map
+    to NULL, not silently collapse into the single 'https:///' group
+    (ADVICE r9)."""
+    from jubilant_garbanzo_spark.operators import textops as TX
+
+    bad = ["example.com/path", "//cdn.example.com/x", "not a url", ""]
+    ok = "https://example.com/p"
+    df = spark.createDataFrame([(r,) for r in bad + [ok]], "raw string")
+    got = {
+        r["raw"]: r["canon"]
+        for r in df.select(
+            "raw", TX.canonicalize_url(F.col("raw")).alias("canon")
+        ).collect()
+    }
+    for raw in bad:
+        assert got[raw] is None, (raw, got[raw])
+    assert got[ok] == ok
+
+
+def test_short_doc_shingles_do_not_crash_sparse_and_heaps(spark):
+    """Docs under 3 words used to hit sequence(1, 0) == [1, 0] and
+    throw INVALID_ARRAY_INDEX under ANSI mode (ADVICE r9 medium).
+    Both 3-gram HOF queries must skip such docs instead."""
+    import tempfile
+
+    from jubilant_garbanzo_spark.queries.llm import (
+        text_heaps_law,
+        text_sparse_tfidf_cosine,
+    )
+
+    rows = [
+        (0, "tiny", "en", "s0", 4),
+        (1, "two words", "en", "s0", 9),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "s1", 35),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "s1", 35),
+        (4, "one two three four five six", "en", "s2", 27),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="jg_shortdoc_")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    pairs = text_sparse_tfidf_cosine(spark, tmp).collect()
+    assert all(r["id_a"] >= 2 and r["id_b"] >= 2 for r in pairs)
+    assert any(r["id_a"] == 2 and r["id_b"] == 3 for r in pairs)
+    heaps = text_heaps_law(spark, tmp).collect()
+    assert heaps, "heaps fit produced no grid rows"
