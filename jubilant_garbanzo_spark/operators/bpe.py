@@ -68,10 +68,19 @@ N_ROUNDS = 6
 _SEP = " "
 
 
-def merge_rank_map_expr() -> str:
-    """SQL ``map('a b', rank, ...)`` literal for the merge table."""
+def merge_rank_map_expr(
+    merges: tuple[tuple[str, str], ...] = MERGES,
+) -> str:
+    """SQL ``map('a b', rank, ...)`` literal for a merge table
+    (defaults to the static :data:`MERGES`; `text_bpe_roundtrip`
+    passes its own LEARNED table through here — the documented
+    production swap, with the map literal standing in for a broadcast
+    of the 50k-entry vocabulary)."""
     entries = ", ".join(
-        f"'{a}{_SEP}{b}', {rank}" for rank, (a, b) in enumerate(MERGES)
+        "'{}{}{}', {}".format(
+            a.replace("'", "''"), _SEP, b.replace("'", "''"), rank
+        )
+        for rank, (a, b) in enumerate(merges)
     )
     return f"map({entries})"
 
@@ -92,10 +101,12 @@ def _let(value: str, var: str, body: str) -> str:
     return f"element_at(transform(array({value}), {var} -> {body}), 1)"
 
 
-def _round_expr(src: str) -> str:
+def _round_expr(
+    src: str, merges: tuple[tuple[str, str], ...] = MERGES
+) -> str:
     """One BPE merge round as a single SQL expression over token-array
     expression ``src`` (referenced exactly once — see :func:`_let`)."""
-    rank_map = merge_rank_map_expr()
+    rank_map = merge_rank_map_expr(merges)
     fold = (
         "aggregate(slice(t, 2, size(t) - 1), array(element_at(t, 1)),"
         " (acc, x) -> IF(element_at(acc, -1) = pa AND x = pb,"
@@ -137,6 +148,7 @@ def _round_expr(src: str) -> str:
 def bpe_tokens(
     df: DataFrame, word_col: str = "word", out_col: str = "tokens",
     rounds: int = N_ROUNDS,
+    merges: tuple[tuple[str, str], ...] = MERGES,
 ) -> DataFrame:
     """Append ``out_col``: the BPE token array for ``word_col``.
 
@@ -146,14 +158,16 @@ def bpe_tokens(
     """
     expr = f"filter(split({word_col}, ''), c -> c <> '')"
     for _ in range(rounds):
-        expr = _round_expr(expr)
+        expr = _round_expr(expr, merges)
     return df.withColumn(out_col, F.expr(expr))
 
 
-def mergeable_rank_min(tokens_col: str) -> F.Column:
+def mergeable_rank_min(
+    tokens_col: str, merges: tuple[tuple[str, str], ...] = MERGES
+) -> F.Column:
     """NULL iff no ranked pair remains in ``tokens_col`` — the BPE
     fixpoint probe (used by the N_ROUNDS-sufficiency test)."""
-    rank_map = merge_rank_map_expr()
+    rank_map = merge_rank_map_expr(merges)
     return F.expr(
         f"array_min(transform("
         f" zip_with(slice({tokens_col}, 1, size({tokens_col}) - 1),"
@@ -383,4 +397,121 @@ def oracle_train_sql(rounds: int = N_TRAIN_MERGES) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(rounds))
     return (
         "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_rank"
+    )
+
+
+def oracle_roundtrip_sql(rounds: int = N_TRAIN_MERGES, topk: int = 40) -> str:
+    """DuckDB replay of train→apply COMPOSITION: the training half is
+    :func:`oracle_train_sql`'s CTE chain (wcnt → r0..r{rounds} with
+    per-round argmax bests); the apply half then RE-tokenizes the
+    distinct-word dict from scratch against the learned table
+    ``lmerges`` using the per-word min-rank gaps-and-islands rule of
+    :func:`oracle_replay_ctes` — i.e. application is replayed
+    INDEPENDENTLY of the training end-state, so the oracle checks the
+    same train→apply consistency property the engine path claims.
+    Output: corpus token frequencies under the learned vocabulary."""
+    parts = [
+        """wcnt AS MATERIALIZED (
+            SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1
+        )""",
+        """r0 AS MATERIALIZED (
+            SELECT wid, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
+            FROM (SELECT wid, string_split(wid, '') AS cs FROM wcnt)
+        )""",
+    ]
+    # Training rounds (identical recurrence to oracle_train_sql).
+    for i in range(rounds):
+        parts.append(f"""pc{i} AS MATERIALIZED (
+            SELECT s.sym AS a, nx.sym AS b, CAST(sum(w.cnt) AS BIGINT) AS wcount
+            FROM r{i} s
+            JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            JOIN wcnt w ON w.wid = s.wid
+            GROUP BY 1, 2
+        ), best{i} AS MATERIALIZED (
+            SELECT {i} AS merge_rank, a, b
+            FROM pc{i} ORDER BY wcount DESC, a ASC, b ASC LIMIT 1
+        ), g{i} AS MATERIALIZED (
+            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym,
+                   (nx.sym IS NOT NULL AND s.sym = bb.a AND nx.sym = bb.b)
+                       AS mergeable
+            FROM r{i} s
+            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            CROSS JOIN best{i} bb
+        ), m{i} AS MATERIALIZED (
+            SELECT wid, pos
+            FROM (SELECT wid, pos,
+                         ROW_NUMBER() OVER (PARTITION BY wid, isl
+                                            ORDER BY pos) AS rn
+                  FROM (SELECT wid, pos,
+                               pos - ROW_NUMBER() OVER (PARTITION BY wid
+                                                        ORDER BY pos) AS isl
+                        FROM g{i} WHERE mergeable))
+            WHERE rn % 2 = 1
+        ), r{i + 1} AS MATERIALIZED (
+            SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+                       AS pos, sym
+            FROM (SELECT g.wid, g.pos,
+                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
+                              ELSE g.sym END AS sym
+                  FROM g{i} g
+                  LEFT JOIN m{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
+                  LEFT JOIN m{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
+                  WHERE pr.pos IS NULL)
+        )""")
+    merges_union = " UNION ALL ".join(
+        f"SELECT merge_rank, a, b FROM best{i}" for i in range(rounds)
+    )
+    parts.append(
+        f"lmerges AS MATERIALIZED (SELECT a, b, merge_rank AS rank"
+        f" FROM ({merges_union}))"
+    )
+    # Apply rounds from scratch against the learned table (per-word
+    # min-rank greedy — the oracle_replay_ctes recurrence).
+    for i in range(rounds):
+        src = "r0" if i == 0 else f"ar{i}"
+        parts.append(f"""ap{i} AS MATERIALIZED (
+            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym, m.rank AS rank
+            FROM {src} s
+            LEFT JOIN {src} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            LEFT JOIN lmerges m ON m.a = s.sym AND m.b = nx.sym
+        ), ag{i} AS MATERIALIZED (
+            SELECT p.wid, p.pos, p.sym, p.nsym,
+                   (p.rank IS NOT NULL
+                    AND p.rank = min(p.rank) OVER (PARTITION BY p.wid))
+                       AS mergeable
+            FROM ap{i} p
+        ), am{i} AS MATERIALIZED (
+            SELECT wid, pos
+            FROM (SELECT wid, pos,
+                         ROW_NUMBER() OVER (PARTITION BY wid, isl
+                                            ORDER BY pos) AS rn
+                  FROM (SELECT wid, pos,
+                               pos - ROW_NUMBER() OVER (PARTITION BY wid
+                                                        ORDER BY pos) AS isl
+                        FROM ag{i} WHERE mergeable))
+            WHERE rn % 2 = 1
+        ), ar{i + 1} AS MATERIALIZED (
+            SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+                       AS pos, sym
+            FROM (SELECT g.wid, g.pos,
+                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
+                              ELSE g.sym END AS sym
+                  FROM ag{i} g
+                  LEFT JOIN am{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
+                  LEFT JOIN am{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
+                  WHERE pr.pos IS NULL)
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT t.sym AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+        FROM ar{rounds} t JOIN wcnt w ON w.wid = t.wid
+        GROUP BY t.sym
+        ORDER BY freq DESC, token ASC
+        LIMIT {topk}"""
     )

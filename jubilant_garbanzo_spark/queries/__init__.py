@@ -63,48 +63,28 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-9 contents: the 12 queries whose round-7 bodies were never
-#: driver-checked (the r8 window burned its slots re-verifying the
-#: unchanged r7 window) — the pickle-by-value serialization set (two
-#: pandas seams, five multimodal, three Python-DataSource), the
-#: build-once-checkpoint `dedup_minhash_lsh`, and the flagship
-#: `trending_topk` — plus everything round 9 itself adds or touches.
+#: Round-10 contents: the three operators born this round (Gopher
+#: battery, DSIR resampling, BPE train→apply roundtrip) plus every
+#: query whose body or oracle the ADVICE-r9 fixes touched (short-doc
+#: shingle guard, BPE oracle wid stride, canonicalize_url NULL
+#: fallback, minhash_index cache-key fingerprint).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r7 serialization hardening, never driver-checked (VERDICT r8 #1)
-    "pandas_grouped_agg_seam",
-    "pandas_scalar_iter_seam",
-    "multimodal_binary_meta",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "source_python_datasource",
-    "sink_python_datasource_writer",
-    "stream_python_datasource_sink",
-    # r7 build-once-checkpoint body, displaced from the r7 window
-    "dedup_minhash_lsh",
-    # flagship — rotates back per the r7 adjudication comment
-    "trending_topk",
-    # round-9 new operators (windowed the round they are born)
-    "text_bpe_tokenize",
-    "text_bpe_pack",
-    "text_quality_classifier",
-    "text_url_canonical_dedup",
-    "stream_stream_full_outer",
-    # round-9 shared minhash_index build (VERDICT r7 #6): both bodies
-    # now consume the session-memoized index; dedup_minhash_lsh (also
-    # rerouted) already holds a head slot above.
-    "dedup_minhash_accuracy",
-    "dedup_cluster_cc",
-    # round-9 wave 2: the tokenizer TRAINING half + the full IVFADC
-    # residual search
-    "text_bpe_train",
-    "embed_ann_ivfpq",
-    "text_quality_calibration",
+    # round-10 new operators (windowed the round they are born)
+    "text_gopher_rules",
+    "text_dsir_resample",
+    "text_bpe_roundtrip",
+    # ADVICE r9 medium: sequence(1,0) shingle guard in both bodies
     "text_sparse_tfidf_cosine",
     "text_heaps_law",
-    "sink_hilbert_parquet",
-    "stream_kmv_bottomk",
+    # ADVICE r9: canonicalize_url NULL fallback (body + oracle twin)
+    "text_url_canonical_dedup",
+    # ADVICE r9: BPE oracle word-id stride 1024 → 2^20
+    "text_bpe_tokenize",
+    "text_bpe_pack",
+    # ADVICE r9: minhash_index memo now fingerprints the input dir
+    "dedup_minhash_lsh",
+    "dedup_minhash_accuracy",
+    "dedup_cluster_cc",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -115,38 +95,53 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 9: the never-driver-checked queue is EMPTY (r7 drained it;
-#: union of CORRECTNESS_r01–r08 covers all 257 prior queries), so the
-#: window is CHANGED_THIS_ROUND + the oldest greens — the r1 cohort
-#: (last green round 1) and the front of the r2 cohort.
+#: Round 10 (VERDICT r9 #1): CHANGED_THIS_ROUND + the 39 stalest
+#: greens — the ENTIRE remaining r2 cohort (34) and the front of the
+#: r3 cohort (5), per `scripts/next_window.py --slots 50`. This clears
+#: the r2 evidence tail completely.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: last green r1 --------------------------------
-    "dedup_exact",
-    "dedup_exact_by_fingerprint",
-    "embed_norms",
-    "join_broadcast_star",
-    "join_bucketed_colocated",
-    "join_cross",
-    "join_salted_skew",
-    "join_self_pairs",
-    "join_theta_range",
-    "text_chunking",
-    "text_lang_filter",
-    "text_lang_id",
-    "text_quality_score",
-    "text_stats",
-    "text_term_frequency",
-    "text_token_count_regex",
-    # -- staleness refreshes: last green r2 --------------------------------
-    "cast_coercion",
-    "conditional_case",
-    "datetime_functions",
-    "filter_comparison",
-    "filter_in_between_like",
-    "filter_null_logic",
-    "json_functions",
-    "limit_topk",
+    # -- staleness refreshes: last green r2 (the full remaining cohort) ----
+    "map_functions",
+    "math_functions",
+    "scan_csv",
+    "scan_json",
+    "scan_projection",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_parquet_partitioned",
+    "sort_multikey_nulls",
+    "source_binaryfile",
+    "string_functions",
+    "subquery_correlated_scalar",
+    "text_prefix_token_trending",
+    "text_tfidf_top_terms",
+    "text_train_holdout_split",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_frames",
+    "window_topn_per_group",
+    # -- staleness refreshes: last green r3 (front of the cohort) ----------
+    "array_functions",
+    "join_cogroup_customer_orders",
+    "join_left_anti",
+    "join_left_semi",
+    "sliding_window_counts",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1496,3 +1496,190 @@ def quality_iqr_fences(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+#: The Gopher required-stopword list (Rae et al. 2021 §A1.1): a doc
+#: must contain at least 2 of these to pass the stop-word rule.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_STOPWORD_SQL = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "text_gopher_rules",
+    # All rule comparisons are exact-integer (cross-multiplied ratios:
+    # e.g. mean-word-length in [3,10] is `sum_chars BETWEEN 3*n AND
+    # 10*n`), so the per-rule counts are engine-exact; the only float
+    # is the final int/int reject_frac (exact doubles, rounded for
+    # display).
+    oracle="""
+        WITH w AS MATERIALIZED (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                   string_split(text, chr(10)) AS ls
+            FROM documents
+        ), f AS MATERIALIZED (
+            SELECT
+                len(ws) AS n_w,
+                CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                     AS BIGINT) AS sc,
+                (length(text) - length(replace(text, '#', '')))
+                  + CAST(floor((length(text)
+                        - length(replace(text, '...', ''))) / 3) AS BIGINT)
+                  + (length(text) - length(replace(text, '…', ''))) AS n_sym,
+                len(list_filter(ls,
+                    l -> regexp_matches(l, '^\\s*[•*-]'))) AS n_bul,
+                len(list_filter(ls,
+                    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ell,
+                len(ls) AS n_l,
+                len(list_filter(ws,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                len(list_filter(GOPHER_STOPWORDS,
+                    s -> list_contains(ws, s))) AS n_stop
+            FROM w
+        ), fl AS MATERIALIZED (
+            SELECT
+                CASE WHEN n_w < 50 OR n_w > 100000 THEN 1 ELSE 0 END AS f_words,
+                CASE WHEN sc < 3 * n_w OR sc > 10 * n_w THEN 1 ELSE 0 END AS f_mwl,
+                CASE WHEN 10 * n_sym > n_w THEN 1 ELSE 0 END AS f_sym,
+                CASE WHEN 10 * n_bul >= 9 * n_l THEN 1 ELSE 0 END AS f_bul,
+                CASE WHEN 10 * n_ell > 3 * n_l THEN 1 ELSE 0 END AS f_ell,
+                CASE WHEN 5 * n_alpha < 4 * n_w THEN 1 ELSE 0 END AS f_alpha,
+                CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+            FROM f
+        ), a AS MATERIALIZED (
+            SELECT CAST(sum(f_words) AS BIGINT) AS r_words,
+                   CAST(sum(f_mwl) AS BIGINT) AS r_mwl,
+                   CAST(sum(f_sym) AS BIGINT) AS r_sym,
+                   CAST(sum(f_bul) AS BIGINT) AS r_bul,
+                   CAST(sum(f_ell) AS BIGINT) AS r_ell,
+                   CAST(sum(f_alpha) AS BIGINT) AS r_alpha,
+                   CAST(sum(f_stop) AS BIGINT) AS r_stop,
+                   CAST(sum(CASE WHEN f_words + f_mwl + f_sym + f_bul
+                                     + f_ell + f_alpha + f_stop > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r_any,
+                   count(*) AS n_docs
+            FROM fl
+        )
+        SELECT 'words_outside_50_100k' AS rule, r_words AS n_rejected,
+               round(r_words / n_docs, 6) AS reject_frac FROM a
+        UNION ALL SELECT 'mean_word_length_3_10', r_mwl,
+               round(r_mwl / n_docs, 6) FROM a
+        UNION ALL SELECT 'symbol_word_ratio_gt_10pct', r_sym,
+               round(r_sym / n_docs, 6) FROM a
+        UNION ALL SELECT 'bullet_lines_ge_90pct', r_bul,
+               round(r_bul / n_docs, 6) FROM a
+        UNION ALL SELECT 'ellipsis_lines_gt_30pct', r_ell,
+               round(r_ell / n_docs, 6) FROM a
+        UNION ALL SELECT 'alpha_word_frac_lt_80pct', r_alpha,
+               round(r_alpha / n_docs, 6) FROM a
+        UNION ALL SELECT 'stopwords_lt_2', r_stop,
+               round(r_stop / n_docs, 6) FROM a
+        UNION ALL SELECT 'any_rule', r_any,
+               round(r_any / n_docs, 6) FROM a
+    """.replace("GOPHER_STOPWORDS", _GOPHER_STOPWORD_SQL),
+    tags=("llm", "quality", "gopher"),
+)
+def text_gopher_rules(spark, sf_dir):
+    """The full Gopher rule-filter battery (Rae et al. 2021 §A1.1,
+    public — the quality screen the original `quality_repetition_filter`
+    only covers the repetition half of): per-corpus rejection counts
+    for the seven document-level rules plus the composite.
+
+    - word count outside [50, 100000]
+    - mean word length outside [3, 10] chars
+    - symbol-to-word ratio ('#', '...', '…') above 10%
+    - ≥ 90% of lines starting with a bullet ('•', '*', '-')
+    - > 30% of lines ending with an ellipsis
+    - < 80% of words containing an alphabetic character
+    - fewer than 2 of the 8 required stop words
+
+    Scale shape: every rule is a row-level HOF over the words/lines
+    arrays inside the scan stage (lambdas touch only their own args —
+    no outer-reference re-evaluation), so the whole battery is one
+    projection plus a single partial-aggregated global sum; the
+    8-row long format comes from `stack` on that one aggregate row.
+    No shuffle carries document data. Exactness: every threshold is a
+    cross-multiplied integer comparison (e.g. mean-word-length-in-
+    [3,10] is `sum_chars BETWEEN 3·n AND 10·n`), so rule flags are
+    engine-exact; only the display frac divides.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    ws = F.filter(F.split(text, " "), lambda w: w != "")
+    ls = F.split(text, "\n")
+
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_dots = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("bigint")
+    n_uell = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+
+    per_doc = d.select(
+        F.size(ws).alias("n_w"),
+        F.aggregate(
+            ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("sc"),
+        (n_hash + n_dots + n_uell).alias("n_sym"),
+        F.size(F.filter(ls, lambda l: l.rlike(r"^\s*[•*-]"))).alias("n_bul"),
+        F.size(
+            F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).alias("n_ell"),
+        F.size(ls).alias("n_l"),
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(ws, s),
+            )
+        ).alias("n_stop"),
+    )
+    c = F.col
+    flags = per_doc.select(
+        ((c("n_w") < 50) | (c("n_w") > 100000)).cast("int").alias("f_words"),
+        ((c("sc") < 3 * c("n_w")) | (c("sc") > 10 * c("n_w")))
+        .cast("int")
+        .alias("f_mwl"),
+        (10 * c("n_sym") > c("n_w")).cast("int").alias("f_sym"),
+        (10 * c("n_bul") >= 9 * c("n_l")).cast("int").alias("f_bul"),
+        (10 * c("n_ell") > 3 * c("n_l")).cast("int").alias("f_ell"),
+        (5 * c("n_alpha") < 4 * c("n_w")).cast("int").alias("f_alpha"),
+        (c("n_stop") < 2).cast("int").alias("f_stop"),
+    )
+    agg = flags.agg(
+        F.sum("f_words").alias("r_words"),
+        F.sum("f_mwl").alias("r_mwl"),
+        F.sum("f_sym").alias("r_sym"),
+        F.sum("f_bul").alias("r_bul"),
+        F.sum("f_ell").alias("r_ell"),
+        F.sum("f_alpha").alias("r_alpha"),
+        F.sum("f_stop").alias("r_stop"),
+        F.sum(
+            (
+                c("f_words") + c("f_mwl") + c("f_sym") + c("f_bul")
+                + c("f_ell") + c("f_alpha") + c("f_stop")
+                > 0
+            ).cast("int")
+        ).alias("r_any"),
+        F.count("*").alias("n_docs"),
+    )
+    long = agg.select(
+        F.expr(
+            "stack(8,"
+            " 'words_outside_50_100k', r_words,"
+            " 'mean_word_length_3_10', r_mwl,"
+            " 'symbol_word_ratio_gt_10pct', r_sym,"
+            " 'bullet_lines_ge_90pct', r_bul,"
+            " 'ellipsis_lines_gt_30pct', r_ell,"
+            " 'alpha_word_frac_lt_80pct', r_alpha,"
+            " 'stopwords_lt_2', r_stop,"
+            " 'any_rule', r_any) AS (rule, n_rejected)"
+        ),
+        "n_docs",
+    )
+    return long.select(
+        "rule",
+        "n_rejected",
+        F.round(c("n_rejected") / c("n_docs"), 6).alias("reject_frac"),
+    )

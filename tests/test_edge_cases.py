@@ -772,3 +772,50 @@ def test_hilbert_curve_matches_reference_and_is_bijective(spark):
     for x, y in pts:
         assert got[(x, y)] == py_hilbert(HILBERT_ORDER, x, y), (x, y)
     assert len({got[p] for p in pts}) == len(pts)
+
+
+def test_gopher_rules_each_rule_fires_exactly_once(spark, tmp_path):
+    """Eight constructed docs: one passes every rule, the other seven
+    each violate EXACTLY one rule — so the battery's per-rule counts
+    are fully determined and no rule is vacuously untested (the
+    synthetic fixture has no lines/bullets/symbols)."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    passing = " ".join(["the", "and"] + ["alpha"] * 48)
+    docs = [
+        passing,                                        # passes all
+        "the and word",                                 # words < 50
+        " ".join(["the", "and"] + ["ab"] * 48),         # mean len < 3
+        " ".join(["the", "and"] + ["alpha"] * 48) + " ######",  # symbols
+        "\n".join(["- the and alpha beta gamma"] * 10),  # bullets
+        # 7 words/line keeps the doc >= 50 words even though the 9
+        # line boundaries merge adjacent words under the space-split
+        "\n".join(
+            ["the and alpha beta gamma delta epsilon..."] * 4
+            + ["the and alpha beta gamma delta epsilon"] * 6
+        ),                                              # ellipsis lines
+        " ".join(["the", "and"] + ["123"] * 48),        # alpha frac
+        " ".join(["alpha"] * 50),                       # stopwords < 2
+    ]
+    rows = [
+        (i, t, "en", "s0", len(t)) for i, t in enumerate(docs)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["rule"]: (r["n_rejected"], r["reject_frac"])
+        for r in load_all()["text_gopher_rules"].fn(spark, str(tmp_path)).collect()
+    }
+    for rule in (
+        "words_outside_50_100k",
+        "mean_word_length_3_10",
+        "symbol_word_ratio_gt_10pct",
+        "bullet_lines_ge_90pct",
+        "ellipsis_lines_gt_30pct",
+        "alpha_word_frac_lt_80pct",
+        "stopwords_lt_2",
+    ):
+        assert got[rule] == (1, 0.125), (rule, got[rule])
+    assert got["any_rule"] == (7, 0.875)

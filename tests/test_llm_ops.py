@@ -1061,3 +1061,127 @@ def test_short_doc_shingles_do_not_crash_sparse_and_heaps(spark):
     assert any(r["id_a"] == 2 and r["id_b"] == 3 for r in pairs)
     heaps = text_heaps_law(spark, tmp).collect()
     assert heaps, "heaps fit produced no grid rows"
+
+
+def test_dsir_resample_enriches_target_language(spark, sf_dir):
+    """The selected top-K must be enriched in the target slice
+    (lang='en') relative to the raw corpus — the entire point of
+    importance resampling — and ranks must be a dense 1..K with
+    weights non-increasing."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = load_all()["text_dsir_resample"].fn(spark, sf_dir).collect()
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    ordered = sorted(rows, key=lambda r: r["rnk"])
+    assert all(
+        a["logw_micro"] >= b["logw_micro"]
+        for a, b in zip(ordered, ordered[1:])
+    )
+    en_sel = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en_raw = d.filter(F.col("lang") == "en").count() / d.count()
+    assert en_sel > en_raw, (en_sel, en_raw)
+
+
+def _imperative_bpe_train_apply(texts, n_merges):
+    """Reference loop: Sennrich training then GPT-2 greedy apply of
+    the learned rank table, both imperative Python."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for w, toks in words.items():
+            for i in range(len(toks) - 1):
+                stats[(toks[i], toks[i + 1])] += vocab[w]
+        if not stats:
+            break
+        a, b = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        for w, toks in words.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            words[w] = out
+    rank = {m: r for r, m in enumerate(merges)}
+
+    def apply_word(w):
+        toks = list(w)
+        while True:
+            cand = [
+                (rank[(toks[i], toks[i + 1])], i)
+                for i in range(len(toks) - 1)
+                if (toks[i], toks[i + 1]) in rank
+            ]
+            if not cand:
+                return toks
+            r = min(c[0] for c in cand)
+            a, b = merges[r]
+            out, i = [], 0
+            while i < len(toks):
+                if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+
+    freq = Counter()
+    for w, c in vocab.items():
+        for tok in apply_word(w):
+            freq[tok] += c
+    return merges, freq
+
+
+def test_bpe_roundtrip_matches_imperative_train_apply(spark, sf_dir):
+    """text_bpe_roundtrip (distributed train → learned-table apply)
+    must equal the imperative train→apply reference loop on the real
+    corpus: same top-40 token frequencies. Also pins the fixpoint: no
+    learned pair survives in any word after N_TRAIN_MERGES apply
+    rounds."""
+    from jubilant_garbanzo_spark.operators import bpe as BPE
+    from jubilant_garbanzo_spark.queries import load_all
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    merges, freq = _imperative_bpe_train_apply(texts, BPE.N_TRAIN_MERGES)
+    want = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+
+    got = [
+        (r["token"], r["freq"])
+        for r in load_all()["text_bpe_roundtrip"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+    # Fixpoint: re-run the engine apply with the learned table and
+    # probe for any remaining ranked pair.
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    toks = BPE.bpe_tokens(
+        wc, "word", "tokens",
+        rounds=len(merges), merges=tuple(merges),
+    )
+    leftover = toks.filter(
+        BPE.mergeable_rank_min("tokens", tuple(merges)).isNotNull()
+    ).count()
+    assert leftover == 0
