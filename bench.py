@@ -84,6 +84,13 @@ HEADLINE: tuple[str, ...] = (
     # Round-6 wave-6 addition: the heaviest late operator — cascading
     # k-core peeling over the derived trade graph.
     "graph_kcore",
+    # Round-10 additions (VERDICT r9 #7): the round-9 heavies join the
+    # headline set — the BPE training loop, the sparse TF-IDF posting
+    # join, the full IVFADC residual search, and the BPE apply path.
+    "text_bpe_train",
+    "text_sparse_tfidf_cosine",
+    "embed_ann_ivfpq",
+    "text_bpe_tokenize",
 )
 
 

@@ -568,18 +568,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def containment_pairs(
+def containment_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.9,
-) -> DataFrame:
-    """EXACT directed shingle containment C(A→B) = |A∩B| / |A| ≥ t —
-    the asymmetric near-dup test that catches excerpts, quotes, and
-    wrapper boilerplate, which symmetric Jaccard structurally misses
-    (a 50-shingle excerpt inside a 500-shingle page has J ≈ 0.1 but
-    C = 1.0). Broder's containment measure (public literature).
+) -> tuple[DataFrame, DataFrame]:
+    """The asymmetric-prefix candidate stage of
+    :func:`containment_pairs` alone: ``(sh, cand)`` where ``sh`` is
+    the per-doc shingle set and ``cand`` the distinct (id_a, id_b)
+    collision pairs. Split out (mirroring
+    :func:`minhash_band_candidates`) so scale benchmarks count
+    candidates on EXACTLY the production stage.
 
     Completeness: C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, a bound on the
     CONTAINEE side only — so A indexes its (|A| − ⌈t·|A|⌉ + 1) rarest
@@ -671,6 +672,30 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return sh, cand
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT directed shingle containment C(A→B) = |A∩B| / |A| ≥ t —
+    the asymmetric near-dup test that catches excerpts, quotes, and
+    wrapper boilerplate, which symmetric Jaccard structurally misses
+    (a 50-shingle excerpt inside a 500-shingle page has J ≈ 0.1 but
+    C = 1.0). Broder's containment measure (public literature).
+    Candidate generation (asymmetric prefix index + size filter +
+    the x30 shuffle-width adjudication) lives in
+    :func:`containment_candidates`; this adds the exact-rational
+    verify join."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    sh, cand = containment_candidates(docs, id_col, text_col, n, threshold)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -3211,6 +3211,63 @@ _SPARSE_DF_CAP = 20
 _SPARSE_COS_THRESHOLD = 0.6
 
 
+def sparse_tfidf_components(d):
+    """The production stages of `text_sparse_tfidf_cosine`, split so
+    scale benchmarks can count candidate pairs on EXACTLY the shipped
+    pipeline: returns ``(post, nrm, dots)`` — the df-capped posting
+    lists, per-doc norm masses, and the posting-join dot products
+    (one row per candidate pair, BEFORE the cosine threshold)."""
+    ws = F.split("text", " ")
+    sh = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "IF(size(ws) < 3, array(),"
+                    " transform(sequence(1, size(ws) - 2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    n_docs = sh.select("doc_id").distinct().count()
+    df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0
+    ).cast("bigint")
+    post = (
+        sh.join(df, "s")
+        .filter(F.col("df") <= _SPARSE_DF_CAP)
+        .select("doc_id", "s", (F.col("tf") * idf).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("nn")
+    )
+    a = post.select(
+        F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return post, nrm, dots
+
+
 @register(
     "text_sparse_tfidf_cosine",
     oracle=f"""
@@ -3269,54 +3326,7 @@ def text_sparse_tfidf_cosine(spark, sf_dir):
     linear candidates — same discipline as the rarest-first prefix
     index); everything else is two hash aggs and one equi-join."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    sh = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "IF(size(ws) < 3, array(),"
-                    " transform(sequence(1, size(ws) - 2),"
-                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1])))"
-                )
-            ).alias("s"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    n_docs = sh.select("doc_id").distinct().count()
-    df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
-    idf = F.round(
-        F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0
-    ).cast("bigint")
-    post = (
-        sh.join(df, "s")
-        .filter(F.col("df") <= _SPARSE_DF_CAP)
-        .select("doc_id", "s", (F.col("tf") * idf).alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    nrm = post.groupBy("doc_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("nn")
-    )
-    a = post.select(
-        F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa")
-    )
-    b = post.select(
-        F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb")
-    )
-    dots = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
+    _post, nrm, dots = sparse_tfidf_components(d)
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
     cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))

@@ -292,6 +292,26 @@ def candidate_counts(spark, sf_dir: str) -> dict:
     }
 
 
+def watchlist_candidates(spark, sf_dir: str) -> dict:
+    """Candidate-pair counts for the x30 shuffle-width watch-list
+    (VERDICT r9 #6): the quantity that determines 100 TB behavior for
+    these three is the CANDIDATE mass (wall at this harness's fixed
+    32-partition width carries a straggler tail, adjudicated r9).
+    Counts run on the exact production stages."""
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.queries.llm import sparse_tfidf_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, ng = D.ngram_prefix_candidates(docs, "doc_id", "text", 3, 0.5)
+    _, ct = D.containment_candidates(docs, "doc_id", "text", 3, 0.9)
+    _post, _nrm, dots = sparse_tfidf_components(docs)
+    return {
+        "ngram_prefix_candidates": ng.count(),
+        "containment_candidates": ct.count(),
+        "sparse_posting_pairs": dots.count(),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_scale.json")
@@ -311,6 +331,9 @@ def main() -> int:
     # Only valid with --queries restricted to documents/embeddings
     # readers: skips replicating the relational tables.
     ap.add_argument("--skip-relational", action="store_true")
+    # Also count the watch-list candidate stages (ngram prefix,
+    # asymmetric containment, sparse posting pairs) at each scale.
+    ap.add_argument("--watch-candidates", action="store_true")
     args = ap.parse_args()
     bench_queries = tuple(args.queries) if args.queries else QUERIES
     unknown = [n for n in bench_queries if n not in QUERIES]
@@ -340,6 +363,12 @@ def main() -> int:
         entry["candidates"] = (
             None if args.queries else candidate_counts(spark, dest)
         )
+        if args.watch_candidates:
+            entry["watch_candidates"] = watchlist_candidates(spark, dest)
+            print(
+                f"# x{scale} watch_candidates: {entry['watch_candidates']}",
+                file=sys.stderr,
+            )
         for name in bench_queries:
             fn = specs[name].fn
             # warm-up (codegen/JIT), then median-of-N
@@ -375,6 +404,8 @@ def main() -> int:
                 merged["queries"].update(entry["queries"])
                 if entry["candidates"] is not None:
                     merged["candidates"] = entry["candidates"]
+                if "watch_candidates" in entry:
+                    merged["watch_candidates"] = entry["watch_candidates"]
                 merged["n_docs"] = entry["n_docs"]
                 merged["n_vecs"] = entry["n_vecs"]
         result = prior
