@@ -192,39 +192,41 @@ def mergeable_rank_min(
 
 
 def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
-    """WITH-clause body (merges → words → r0 → ... → r{rounds}) whose
-    final CTE ``r{rounds}`` holds (wid, doc_id, pos, sym) BPE tokens
-    for every word of ``documents``."""
+    """WITH-clause body (merges → wcnt → r0 → ... → r{rounds}) whose
+    final CTE ``r{rounds}`` holds (wid, pos, sym) BPE tokens for every
+    DISTINCT word of ``documents``; ``wcnt(wid, cnt)`` carries the
+    corpus occurrence count to weight instance-level consumers.
+
+    Vocabulary-bound on the oracle side too (round-10 sweep-cost fix):
+    tokens depend only on the word, so the earlier instance-keyed
+    replay re-ran the 6-round recurrence once per word OCCURRENCE and
+    dominated the sf0.1 closing-gate sweep. ``wid`` is the word string
+    itself — the same keying :func:`oracle_train_sql` already uses."""
     vals = ", ".join(
         f"('{a}', '{b}', {rank})" for rank, (a, b) in enumerate(MERGES)
     )
     parts = [
         f"merges(a, b, rank) AS MATERIALIZED (VALUES {vals})",
-        """words AS MATERIALIZED (
-            SELECT doc_id, source, unnest(ws) AS word,
-                   -- stride 2^20 word slots per doc: documents.text is
-                   -- whitespace-split, so any doc with >1M words would
-                   -- collide — far above any fixture or realistic doc.
-                   doc_id * 1048576 + generate_subscripts(ws, 1) AS wid
-            FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        """wcnt AS MATERIALIZED (
+            SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
                   FROM documents)
+            WHERE word <> ''
+            GROUP BY 1
         )""",
         """r0 AS MATERIALIZED (
-            SELECT wid, doc_id, source,
-                   generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
-            FROM (SELECT wid, doc_id, source, string_split(word, '') AS cs
-                  FROM words WHERE word <> '')
+            SELECT wid, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
+            FROM (SELECT wid, string_split(wid, '') AS cs FROM wcnt)
         )""",
     ]
     for i in range(rounds):
         parts.append(f"""p{i} AS MATERIALIZED (
-            SELECT s.wid, s.doc_id, s.source, s.pos, s.sym,
-                   nx.sym AS nsym, m.rank AS rank
+            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym, m.rank AS rank
             FROM r{i} s
             LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
             LEFT JOIN merges m ON m.a = s.sym AND m.b = nx.sym
         ), g{i} AS MATERIALIZED (
-            SELECT p.wid, p.doc_id, p.source, p.pos, p.sym, p.nsym,
+            SELECT p.wid, p.pos, p.sym, p.nsym,
                    (p.rank IS NOT NULL
                     AND p.rank = min(p.rank) OVER (PARTITION BY p.wid))
                        AS mergeable
@@ -240,10 +242,10 @@ def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
                         FROM g{i} WHERE mergeable))
             WHERE rn % 2 = 1
         ), r{i + 1} AS MATERIALIZED (
-            SELECT wid, doc_id, source,
+            SELECT wid,
                    ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
                    sym
-            FROM (SELECT g.wid, g.doc_id, g.source, g.pos,
+            FROM (SELECT g.wid, g.pos,
                          CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
                               ELSE g.sym END AS sym
                   FROM g{i} g

@@ -73,6 +73,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_gopher_rules",
     "text_dsir_resample",
     "text_bpe_roundtrip",
+    "dedup_cluster_keep_best",
+    "text_ngram_novelty",
+    # round-10 closing-gate oracle rewrites (posting-join forms /
+    # MATERIALIZED round CTEs): the compare changed, so each needs a
+    # fresh driver green
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "graph_label_propagation",
+    "graph_sssp_bellman_ford",
     # ADVICE r9 medium: sequence(1,0) shingle guard in both bodies
     "text_sparse_tfidf_cosine",
     "text_heaps_law",
@@ -135,13 +144,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_ranking",
     "window_running_frames",
-    "window_topn_per_group",
-    # -- staleness refreshes: last green r3 (front of the cohort) ----------
-    "array_functions",
-    "join_cogroup_customer_orders",
-    "join_left_anti",
-    "join_left_semi",
-    "sliding_window_counts",
+    # -- staleness refreshes: last green r3 (none left this round —
+    # the round-10 wave-2 operators and the oracle rewrites take the
+    # remaining slots, per the rotation discipline above; the r3
+    # cohort and window_topn_per_group roll to round 11) --------------
 )
 
 def load_all() -> dict[str, QuerySpec]:

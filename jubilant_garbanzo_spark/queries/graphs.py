@@ -36,7 +36,7 @@ def _pagerank_oracle(iterations: int = _PR_ITERATIONS) -> str:
     d, scale = PR_DAMPING_PCT, PR_SCALE
     parts = [
         f"""
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
                    CAST(s.s_nationkey AS BIGINT) AS dst,
                    CAST(count(*) AS BIGINT) AS w
@@ -314,11 +314,11 @@ def graph_bfs_hops(spark, sf_dir):
 def _lpa_iter_sql(prev: str, out: str) -> str:
     """One synchronous label-propagation round as DuckDB CTE text."""
     return f"""
-        v{out} AS (
+        v{out} AS MATERIALIZED (
             SELECT e.src AS node, p.label, CAST(sum(e.w) AS BIGINT) AS wsum
             FROM und e JOIN {prev} p ON e.dst = p.node
             GROUP BY e.src, p.label
-        ), b{out} AS (
+        ), b{out} AS MATERIALIZED (
             SELECT node, label FROM (
                 SELECT node, label,
                        row_number() OVER (
@@ -326,7 +326,7 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
                        ) AS rn
                 FROM v{out}
             ) WHERE rn = 1
-        ), {out} AS (
+        ), {out} AS MATERIALIZED (
             SELECT p.node, coalesce(b.label, p.label) AS label
             FROM {prev} p LEFT JOIN b{out} b ON b.node = p.node
         )"""
@@ -335,7 +335,7 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
 @register(
     "graph_label_propagation",
     oracle=f"""
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
                    CAST(s.s_nationkey AS BIGINT) AS dst,
                    CAST(count(*) AS BIGINT) AS w
@@ -345,13 +345,13 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey <> s.s_nationkey
             GROUP BY 1, 2
-        ), und AS (
+        ), und AS MATERIALIZED (
             SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
                 SELECT src, dst, w FROM edges
                 UNION ALL
                 SELECT dst AS src, src AS dst, w FROM edges
             ) GROUP BY src, dst
-        ), l0 AS (
+        ), l0 AS MATERIALIZED (
             SELECT CAST(n_nationkey AS BIGINT) AS node,
                    CAST(n_nationkey AS BIGINT) AS label
             FROM nation
@@ -443,12 +443,12 @@ def graph_label_propagation(spark, sf_dir):
 def _sssp_round_sql(prev: str, out: str) -> str:
     """One Bellman-Ford relaxation round as DuckDB CTE text."""
     return f"""
-        c{out} AS (
+        c{out} AS MATERIALIZED (
             SELECT e.dst AS node, p.dist + e.cost AS dist
             FROM und_w e JOIN {prev} p ON e.src = p.node
             UNION ALL
             SELECT node, dist FROM {prev}
-        ), {out} AS (
+        ), {out} AS MATERIALIZED (
             SELECT node, CAST(min(dist) AS BIGINT) AS dist
             FROM c{out} GROUP BY node
         )"""
@@ -457,7 +457,7 @@ def _sssp_round_sql(prev: str, out: str) -> str:
 @register(
     "graph_sssp_bellman_ford",
     oracle=f"""
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
                    CAST(s.s_nationkey AS BIGINT) AS dst,
                    CAST(count(*) AS BIGINT) AS w
@@ -467,7 +467,7 @@ def _sssp_round_sql(prev: str, out: str) -> str:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey <> s.s_nationkey
             GROUP BY 1, 2
-        ), und_w AS (
+        ), und_w AS MATERIALIZED (
             SELECT src, dst,
                    CAST((1000000 + sum(w) - 1) // sum(w) AS BIGINT) AS cost
             FROM (
@@ -475,7 +475,7 @@ def _sssp_round_sql(prev: str, out: str) -> str:
                 UNION ALL
                 SELECT dst AS src, src AS dst, w FROM edges
             ) GROUP BY src, dst
-        ), d0 AS (
+        ), d0 AS MATERIALIZED (
             SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
         ), {_sssp_round_sql('d0', 'd1')}, {_sssp_round_sql('d1', 'd2')},
         {_sssp_round_sql('d2', 'd3')}

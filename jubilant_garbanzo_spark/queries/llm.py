@@ -137,26 +137,38 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    # The oracle is the NAIVE quadratic all-pairs form; the Spark side
-    # generates candidates with a lossless prefix filter (AllPairs /
-    # PPJoin) — so this driver check proves the filter misses nothing.
+    # The oracle enumerates EVERY pair sharing >=1 shingle (full
+    # posting-list equi-join, NO prefix filter) and computes exact
+    # Jaccard — lossless vs the all-pairs form because J >= 0.5 > 0
+    # forces a shared shingle — so the driver check still proves the
+    # Spark side's rarest-first prefix filter (AllPairs / PPJoin)
+    # misses nothing. (The earlier literal-quadratic oracle evaluated
+    # list_intersect over N^2/2 pairs and dominated the closing-gate
+    # sweep; round-10 fix.)
     oracle="""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
                         THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
                               FOR i IN range(1, len(string_split(text, ' ')) - 1)]
                         ELSE [text] END) AS sh
             FROM documents
+        ), sz AS MATERIALIZED (
+            SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh
+        ), post AS MATERIALIZED (
+            SELECT doc_id, unnest(sh) AS s FROM sh
+        ), inter AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS i
+            FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                     6) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz x ON x.doc_id = id_a
+        JOIN sz y ON y.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
     """,
     tags=("llm", "dedup", "jaccard"),
 )
@@ -167,6 +179,72 @@ def dedup_ngram_jaccard(spark, sf_dir):
     not from a fixed blocking column."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                              FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                        ELSE [text] END) AS sh
+            FROM documents
+        ), ex AS MATERIALIZED (
+            SELECT doc_id, unnest(sh) AS s FROM sh
+        ), tot AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM ex GROUP BY doc_id
+        ), fst AS MATERIALIZED (
+            SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s
+        ), nov AS MATERIALIZED (
+            SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+            FROM fst GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_shingles,
+               coalesce(n.n_novel, 0) AS n_novel,
+               round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_shingles,
+                     6) AS novelty
+        FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
+    """,
+    tags=("llm", "text", "dedup", "novelty"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY in corpus (doc_id) order — the
+    fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    occurrence is this doc. The curve is the standard diminishing-
+    returns diagnostic for crawl ingestion (novelty ~0 ⇒ the doc is
+    boilerplate/recycled even when no single pair passes a dedup
+    threshold), and the per-doc score is a cheap pre-filter upstream of
+    pairwise dedup.
+
+    Scale shape: first-occurrence attribution is min(doc_id) per
+    shingle — so the whole operator is two hash aggregates (per-shingle
+    min, per-doc counts) and one join; no pairwise stage at all. Exact
+    integers; the single division is the final fixed-shape round()."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(D.shingles(F.col("text"))).alias("s")
+    )
+    tot = ex.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    nov = (
+        ex.groupBy("s")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    n_novel = F.coalesce("n_novel", F.lit(0).cast("bigint"))
+    return tot.join(nov, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        F.round(
+            n_novel.cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )
 
 
 def _simhash_oracle() -> str:
@@ -1547,25 +1625,39 @@ def text_unigram_logprob(spark, sf_dir):
 
 @register(
     "dedup_shingle_containment",
-    # Oracle is the NAIVE directed-quadratic form; the Spark side
-    # probes a full posting index with containee-prefix shingles
-    # (operators/dedup.py:containment_pairs) — the driver check proves
-    # the asymmetric prefix filter misses nothing.
+    # The oracle enumerates EVERY ordered pair sharing >=1 shingle
+    # (posting-list equi-join over the undirected pair, both directions
+    # emitted from the symmetric intersection count; NO prefix filter)
+    # — lossless vs the directed-quadratic form because C >= 0.9 > 0
+    # forces a shared shingle — so the driver check still proves the
+    # Spark side's asymmetric containee-prefix filter
+    # (operators/dedup.py:containment_pairs) misses nothing.
     oracle="""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
                         THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
                               FOR i IN range(1, len(string_split(text, ' ')) - 1)]
                         ELSE [text] END) AS sh
             FROM documents
+        ), sz AS MATERIALIZED (
+            SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh
+        ), post AS MATERIALIZED (
+            SELECT doc_id, unnest(sh) AS s FROM sh
+        ), inter AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS i
+            FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), directed AS MATERIALIZED (
+            SELECT id_a, id_b, i FROM inter
+            UNION ALL
+            SELECT id_b AS id_a, id_a AS id_b, i FROM inter
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(a.sh), 6) AS containment
-        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 10
-              >= 9 * CAST(len(a.sh) AS BIGINT)
+        SELECT d.id_a, d.id_b,
+               round(CAST(d.i AS DOUBLE) / x.n, 6) AS containment
+        FROM directed d JOIN sz x ON x.doc_id = d.id_a
+        WHERE d.i * 10 >= 9 * x.n
     """,
     tags=("llm", "dedup", "containment"),
 )
@@ -2702,9 +2794,9 @@ from jubilant_garbanzo_spark.operators import bpe as BPE  # noqa: E402
     "text_bpe_tokenize",
     oracle=f"""
         WITH {BPE.oracle_replay_ctes()}
-        SELECT sym AS token, count(*) AS freq
-        FROM r{BPE.N_ROUNDS}
-        GROUP BY sym
+        SELECT t.sym AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+        FROM r{BPE.N_ROUNDS} t JOIN wcnt w USING (wid)
+        GROUP BY t.sym
         ORDER BY freq DESC, token ASC
         LIMIT 40
     """,
@@ -2754,10 +2846,18 @@ def text_bpe_tokenize(spark, sf_dir):
     "text_bpe_pack",
     oracle=f"""
         WITH {BPE.oracle_replay_ctes()},
+        wtok AS MATERIALIZED (
+            SELECT wid, CAST(count(*) AS BIGINT) AS n_tok
+            FROM r{BPE.N_ROUNDS} GROUP BY wid
+        ),
         doc_tokens AS MATERIALIZED (
-            SELECT doc_id, source, count(*) AS n_bpe_tokens
-            FROM r{BPE.N_ROUNDS}
-            GROUP BY doc_id, source
+            SELECT i.doc_id, i.source,
+                   CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS wid
+                  FROM documents) i
+            JOIN wtok t USING (wid)
+            GROUP BY 1, 2
         )
         SELECT doc_id, source, n_bpe_tokens,
                CAST((sum(n_bpe_tokens) OVER (PARTITION BY source

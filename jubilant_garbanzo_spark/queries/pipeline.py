@@ -72,6 +72,91 @@ def dedup_cluster_cc(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_keep_best",
+    # Same exact transitive closure as dedup_cluster_cc's oracle, then
+    # the per-cluster argmax by (n_words DESC, doc_id ASC) — a total
+    # order, so the retention decision is deterministic end-to-end.
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_minhash_lsh_oracle(0.8)}) lsh
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), cl AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ), allv AS (
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        ), ranked AS (
+            SELECT doc_id, cluster_id, n_words,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_words DESC, doc_id ASC)
+                       AS rk
+            FROM allv
+        )
+        SELECT doc_id, cluster_id, n_words, (rk = 1) AS is_kept
+        FROM ranked
+    """,
+    tags=("llm", "dedup", "clustering", "retention"),
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Cluster-aware dedup RETENTION — the decision step production
+    pipelines run after near-dup clustering: within each MinHash-LSH
+    connected component keep the highest-quality member (here: most
+    words, doc_id tie-break — a total order, so retention is
+    deterministic), not blindly the minimum id. Docs in no cluster are
+    their own singleton and always kept, so the output is a per-row
+    keep/drop verdict over the WHOLE corpus.
+
+    Scale shape: the pair graph and components come from the shared
+    session MinHash index (banded equi-join, never all-pairs); the
+    retention itself is one left join + one hash agg over a struct
+    argmax (max_by semantics with an explicit tie order) + one
+    broadcast-able join back — all map-side-combinable, no new
+    quadratic stage."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, threshold=0.8, cache_key=("documents", sf_dir)
+    )
+    cl = D.duplicate_clusters(pairs)
+    full = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        )
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_words",
+        )
+    )
+    # Deterministic argmax: max(struct(n_words, -doc_id)) == first by
+    # (n_words DESC, doc_id ASC) — one map-side-combinable aggregate.
+    keep = full.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("n_words"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "cluster_id", (-F.col("best.neg_id")).alias("keeper_doc_id")
+    )
+    return full.join(keep, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_words",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_kept"),
+    )
+
+
+@register(
     "text_pack_sequences",
     oracle="""
         WITH t AS (

@@ -1185,3 +1185,71 @@ def test_bpe_roundtrip_matches_imperative_train_apply(spark, sf_dir):
         BPE.mergeable_rank_min("tokens", tuple(merges)).isNotNull()
     ).count()
     assert leftover == 0
+
+
+def test_cluster_keep_best_retention_properties(spark, sf_dir):
+    """dedup_cluster_keep_best: whole-corpus verdict, exactly one
+    keeper per cluster, and the keeper is the (n_words DESC, doc_id
+    ASC) argmax of its cluster — checked against a per-cluster replay."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = load_all()["dedup_cluster_keep_best"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count(), "one verdict row per corpus doc"
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} keepers"
+        best = sorted(members, key=lambda m: (-m["n_words"], m["doc_id"]))[0]
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+    # The cluster labels agree with dedup_cluster_cc on clustered docs.
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in load_all()["dedup_cluster_cc"].fn(spark, sf_dir).collect()
+    }
+    mine = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for doc_id, cid in cc.items():
+        assert mine[doc_id] == cid
+
+
+def test_ngram_novelty_first_doc_and_mass_conservation(spark, sf_dir):
+    """text_ngram_novelty: the corpus-min doc is 100% novel, every
+    novel count is attributed exactly once (sums to the corpus distinct
+    shingle count), and an exact duplicate of an earlier doc scores 0."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = load_all()["text_ngram_novelty"].fn(spark, sf_dir).collect()
+    first_doc = min(r["doc_id"] for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[first_doc]["novelty"] == 1.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    total_distinct = (
+        docs.select(F.explode(D.shingles(F.col("text"))).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == total_distinct
+
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+
+    # Exact-duplicate pairs in the fixture: the later doc is 0% novel.
+    dup_later = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            "left_semi",
+        )
+        .select("a.doc_id")
+        .collect()
+    )
+    for r in dup_later:
+        assert by_id[r["doc_id"]]["n_novel"] == 0, r["doc_id"]
