@@ -82,6 +82,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_shingle_containment",
     "graph_label_propagation",
     "graph_sssp_bellman_ford",
+    # round-10 engine fix: orders-side filter mirrored through the
+    # opaque cogroup seam (155 s -> 7 s at sf0.1)
+    "join_cogroup_customer_orders",
     # ADVICE r9 medium: sequence(1,0) shingle guard in both bodies
     "text_sparse_tfidf_cosine",
     "text_heaps_law",
@@ -143,11 +146,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_range_frame",
     "window_ranking",
-    "window_running_frames",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
-    # cohort and window_topn_per_group roll to round 11) --------------
+    # cohort, window_topn_per_group and window_running_frames roll to
+    # round 11) -------------------------------------------------------
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -388,7 +388,17 @@ def join_cogroup_customer_orders(spark, sf_dir):
         .filter(F.col("c_custkey") < 500)
         .select("c_custkey", "c_acctbal")
     )
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # Mirror the customer filter onto the orders side BY HAND: Catalyst
+    # cannot push predicates through the opaque Python cogroup seam, so
+    # without this every orders group (all customers) pays a Python
+    # call just to hit the cpdf.empty branch — measured 155 s at sf0.1,
+    # ~30x the filtered group count. Equivalent because the output
+    # LEFT-joins from the filtered customer side.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select("o_custkey", "o_totalprice")
+    )
 
     def merge(key, cpdf, opdf):
         import numpy as np
