@@ -75,6 +75,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_bpe_roundtrip",
     "dedup_cluster_keep_best",
     "text_ngram_novelty",
+    "text_suffix_array",
     # round-10 closing-gate oracle rewrites (posting-join forms /
     # MATERIALIZED round CTEs): the compare changed, so each needs a
     # fresh driver green
@@ -145,12 +146,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q7_nation_volume",
     "window_lag_lead",
     "window_range_frame",
-    "window_ranking",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
-    # cohort, window_topn_per_group and window_running_frames roll to
-    # round 11) -------------------------------------------------------
+    # cohort plus window_topn_per_group / window_running_frames /
+    # window_ranking roll to round 11) --------------------------------
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -381,6 +381,46 @@ def text_duplicated_ngram_coverage(spark, sf_dir):
     )
 
 
+from jubilant_garbanzo_spark.operators import suffixarray as SA  # noqa: E402
+
+
+@register(
+    "text_suffix_array",
+    oracle=f"""
+        WITH {SA.oracle_sql()}
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               r AS suffix_rank
+        FROM r{SA.ROUNDS}
+    """,
+    tags=("llm", "dedup", "substring", "iterative", "suffix-array"),
+)
+def text_suffix_array(spark, sf_dir):
+    """Distributed SUFFIX-ARRAY construction by prefix doubling
+    (Manber-Myers; operators/suffixarray.py) over within-doc token
+    suffixes — the sixth dedup geometry, and the actual index behind
+    Lee et al. ACL'22 EXACTSUBSTR (text_duplicated_ngram_coverage is
+    its fixed-width approximation; this is the variable-length real
+    thing: equal final ranks <=> suffixes identical to depth
+    2^{SA.ROUNDS} tokens, i.e. arbitrarily-long duplicated spans
+    surface as rank collisions, and rank adjacency gives the
+    lexicographic neighbor for LCP-style extension).
+
+    Output: (doc_id, pos, suffix_rank) for every token position —
+    dense ranks, so the values are engine-independent and the DuckDB
+    twin (same recurrence, single global dense_rank windows) must
+    match bit-for-bit.
+
+    Scale: log2(max doc tokens) rounds, each 3 bounded shuffles + one
+    (doc_id, pos+2^k) equi-join; dense ranks are computed WITHOUT any
+    global single-partition window (two-phase bucket offsets; round-0
+    buckets by leading token byte, later rounds by uniform dense-rank
+    ranges — see the operator docstring). The oracle collapses each
+    two-phase pass to one global dense_rank window, so the
+    differential check proves the decomposition exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return SA.suffix_ranks(d)
+
+
 # -- text analysis -----------------------------------------------------------
 
 

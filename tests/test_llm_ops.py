@@ -1253,3 +1253,41 @@ def test_ngram_novelty_first_doc_and_mass_conservation(spark, sf_dir):
     )
     for r in dup_later:
         assert by_id[r["doc_id"]]["n_novel"] == 0, r["doc_id"]
+
+
+def test_suffix_ranks_match_imperative_reference(spark):
+    """Prefix-doubling suffix ranks vs a brute-force Python ranking on
+    a corpus engineered for the tricky cases: equal whole suffixes
+    (exact-dup docs), one suffix a prefix of another, 1-token docs,
+    and a cross-doc repeated span."""
+    from jubilant_garbanzo_spark.operators import suffixarray as SA
+
+    rows = [
+        (1, "b a n a n a"),
+        (2, "b a n a n a"),          # exact duplicate of doc 1
+        (3, "a n a"),                # suffix of doc 1's tail
+        (4, "z"),                    # 1-token doc
+        (5, "q w b a n a n a q w"),  # embeds doc 1 as an inner span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in SA.suffix_ranks(df).collect()
+    }
+
+    suffixes = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        for p in range(len(toks)):
+            suffixes[(doc_id, p)] = tuple(toks[p:p + (1 << SA.ROUNDS)])
+    ordered = sorted(set(suffixes.values()))
+    want = {
+        k: ordered.index(v) + 1 for k, v in suffixes.items()
+    }
+    assert got == want
+
+    # Exact-duplicate docs collide rank-for-rank; distinct suffixes
+    # never collide.
+    for p in range(6):
+        assert got[(1, p)] == got[(2, p)]
+    assert got[(1, 1)] == got[(5, 3)] or suffixes[(1, 1)] != suffixes[(5, 3)]
