@@ -63,11 +63,15 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-10 contents: the three operators born this round (Gopher
-#: battery, DSIR resampling, BPE train→apply roundtrip) plus every
-#: query whose body or oracle the ADVICE-r9 fixes touched (short-doc
-#: shingle guard, BPE oracle wid stride, canonicalize_url NULL
-#: fallback, minhash_index cache-key fingerprint).
+#: Round-10 contents: the seven operators born this round (Gopher
+#: battery, DSIR resampling, BPE train→apply roundtrip, cluster
+#: retention, n-gram novelty, suffix array, longest-dup-substring),
+#: every query whose ORACLE was rewritten for the closing-gate cost
+#: fix (posting-join pair forms, vocabulary-bound BPE replay,
+#: MATERIALIZED LPA/SSSP rounds), the cogroup engine-side pushdown,
+#: and every query the ADVICE-r9 fixes touched (short-doc shingle
+#: guard, BPE oracle wid stride, canonicalize_url NULL fallback,
+#: minhash_index cache-key fingerprint).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-10 new operators (windowed the round they are born)
     "text_gopher_rules",
@@ -76,6 +80,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_cluster_keep_best",
     "text_ngram_novelty",
     "text_suffix_array",
+    "text_longest_dup_substring",
     # round-10 closing-gate oracle rewrites (posting-join forms /
     # MATERIALIZED round CTEs): the compare changed, so each needs a
     # fresh driver green
@@ -145,12 +150,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "window_lag_lead",
-    "window_range_frame",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
     # cohort plus window_topn_per_group / window_running_frames /
-    # window_ranking roll to round 11) --------------------------------
+    # window_ranking / window_range_frame roll to round 11) -----------
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -421,6 +421,144 @@ def text_suffix_array(spark, sf_dir):
     return SA.suffix_ranks(d)
 
 
+@register(
+    "text_longest_dup_substring",
+    oracle=f"""
+        WITH {SA.oracle_sql()},
+        ws AS MATERIALIZED (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS ws
+            FROM documents
+        ), reps AS MATERIALIZED (
+            SELECT r, doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY r
+                                      ORDER BY doc_id, pos) AS rn
+            FROM r{SA.ROUNDS}
+        ), pairs AS MATERIALIZED (
+            SELECT 'adj' AS kind, a.r,
+                   a.doc_id AS doc_a, a.pos AS pos_a,
+                   b.doc_id AS doc_b, b.pos AS pos_b
+            FROM reps a JOIN reps b ON b.r = a.r + 1 AND b.rn = 1
+            WHERE a.rn = 1
+            UNION ALL
+            SELECT 'dup' AS kind, a.r,
+                   a.doc_id AS doc_a, a.pos AS pos_a,
+                   b.doc_id AS doc_b, b.pos AS pos_b
+            FROM reps a JOIN reps b ON b.r = a.r AND b.rn = 2
+            WHERE a.rn = 1
+        ), scored AS (
+            SELECT p.kind, p.r, p.doc_a, p.pos_a, p.doc_b, p.pos_b,
+                   CASE WHEN fp = 0 THEN eqn ELSE fp - 1 END AS lcp
+            FROM (
+                SELECT p.*,
+                       len(eq) AS eqn,
+                       coalesce(list_position(eq, false), 0) AS fp
+                FROM (
+                    SELECT p.kind, p.r, p.doc_a, p.pos_a, p.doc_b,
+                           p.pos_b,
+                           [wa.ws[p.pos_a + i] IS NOT DISTINCT FROM
+                            wb.ws[p.pos_b + i]
+                            FOR i IN range(1, greatest(
+                                least(len(wa.ws) - p.pos_a, {1 << SA.ROUNDS}),
+                                least(len(wb.ws) - p.pos_b, {1 << SA.ROUNDS}),
+                                0) + 1)] AS eq
+                    FROM pairs p
+                    JOIN ws wa ON wa.doc_id = p.doc_a
+                    JOIN ws wb ON wb.doc_id = p.doc_b
+                ) p
+            ) p
+        )
+        SELECT kind, CAST(r AS BIGINT) AS suffix_rank,
+               doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+               doc_b, CAST(pos_b AS BIGINT) AS pos_b,
+               CAST(lcp AS BIGINT) AS lcp
+        FROM scored
+        ORDER BY lcp DESC, suffix_rank ASC, kind ASC
+        LIMIT 50
+    """,
+    tags=("llm", "dedup", "substring", "suffix-array"),
+)
+def text_longest_dup_substring(spark, sf_dir):
+    """LONGEST repeated token spans via the suffix array — the
+    variable-length duplicate diagnostic EXACTSUBSTR cuts on (Lee et
+    al. ACL'22 §4.1): the longest substring occurring twice anywhere
+    in the corpus is the max LCP over suffixes ADJACENT in suffix
+    order, so only O(N) candidate pairs are ever scored — never
+    all-pairs. Pairs per final dense rank r: the rank-group
+    representative (min (doc,pos)) against (a) the next rank's
+    representative ('adj' — the classic adjacent-LCP candidates) and
+    (b) the same rank's second member ('dup' — groups identical to
+    depth 2^{SA.ROUNDS}, where LCP = span length, capped). Top-50 by
+    (lcp DESC, rank, kind) — a total order, so both engines pick
+    identical rows.
+
+    LCP itself is a per-pair array comparison (token slices from each
+    position, capped at 2^{SA.ROUNDS}; first-mismatch index via one
+    zip_with + array_position — no per-token join): the pair SELECTION
+    is what the suffix ranks buy, and those ranks are independently
+    verified by text_suffix_array's own oracle.
+
+    Scale: suffix ranks as in operators/suffixarray.py; then one
+    window partitioned BY RANK (never global), two self-joins on rank
+    adjacency, and two broadcast-able joins to fetch token arrays.
+    TakeOrdered handles the top-50."""
+    d = load_table(spark, sf_dir, "documents")
+    cap = 1 << SA.ROUNDS
+    ranks = SA.suffix_ranks(d)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("r").orderBy("doc_id", "pos")
+    reps = ranks.select(
+        F.col("suffix_rank").alias("r"), "doc_id", "pos"
+    ).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    r1 = reps.filter(F.col("rn") == 1).select(
+        "r", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    r1b = r1.select(
+        (F.col("r") - 1).alias("r"),
+        F.col("doc_a").alias("doc_b"),
+        F.col("pos_a").alias("pos_b"),
+    )
+    r2 = reps.filter(F.col("rn") == 2).select(
+        "r", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        r1.join(r1b, "r").withColumn("kind", F.lit("adj"))
+    ).unionByName(r1.join(r2, "r").withColumn("kind", F.lit("dup")))
+
+    ws = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("ws"),
+    )
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
+    scored = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("sa", F.expr(f"slice(wsa, pos_a + 1, {cap})"))
+        .withColumn("sb", F.expr(f"slice(wsb, pos_b + 1, {cap})"))
+        .withColumn("eq", F.expr("zip_with(sa, sb, (x, y) -> x <=> y)"))
+        .withColumn("fp", F.expr("coalesce(array_position(eq, false), 0)"))
+        .withColumn(
+            "lcp",
+            F.expr("IF(fp = 0, size(eq), fp - 1)").cast("bigint"),
+        )
+    )
+    return (
+        scored.select(
+            "kind",
+            F.col("r").cast("bigint").alias("suffix_rank"),
+            "doc_a",
+            F.col("pos_a").cast("bigint").alias("pos_a"),
+            "doc_b",
+            F.col("pos_b").cast("bigint").alias("pos_b"),
+            "lcp",
+        )
+        .orderBy(F.desc("lcp"), F.asc("suffix_rank"), F.asc("kind"))
+        .limit(50)
+    )
+
+
 # -- text analysis -----------------------------------------------------------
 
 

@@ -1291,3 +1291,39 @@ def test_suffix_ranks_match_imperative_reference(spark):
     for p in range(6):
         assert got[(1, p)] == got[(2, p)]
     assert got[(1, 1)] == got[(5, 3)] or suffixes[(1, 1)] != suffixes[(5, 3)]
+
+
+def test_longest_dup_substring_finds_planted_span(spark, tmp_path):
+    """Plant a known longest repeated span in an otherwise
+    repetition-free corpus; the top row must find exactly it, in both
+    the cross-doc and the within-doc placement."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    span = " ".join(f"dup{i}" for i in range(9))
+    rows = [
+        (1, "src", f"a1 b1 c1 {span} d1 e1"),
+        (2, "src", f"x2 {span} y2 z2 w2 v2"),
+        (3, "src", " ".join(f"u{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    out = load_all()["text_longest_dup_substring"].fn(spark, sf).collect()
+    top = out[0]
+    assert top["lcp"] == 9
+    assert {top["doc_a"], top["doc_b"]} == {1, 2}
+    assert (top["doc_a"], top["pos_a"]) in {(1, 3), (2, 1)}
+    # Every reported lcp is consistent with a direct token comparison.
+    toks = {r[0]: [t for t in r[2].split(" ") if t] for r in rows}
+    for r in out:
+        a = toks[r["doc_a"]][r["pos_a"]:]
+        b = toks[r["doc_b"]][r["pos_b"]:]
+        lcp = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            lcp += 1
+        assert r["lcp"] == min(lcp, 128) or (
+            lcp >= 128 and r["lcp"] == 128
+        ), r
