@@ -63,9 +63,10 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-10 contents: the seven operators born this round (Gopher
+#: Round-10 contents: the eight operators born this round (Gopher
 #: battery, DSIR resampling, BPE train→apply roundtrip, cluster
-#: retention, n-gram novelty, suffix array, longest-dup-substring),
+#: retention, incremental cluster maintenance, n-gram novelty,
+#: suffix array, longest-dup-substring),
 #: every query whose ORACLE was rewritten for the closing-gate cost
 #: fix (posting-join pair forms, vocabulary-bound BPE replay,
 #: MATERIALIZED LPA/SSSP rounds), the cogroup engine-side pushdown,
@@ -81,6 +82,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_ngram_novelty",
     "text_suffix_array",
     "text_longest_dup_substring",
+    "dedup_cluster_incremental",
     # round-10 closing-gate oracle rewrites (posting-join forms /
     # MATERIALIZED round CTEs): the compare changed, so each needs a
     # fresh driver green
@@ -149,12 +151,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
-    "window_lag_lead",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
-    # cohort plus window_topn_per_group / window_running_frames /
-    # window_ranking / window_range_frame roll to round 11) -----------
+    # cohort plus the window_* family (lag_lead, range_frame, ranking,
+    # running_frames, topn_per_group) roll to round 11) ----------------
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -156,6 +156,156 @@ def dedup_cluster_keep_best(spark, sf_dir):
     )
 
 
+#: Encoding offset for frozen old-cluster labels inside the incremental
+#: min-label propagation: old cluster c rides as virtual node c - 2^40,
+#: so (a) every old label sorts below every real doc id (old clusters
+#: always win the min) and (b) min over encodings = min over cluster
+#: ids. 2^40 is far above any doc id (scale replicas use +r*10^7).
+_OLD_ENC = 1 << 40
+
+
+@register(
+    "dedup_cluster_incremental",
+    # Oracle: exact recursive closures — old-old closure for the frozen
+    # clusters, then min-label over the new-new reachability with the
+    # same virtual-node encoding arithmetic.
+    oracle=f"""
+        WITH RECURSIVE lsh AS MATERIALIZED (
+            SELECT id_a, id_b FROM ({_minhash_lsh_oracle(0.8)})
+        ), old_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh
+            WHERE id_a % 5 <> 4 AND id_b % 5 <> 4
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM lsh
+            WHERE id_a % 5 <> 4 AND id_b % 5 <> 4
+        ), old_reach AS (
+            SELECT src, dst FROM old_edges
+            UNION
+            SELECT r.src, e.dst FROM old_reach r
+            JOIN old_edges e ON r.dst = e.src
+        ), old_cl AS MATERIALIZED (
+            SELECT d.doc_id,
+                   coalesce(least(r.src, min(r.dst)), d.doc_id)
+                       AS cluster_id
+            FROM documents d
+            LEFT JOIN old_reach r ON r.src = d.doc_id
+            WHERE d.doc_id % 5 <> 4
+            GROUP BY d.doc_id, r.src
+        ), seeds AS MATERIALIZED (
+            SELECT n, min(oc.cluster_id) - {_OLD_ENC} AS enc
+            FROM (
+                SELECT id_a AS n, id_b AS o FROM lsh
+                WHERE id_a % 5 = 4 AND id_b % 5 <> 4
+                UNION ALL
+                SELECT id_b AS n, id_a AS o FROM lsh
+                WHERE id_b % 5 = 4 AND id_a % 5 <> 4
+            ) m JOIN old_cl oc ON oc.doc_id = m.o
+            GROUP BY n
+        ), new_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh
+            WHERE id_a % 5 = 4 AND id_b % 5 = 4
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM lsh
+            WHERE id_a % 5 = 4 AND id_b % 5 = 4
+        ), new_reach AS (
+            SELECT src, dst FROM new_edges
+            UNION
+            SELECT r.src, e.dst FROM new_reach r
+            JOIN new_edges e ON r.dst = e.src
+        ), comp AS MATERIALIZED (
+            -- every new doc + every node it reaches (incl. itself)
+            SELECT d.doc_id AS n, d.doc_id AS x
+            FROM documents d WHERE d.doc_id % 5 = 4
+            UNION
+            SELECT r.src AS n, r.dst AS x FROM new_reach r
+        ), labeled AS (
+            SELECT c.n AS doc_id,
+                   min(least(c.x, coalesce(s.enc, c.x))) AS label
+            FROM comp c LEFT JOIN seeds s ON s.n = c.x
+            GROUP BY c.n
+        )
+        SELECT doc_id,
+               CASE WHEN label < 0 THEN label + {_OLD_ENC}
+                    ELSE label END AS cluster_id,
+               (label >= 0) AS is_new_cluster
+        FROM labeled
+    """,
+    tags=("llm", "dedup", "clustering", "incremental", "iterative"),
+)
+def dedup_cluster_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup cluster maintenance — the steady-state
+    crawl-increment twin of `dedup_cluster_cc`: the corpus is split
+    into a frozen OLD corpus (doc_id % 5 != 4) with established
+    clusters and a NEW batch (doc_id % 5 == 4). New docs must join an
+    existing cluster when any chain of near-dup pairs connects them to
+    one (old labels FROZEN — re-clustering the 100 TB corpus per
+    increment is exactly what this avoids), transitively through
+    new-new edges; otherwise new-new components mint a new cluster
+    labeled by their min doc id.
+
+    One min-label propagation does both: each old cluster rides as a
+    virtual node encoded BELOW every real id (c - 2^40), so the
+    existing pointer-jumping component fold (operators/dedup.
+    duplicate_clusters) computes the union-find with frozen seeds
+    unchanged — old labels always win the min, and ties among several
+    reachable old clusters resolve to the smallest cluster id on both
+    engines.
+
+    Scale shape: ONE shared MinHash index build serves the whole
+    registry (cache_key); the pair split and seed join are linear; the
+    propagation runs only over the NEW batch's pair graph — increment-
+    sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, threshold=0.8, cache_key=("documents", sf_dir)
+    ).select("id_a", "id_b")
+    is_new = lambda c: F.col(c) % 5 == 4  # noqa: E731
+
+    old_pairs = pairs.filter(~is_new("id_a") & ~is_new("id_b"))
+    old_cl = D.duplicate_clusters(old_pairs)
+
+    # new->old matches, mapped to the old doc's (possibly singleton)
+    # cluster id, encoded as a virtual seed node.
+    no = pairs.filter(is_new("id_a") & ~is_new("id_b")).select(
+        F.col("id_a").alias("n"), F.col("id_b").alias("o")
+    ).unionByName(
+        pairs.filter(is_new("id_b") & ~is_new("id_a")).select(
+            F.col("id_b").alias("n"), F.col("id_a").alias("o")
+        )
+    )
+    seeds = (
+        no.join(old_cl, no.o == old_cl.doc_id, "left")
+        .select(
+            "n",
+            F.coalesce("cluster_id", F.col("o")).alias("c"),
+        )
+        .groupBy("n")
+        .agg((F.min("c") - F.lit(_OLD_ENC)).alias("enc"))
+    )
+
+    new_pairs = pairs.filter(is_new("id_a") & is_new("id_b"))
+    seed_edges = seeds.select(
+        F.col("n").alias("id_a"), F.col("enc").alias("id_b")
+    )
+    labels = D.duplicate_clusters(new_pairs.unionByName(seed_edges))
+
+    new_docs = d.filter(is_new("doc_id")).select("doc_id")
+    out = (
+        new_docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("label"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("label") < 0, F.col("label") + _OLD_ENC)
+        .otherwise(F.col("label"))
+        .alias("cluster_id"),
+        (F.col("label") >= 0).alias("is_new_cluster"),
+    )
+
+
 @register(
     "text_pack_sequences",
     oracle="""

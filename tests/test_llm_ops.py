@@ -1327,3 +1327,35 @@ def test_longest_dup_substring_finds_planted_span(spark, tmp_path):
         assert r["lcp"] == min(lcp, 128) or (
             lcp >= 128 and r["lcp"] == 128
         ), r
+
+
+def test_cluster_incremental_frozen_old_labels(spark, tmp_path):
+    """New docs (doc_id % 5 == 4) must inherit FROZEN old cluster ids,
+    transitively through new-new edges; unmatched new components mint a
+    new cluster labeled by their min doc id."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    y = " ".join(f"y{i}" for i in range(40))
+    x = " ".join(f"x{i}" for i in range(40))
+    z = " ".join(f"z{i}" for i in range(40))
+    rows = [
+        (1, "src", y), (2, "src", y),      # old near-dup pair -> cluster 1
+        (21, "src", x),                    # old singleton holding text x
+        (22, "src", z + " tail22"),        # old, unrelated
+        (9, "src", y),                     # new, dup of old 2 -> cluster 1
+        (14, "src", x), (19, "src", x),    # new-new chain; 19 ~ old 21
+        (24, "src", " ".join(f"q{i}" for i in range(40))),  # new singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_new_cluster"])
+        for r in load_all()["dedup_cluster_incremental"].fn(spark, sf).collect()
+    }
+    assert set(got) == {9, 14, 19, 24}, "verdicts for the new batch only"
+    assert got[9] == (1, False)     # direct old match, frozen label 1
+    assert got[14] == (21, False)   # transitive via new 19 -> old 21
+    assert got[19] == (21, False)
+    assert got[24] == (24, True)    # no old chain -> new cluster
