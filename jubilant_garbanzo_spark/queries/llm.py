@@ -559,6 +559,118 @@ def text_longest_dup_substring(spark, sf_dir):
     )
 
 
+#: Span-corruption geometry (Raffel et al. JMLR'20 §3.1.4 "i.i.d. noise
+#: span corruption", fixed-span variant): one 3-token span masked per
+#: 20-token window ⇒ 15% corruption rate, mean span 3 — T5's defaults.
+_SC_WIN = 20
+_SC_LEN = 3
+
+
+@register(
+    "text_span_corruption",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ws
+            FROM documents
+        ), dims AS MATERIALIZED (
+            SELECT doc_id, ws, len(ws) AS n, len(ws) // {_SC_WIN} AS ns
+            FROM base
+        ), offs AS MATERIALIZED (
+            SELECT doc_id, ws, n, ns,
+                   [('0x' || substr(md5(doc_id || '_' || w), 1, 8))::BIGINT
+                        % {_SC_WIN - _SC_LEN + 1}
+                    FOR w IN range(0, ns)] AS offs
+            FROM dims
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(ns AS BIGINT) AS n_spans,
+               array_to_string(list_filter(
+                   [CASE
+                        WHEN (i - 1) // {_SC_WIN} < ns
+                             AND (i - 1) % {_SC_WIN}
+                                 = offs[(i - 1) // {_SC_WIN} + 1]
+                            THEN '<extra_id_'
+                                 || CAST((i - 1) // {_SC_WIN} AS VARCHAR)
+                                 || '>'
+                        WHEN (i - 1) // {_SC_WIN} < ns
+                             AND (i - 1) % {_SC_WIN}
+                                 > offs[(i - 1) // {_SC_WIN} + 1]
+                             AND (i - 1) % {_SC_WIN}
+                                 < offs[(i - 1) // {_SC_WIN} + 1] + {_SC_LEN}
+                            THEN NULL
+                        ELSE ws[i]
+                    END FOR i IN range(1, n + 1)],
+                   x -> x IS NOT NULL), ' ') AS inputs,
+               CASE WHEN ns = 0 THEN '<extra_id_0>'
+                    ELSE array_to_string(
+                             ['<extra_id_' || CAST(w AS VARCHAR) || '> '
+                              || array_to_string(
+                                     ws[{_SC_WIN} * w + offs[w + 1] + 1
+                                        : {_SC_WIN} * w + offs[w + 1]
+                                          + {_SC_LEN}], ' ')
+                              FOR w IN range(0, ns)], ' ')
+                         || ' <extra_id_' || CAST(ns AS VARCHAR) || '>'
+               END AS targets
+        FROM offs
+    """,
+    tags=("llm", "text", "training-prep", "span-corruption"),
+)
+def text_span_corruption(spark, sf_dir):
+    """T5-style SPAN CORRUPTION target construction (Raffel et al.
+    JMLR'20 §3.1.4) — the denoising-objective prep step between a clean
+    corpus and a seq2seq trainer: mask spans out of the input, emit
+    (inputs with one sentinel per span, targets = sentinel-delimited
+    masked spans + terminal sentinel).
+
+    Deterministic twin of the usual RNG span sampler: one 3-token span
+    per full 20-token window (= T5's 15% rate / mean-3 spans), offset
+    within the window drawn from md5(doc_id, window) — the repo's
+    standard derandomization (same idiom as the hash split and the
+    bootstrap), so both engines compute identical masks and the whole
+    operator is value-oracled, not just shape-checked.
+
+    Scale shape: pure per-row higher-order functions over the token
+    array — zero shuffle, a map stage at 100 TB; the md5 is one call
+    per WINDOW (n/20 per doc), not per token."""
+    d = load_table(spark, sf_dir, "documents")
+    W, L = _SC_WIN, _SC_LEN
+    ws = "filter(split(text, ' '), t -> t <> '')"
+    off = (
+        f"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_', "
+        f"CAST(w AS STRING))), 1, 8), 16, 10) AS BIGINT) % {W - L + 1}"
+    )
+    # Same hash, keyed by the position's own window (one md5 per token,
+    # no per-position rebuild of a per-window array).
+    off_i = off.replace("CAST(w AS STRING)", f"CAST(i DIV {W} AS STRING)")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({ws})").cast("bigint").alias("n_tokens"),
+        F.expr(f"size({ws}) DIV {W}").cast("bigint").alias("n_spans"),
+        F.expr(
+            f"""array_join(filter(transform({ws}, (t, i) -> CASE
+                WHEN i DIV {W} < size({ws}) DIV {W}
+                     AND i % {W} = {off_i}
+                    THEN concat('<extra_id_', CAST(i DIV {W} AS STRING), '>')
+                WHEN i DIV {W} < size({ws}) DIV {W}
+                     AND i % {W} > {off_i}
+                     AND i % {W} < {off_i} + {L}
+                    THEN NULL
+                ELSE t END), x -> x IS NOT NULL), ' ')"""
+        ).alias("inputs"),
+        F.expr(
+            f"""IF(size({ws}) DIV {W} = 0, '<extra_id_0>',
+               concat(array_join(transform(
+                   sequence(0, size({ws}) DIV {W} - 1),
+                   w -> concat('<extra_id_', CAST(w AS STRING), '> ',
+                               array_join(slice({ws},
+                                   {W} * w + {off} + 1, {L}), ' '))), ' '),
+                 ' <extra_id_', CAST(size({ws}) DIV {W} AS STRING), '>'))"""
+        ).alias("targets"),
+    )
+
+
 # -- text analysis -----------------------------------------------------------
 
 

@@ -1359,3 +1359,43 @@ def test_cluster_incremental_frozen_old_labels(spark, tmp_path):
     assert got[14] == (21, False)   # transitive via new 19 -> old 21
     assert got[19] == (21, False)
     assert got[24] == (24, True)    # no old chain -> new cluster
+
+
+def test_span_corruption_reconstructs_original(spark, tmp_path):
+    """inputs ∪ targets must reconstruct the original text exactly:
+    substituting sentinel k in inputs with target span k yields the
+    source tokens; geometry is one 3-span per full 20-token window."""
+    import re
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = [
+        (7, "src", " ".join(f"t{i}" for i in range(47))),   # 2 full windows
+        (8, "src", " ".join(f"s{i}" for i in range(19))),   # 0 windows
+        (9, "src", " ".join(f"u{i}" for i in range(20))),   # exactly 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    out = {
+        r["doc_id"]: r
+        for r in load_all()["text_span_corruption"].fn(spark, sf).collect()
+    }
+    assert out[7]["n_spans"] == 2 and out[8]["n_spans"] == 0
+    assert out[8]["inputs"] == rows[1][2]
+    assert out[8]["targets"] == "<extra_id_0>"
+
+    for doc_id, _, text in rows:
+        r = out[doc_id]
+        # parse targets: '<extra_id_k> tok tok tok ... <extra_id_ns>'
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", r["targets"])
+        for k, body in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = body.strip().split() if body.strip() else []
+        rebuilt = []
+        for tok in r["inputs"].split(" "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m[1])] if m else [tok])
+        assert rebuilt == text.split(" "), doc_id
+        assert len(spans.get(r["n_spans"], [])) == 0  # terminal sentinel
