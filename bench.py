@@ -91,6 +91,14 @@ HEADLINE: tuple[str, ...] = (
     "text_sparse_tfidf_cosine",
     "embed_ann_ivfpq",
     "text_bpe_tokenize",
+    # round-10 heavies join per the same rule — the suffix-array pair
+    # (shared rank index: build paid once per session, steady-state
+    # medians), span-corruption target prep, and incremental cluster
+    # maintenance.
+    "text_suffix_array",
+    "text_longest_dup_substring",
+    "text_span_corruption",
+    "dedup_cluster_incremental",
 )
 
 

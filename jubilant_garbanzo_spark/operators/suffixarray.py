@@ -97,10 +97,36 @@ def _dense_rank(keys: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def suffix_ranks(docs: DataFrame, rounds: int = ROUNDS) -> DataFrame:
+#: Session-scoped memo of built suffix-rank frames, keyed by
+#: (applicationId, cache_key, dir-fingerprint) — the shared-index
+#: pattern of operators/dedup.minhash_index: text_suffix_array and
+#: text_longest_dup_substring both start from the same ranks, and at
+#: cluster scale this is the deployment shape anyway (build the index
+#: once, persist, probe many).
+_SUFFIX_RANK_CACHE: dict[tuple, DataFrame] = {}
+
+
+def suffix_ranks(
+    docs: DataFrame, rounds: int = ROUNDS, cache_key: tuple | None = None
+) -> DataFrame:
     """(doc_id, pos, suffix_rank): dense rank of every within-doc token
     suffix under lexicographic order of its first ``2^rounds`` tokens.
-    Equal ranks <=> suffixes identical that deep (or to their ends)."""
+    Equal ranks <=> suffixes identical that deep (or to their ends).
+
+    Pass ``cache_key`` ONLY for immutable inputs (fixture tables keyed
+    by sf_dir); ad-hoc DataFrames must keep the default None."""
+    if cache_key is not None:
+        from jubilant_garbanzo_spark.operators.dedup import _dir_fingerprint
+
+        key = (
+            docs.sparkSession.sparkContext.applicationId,
+            rounds,
+            cache_key,
+            _dir_fingerprint(cache_key),
+        )
+        hit = _SUFFIX_RANK_CACHE.get(key)
+        if hit is not None:
+            return hit
     pos = corpus_positions(docs)
     # Round 0: rank by the single token at pos (leading-char ranges).
     r0 = _dense_rank(
@@ -141,10 +167,13 @@ def suffix_ranks(docs: DataFrame, rounds: int = ROUNDS) -> DataFrame:
             .select("doc_id", "pos", F.col("_r").alias("r"))
             .localCheckpoint(eager=True)
         )
-    return cur.select(
+    out = cur.select(
         "doc_id", F.col("pos").cast("bigint").alias("pos"),
         F.col("r").alias("suffix_rank")
     )
+    if cache_key is not None:
+        _SUFFIX_RANK_CACHE[key] = out
+    return out
 
 
 def oracle_sql(rounds: int = ROUNDS) -> str:

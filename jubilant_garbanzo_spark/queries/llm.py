@@ -418,7 +418,7 @@ def text_suffix_array(spark, sf_dir):
     two-phase pass to one global dense_rank window, so the
     differential check proves the decomposition exact."""
     d = load_table(spark, sf_dir, "documents")
-    return SA.suffix_ranks(d)
+    return SA.suffix_ranks(d, cache_key=("documents", sf_dir))
 
 
 @register(
@@ -504,7 +504,7 @@ def text_longest_dup_substring(spark, sf_dir):
     TakeOrdered handles the top-50."""
     d = load_table(spark, sf_dir, "documents")
     cap = 1 << SA.ROUNDS
-    ranks = SA.suffix_ranks(d)
+    ranks = SA.suffix_ranks(d, cache_key=("documents", sf_dir))
     from pyspark.sql import Window as W
 
     w = W.partitionBy("r").orderBy("doc_id", "pos")
