@@ -634,6 +634,8 @@ def text_span_corruption(spark, sf_dir):
     Scale shape: pure per-row higher-order functions over the token
     array — zero shuffle, a map stage at 100 TB; the md5 is one call
     per WINDOW (n/20 per doc), not per token."""
+    from jubilant_garbanzo_spark.operators.bpe import _let
+
     d = load_table(spark, sf_dir, "documents")
     W, L = _SC_WIN, _SC_LEN
     ws = "filter(split(text, ' '), t -> t <> '')"
@@ -641,33 +643,46 @@ def text_span_corruption(spark, sf_dir):
         f"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_', "
         f"CAST(w AS STRING))), 1, 8), 16, 10) AS BIGINT) % {W - L + 1}"
     )
-    # Same hash, keyed by the position's own window (one md5 per token,
-    # no per-position rebuild of a per-window array).
-    off_i = off.replace("CAST(w AS STRING)", f"CAST(i DIV {W} AS STRING)")
+    # Let-bind the tokens and the per-WINDOW offset array once per row
+    # (operators/bpe._let — lambda vars are leaf nodes, so references
+    # below stay O(1)): one md5 per window, not per token. The
+    # greatest() keeps sequence() ascending when ns = 0 (its [0] entry
+    # is never indexed — every consumer guards on i DIV W < ns).
+    offs_arr = (
+        f"transform(sequence(0, greatest(size(tk) DIV {W}, 1) - 1),"
+        f" w -> {off})"
+    )
+
+    def bound(body: str) -> str:
+        return _let(ws, "tk", _let(offs_arr, "offs", body))
+
+    inputs = bound(
+        f"""array_join(filter(transform(tk, (t, i) -> CASE
+            WHEN i DIV {W} < size(tk) DIV {W}
+                 AND i % {W} = element_at(offs, CAST(i DIV {W} + 1 AS INT))
+                THEN concat('<extra_id_', CAST(i DIV {W} AS STRING), '>')
+            WHEN i DIV {W} < size(tk) DIV {W}
+                 AND i % {W} > element_at(offs, CAST(i DIV {W} + 1 AS INT))
+                 AND i % {W} < element_at(offs, CAST(i DIV {W} + 1 AS INT)) + {L}
+                THEN NULL
+            ELSE t END), x -> x IS NOT NULL), ' ')"""
+    )
+    targets = bound(
+        f"""IF(size(tk) DIV {W} = 0, '<extra_id_0>',
+           concat(array_join(transform(
+               sequence(0, size(tk) DIV {W} - 1),
+               w -> concat('<extra_id_', CAST(w AS STRING), '> ',
+                           array_join(slice(tk,
+                               {W} * w + element_at(offs, CAST(w + 1 AS INT)) + 1,
+                               {L}), ' '))), ' '),
+             ' <extra_id_', CAST(size(tk) DIV {W} AS STRING), '>'))"""
+    )
     return d.select(
         "doc_id",
         F.expr(f"size({ws})").cast("bigint").alias("n_tokens"),
         F.expr(f"size({ws}) DIV {W}").cast("bigint").alias("n_spans"),
-        F.expr(
-            f"""array_join(filter(transform({ws}, (t, i) -> CASE
-                WHEN i DIV {W} < size({ws}) DIV {W}
-                     AND i % {W} = {off_i}
-                    THEN concat('<extra_id_', CAST(i DIV {W} AS STRING), '>')
-                WHEN i DIV {W} < size({ws}) DIV {W}
-                     AND i % {W} > {off_i}
-                     AND i % {W} < {off_i} + {L}
-                    THEN NULL
-                ELSE t END), x -> x IS NOT NULL), ' ')"""
-        ).alias("inputs"),
-        F.expr(
-            f"""IF(size({ws}) DIV {W} = 0, '<extra_id_0>',
-               concat(array_join(transform(
-                   sequence(0, size({ws}) DIV {W} - 1),
-                   w -> concat('<extra_id_', CAST(w AS STRING), '> ',
-                               array_join(slice({ws},
-                                   {W} * w + {off} + 1, {L}), ' '))), ' '),
-                 ' <extra_id_', CAST(size({ws}) DIV {W} AS STRING), '>'))"""
-        ).alias("targets"),
+        F.expr(inputs).alias("inputs"),
+        F.expr(targets).alias("targets"),
     )
 
 
