@@ -63,10 +63,11 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-10 contents: the nine operators born this round (Gopher
+#: Round-10 contents: the ten operators born this round (Gopher
 #: battery, DSIR resampling, BPE train→apply roundtrip, cluster
 #: retention, incremental cluster maintenance, n-gram novelty,
-#: suffix array, longest-dup-substring, T5 span corruption),
+#: suffix array, longest-dup-substring, T5 span corruption,
+#: Kneser-Ney NLL),
 #: every query whose ORACLE was rewritten for the closing-gate cost
 #: fix (posting-join pair forms, vocabulary-bound BPE replay,
 #: MATERIALIZED LPA/SSSP rounds), the cogroup engine-side pushdown,
@@ -84,6 +85,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_longest_dup_substring",
     "dedup_cluster_incremental",
     "text_span_corruption",
+    "text_kneser_ney_nll",
     # round-10 closing-gate oracle rewrites (posting-join forms /
     # MATERIALIZED round CTEs): the compare changed, so each needs a
     # fresh driver green
@@ -150,11 +152,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
-    # cohort, tpch_q7_nation_volume and the window_* family (lag_lead,
+    # cohort, tpch_q6/q7 and the window_* family (lag_lead,
     # range_frame, ranking, running_frames, topn_per_group) roll to
     # round 11) ---------------------------------------------------------
 )

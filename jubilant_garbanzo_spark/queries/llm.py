@@ -2644,6 +2644,154 @@ def text_bigram_avg_nll(spark, sf_dir):
     )
 
 
+@register(
+    "text_kneser_ney_nll",
+    oracle="""
+        WITH toks0 AS (
+            SELECT doc_id, r.i AS rawpos,
+                   lower(string_split(text, ' ')[r.i]) AS tok
+            FROM documents,
+                 UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)
+        ), toks AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY rawpos
+                   ) AS pos
+            FROM toks0 WHERE tok <> ''
+        ), bg AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS w2
+            FROM toks
+        ), bigrams AS MATERIALIZED (
+            SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+        ), c2 AS MATERIALIZED (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+            FROM bigrams GROUP BY w1, w2
+        ), c1 AS MATERIALIZED (
+            SELECT w1, CAST(count(*) AS BIGINT) AS n1
+            FROM bigrams GROUP BY w1
+        ), t1 AS MATERIALIZED (
+            SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM c2 GROUP BY w1
+        ), t2 AS MATERIALIZED (
+            SELECT w2, CAST(count(*) AS BIGINT) AS t2 FROM c2 GROUP BY w2
+        ), tt AS (
+            SELECT CAST(count(*) AS BIGINT) AS tt FROM c2
+        ), scored AS (
+            SELECT b.doc_id,
+                   CAST(round(-ln(
+                       CAST((4 * c2.n2 - 3) * tt.tt + 3 * t1.t1 * t2.t2
+                            AS DOUBLE)
+                       / CAST(4 * c1.n1 * tt.tt AS DOUBLE))
+                       * 1000000000.0) AS BIGINT) AS nll_q
+            FROM bigrams b
+            JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+            JOIN c1 ON c1.w1 = b.w1
+            JOIN t1 ON t1.w1 = b.w1
+            JOIN t2 ON t2.w2 = b.w2
+            CROSS JOIN tt
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(nll_q) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1000000000.0), 6)
+                   AS avg_kn_nll
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text", "language-model", "quality"),
+)
+def text_kneser_ney_nll(spark, sf_dir):
+    """Per-document NLL under an interpolated KNESER-NEY bigram model
+    (Kneser & Ney ICASSP'95; the KenLM/CCNet perplexity-filter
+    standard) — the smoothing that add-1 (`text_bigram_avg_nll`) only
+    approximates: the backoff mass goes to a CONTINUATION unigram
+    (how many contexts a word follows) instead of raw frequency, which
+    is what separates genuinely fluent text from stopword soup.
+
+    P(w2|w1) = (c(w1 w2) − d)/c(w1) + d·N1+(w1·)/c(w1) · Pcont(w2),
+    Pcont(w2) = N1+(·w2)/N1+(··), d = 3/4. With d = 3/4 the whole
+    probability is one exact integer ratio:
+
+        P = ((4·n2 − 3)·TT + 3·T1·T2) / (4·n1·TT)
+
+    so both engines hash identical numerators/denominators and the one
+    transcendental (−ln) is a single fixed-shape IEEE expression,
+    nano-quantized BEFORE the per-doc sum (the text_bigram_avg_nll
+    float discipline). Self-scored on the corpus's own model, so every
+    bigram is seen and d < 1 keeps every numerator positive.
+
+    Scale shape: three map-side-combinable count aggregates (pair,
+    left-context, continuation) + one pair-type count; the model joins
+    back on vocab-sized tables (AQE broadcasts small ones); per-doc
+    reduce is one hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("rawpos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.lower(F.col("tok")).alias("tok"),
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rawpos"))
+            .alias("pos"),
+        )
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok")
+            .over(W.partitionBy("doc_id").orderBy("pos"))
+            .alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n2")
+    )
+    c1 = bigrams.groupBy(F.col("w1").alias("cw1")).agg(
+        F.count("*").cast("bigint").alias("n1")
+    )
+    t1 = c2.groupBy(F.col("w1").alias("tw1")).agg(
+        F.count("*").cast("bigint").alias("t1")
+    )
+    t2 = c2.groupBy(F.col("w2").alias("tw2")).agg(
+        F.count("*").cast("bigint").alias("t2")
+    )
+    tt = c2.agg(F.count("*").cast("bigint").alias("tt"))
+    num = (4 * F.col("n2") - 3) * F.col("tt") + 3 * F.col("t1") * F.col("t2")
+    den = 4 * F.col("n1") * F.col("tt")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == F.col("cw1"))
+        .join(t1, F.col("w1") == F.col("tw1"))
+        .join(t2, F.col("w2") == F.col("tw2"))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(num.cast("double") / den.cast("double"))
+                * 1000000000.0
+            )
+            .cast("bigint")
+            .alias("nll_q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("nll_q").cast("double")
+            / (F.count("*").cast("double") * 1000000000.0),
+            6,
+        ).alias("avg_kn_nll"),
+    )
+
+
 def _minhash_accuracy_oracle() -> str:
     """DuckDB twin of the sketch-accuracy audit: identical signatures
     and banding as _minhash_lsh_oracle, plus the per-pair agreement

@@ -1399,3 +1399,59 @@ def test_span_corruption_reconstructs_original(spark, tmp_path):
             rebuilt.extend(spans[int(m[1])] if m else [tok])
         assert rebuilt == text.split(" "), doc_id
         assert len(spans.get(r["n_spans"], [])) == 0  # terminal sentinel
+
+
+def test_kneser_ney_matches_python_reference(spark, tmp_path):
+    """Exact-integer KN probabilities vs an imperative float KN
+    implementation on a tiny corpus (agreement within the nano-nat
+    quantization)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = [
+        (1, "src", "a b a b c a b"),
+        (2, "src", "b c a a b b c"),
+        (3, "src", "c c a b a c b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    docs = {r[0]: r[2].split() for r in rows}
+    bigrams = {d: list(zip(t, t[1:])) for d, t in docs.items()}
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    t1 = defaultdict(set)
+    t2 = defaultdict(set)
+    for (w1, w2) in c2:
+        t1[w1].add(w2)
+        t2[w2].add(w1)
+    tt = len(c2)
+    d_disc = 0.75
+
+    def p_kn(w1, w2):
+        return (c2[(w1, w2)] - d_disc) / c1[w1] + (
+            d_disc * len(t1[w1]) / c1[w1]
+        ) * (len(t2[w2]) / tt)
+
+    want = {
+        doc: sum(-math.log(p_kn(*b)) for b in bs) / len(bs)
+        for doc, bs in bigrams.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_kn_nll"])
+        for r in load_all()["text_kneser_ney_nll"].fn(spark, sf).collect()
+    }
+    for doc, bs in bigrams.items():
+        assert got[doc][0] == len(bs)
+        assert abs(got[doc][1] - want[doc]) < 1e-5, doc
+    # KN probabilities over every continuation of a context sum to 1.
+    for w1 in c1:
+        s = sum(p_kn(w1, w2) for w2 in t1[w1])
+        lam = d_disc * len(t1[w1]) / c1[w1]
+        missing = sum(
+            lam * len(t2[w2]) / tt for w2 in t2 if (w1, w2) not in c2
+        )
+        assert abs(s + missing - 1.0) < 1e-9, w1
