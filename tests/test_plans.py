@@ -870,3 +870,78 @@ def test_bpe_tokenize_shuffles_only_for_the_counts(spark, sf_dir):
     assert plan.count("Exchange") <= 2, plan[:2000]
     assert has_partial_aggregate(df)
     assert uses_take_ordered(df)
+
+
+def test_suffix_array_dense_rank_never_windows_the_data(spark, sf_dir):
+    """The two-phase dense rank must keep the ONLY unpartitioned
+    window on the <=64-row bucket-counts table: at most one
+    SinglePartition exchange in the pass, and the per-bucket
+    row_number window is partitioned by the range bucket."""
+    from pyspark.sql import functions as F
+
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.operators import suffixarray as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = SA.corpus_positions(docs)
+    r0 = SA._dense_rank(
+        pos.select("tok", F.substring("tok", 1, 1).alias("_b")), ["tok"]
+    )
+    plan = r0._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert "hashpartitioning(_b" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_suffix_ranks_session_cache_shares_one_build(spark, sf_dir):
+    """cache_key'd suffix_ranks must return the SAME checkpointed frame
+    on a second call (the minhash_index build-once/probe-many shape);
+    ad-hoc calls (cache_key=None) must not share."""
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.operators import suffixarray as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = SA.suffix_ranks(docs, cache_key=("documents", sf_dir))
+    b = SA.suffix_ranks(docs, cache_key=("documents", sf_dir))
+    assert a is b
+    c = SA.suffix_ranks(docs)
+    assert c is not a
+
+
+def test_span_corruption_is_a_pure_map_stage(spark, sf_dir):
+    """Zero exchanges before the sink: the whole operator must be
+    per-row HOF work (the 100 TB claim in its docstring)."""
+    df = q(spark, sf_dir, "text_span_corruption")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert codegen_stage_count(df) >= 1
+
+
+def test_kneser_ney_aggregates_combine_map_side(spark, sf_dir):
+    """All three count models and the per-doc reduce must partial-agg;
+    the only nested-loop join is the broadcast 1-row TT constant."""
+    df = q(spark, sf_dir, "text_kneser_ney_nll")
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+
+
+def test_cluster_keep_best_argmax_is_map_side_combinable(spark, sf_dir):
+    """The struct-argmax keeper aggregate must plan with a partial
+    phase (max is combinable), and no quadratic join may appear."""
+    df = q(spark, sf_dir, "dedup_cluster_keep_best")
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_is_two_hash_aggs_and_a_join(spark, sf_dir):
+    """First-occurrence attribution = min per shingle + count per doc:
+    hash aggregates with partial phases, no window over data, no
+    cartesian."""
+    df = q(spark, sf_dir, "text_ngram_novelty")
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
