@@ -253,6 +253,57 @@ def stream_dedup(spark, sf_dir):
 
 
 @register(
+    "stream_novelty_registry",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id, event_type) AS n
+            FROM events
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+               event_id AS first_event_id,
+               CAST(n AS BIGINT) AS n_occurrences
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "novelty", "stateful"),
+)
+def stream_novelty_registry(spark, sf_dir):
+    """Streaming FIRST-SEEN registry — the online twin of
+    `text_ngram_novelty`: per (user_id, event_type) key, the exact
+    first event (min by (ts, event_id) — a total order, so the pick is
+    deterministic under any micro-batch arrival order) and the running
+    occurrence count. This is the state a streaming novelty-rate /
+    duplicate-rate monitor maintains: a key's later events are
+    recognized as repeats by the registry, and novel-per-window rates
+    derive downstream from `first_ts`.
+
+    Engineering: windows are not allowed on streaming frames, so the
+    argmin is a `min(struct(ts, event_id))` AGGREGATE — order-
+    insensitive and mergeable across micro-batches, which is exactly
+    why the arbitrary-arrival determinism holds. Complete mode; state
+    is one row per distinct key (bounded by the key domain, the same
+    contract as any streaming dedup)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id", "event_type").agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+    )
+    out = run_available_now(agg, output_mode="complete", name_prefix="novreg")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format(F.col("first.ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_ts"
+        ),
+        F.col("first.event_id").alias("first_event_id"),
+        "n_occurrences",
+    )
+
+
+@register(
     "stream_static_join",
     oracle="""
         SELECT c.c_mktsegment AS segment,
