@@ -1455,3 +1455,65 @@ def test_kneser_ney_matches_python_reference(spark, tmp_path):
             lam * len(t2[w2]) / tt for w2 in t2 if (w1, w2) not in c2
         )
         assert abs(s + missing - 1.0) < 1e-9, w1
+
+
+def test_suffix_ranks_randomized_small_alphabet(spark):
+    """Seeded random corpus over a 3-letter alphabet (maximal tie /
+    shared-prefix structure) vs the brute-force Python ranking."""
+    import random
+
+    from jubilant_garbanzo_spark.operators import suffixarray as SA
+
+    rng = random.Random(1234)
+    rows = [
+        (i, " ".join(rng.choice("ab c".split() + ["ab", "ca"])
+                     for _ in range(rng.randint(1, 25))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["suffix_rank"]
+        for r in SA.suffix_ranks(df).collect()
+    }
+    suffixes = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        for p in range(len(toks)):
+            suffixes[(doc_id, p)] = tuple(toks[p:p + (1 << SA.ROUNDS)])
+    ordered = sorted(set(suffixes.values()))
+    want = {k: ordered.index(v) + 1 for k, v in suffixes.items()}
+    assert got == want
+
+
+def test_span_corruption_randomized_lengths(spark, tmp_path):
+    """Reconstruction + geometry across every window-boundary length
+    0..45 (includes the empty doc and exact multiples of 20)."""
+    import re
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = [
+        (n, "src", " ".join(f"w{n}_{i}" for i in range(n)))
+        for n in range(0, 46)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    out = {
+        r["doc_id"]: r
+        for r in load_all()["text_span_corruption"].fn(spark, sf).collect()
+    }
+    for n, _, text in rows:
+        r = out[n]
+        assert r["n_tokens"] == n and r["n_spans"] == n // 20
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", r["targets"])
+        for k, body in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = body.strip().split() if body.strip() else []
+        rebuilt = []
+        for tok in (r["inputs"].split(" ") if r["inputs"] else []):
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m[1])] if m else [tok])
+        assert rebuilt == (text.split(" ") if text else []), n
+        assert all(len(spans[k]) == 3 for k in range(n // 20)), n
