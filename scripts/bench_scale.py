@@ -326,7 +326,7 @@ def main() -> int:
     # named queries and --merge deep-merges the new rows into the
     # existing artifact instead of replacing it — so one new grid query
     # doesn't force re-measuring (and re-noising) the other ~24 rows.
-    ap.add_argument("--queries", nargs="+", default=None)
+    ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--merge", action="store_true")
     # Only valid with --queries restricted to documents/embeddings
     # readers: skips replicating the relational tables.
@@ -334,8 +334,14 @@ def main() -> int:
     # Also count the watch-list candidate stages (ngram prefix,
     # asymmetric containment, sparse posting pairs) at each scale.
     ap.add_argument("--watch-candidates", action="store_true")
+    # Time the suffix-array BUILD per scale (cache_key=None — the
+    # session memo would otherwise serve run 1's checkpoint to runs
+    # 2..N and fake the median at ~0 s).
+    ap.add_argument("--suffix-probe", action="store_true")
     args = ap.parse_args()
-    bench_queries = tuple(args.queries) if args.queries else QUERIES
+    bench_queries = (
+        QUERIES if args.queries is None else tuple(args.queries)
+    )
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:
         raise SystemExit(f"--queries not in the pinned grid: {unknown}")
@@ -367,6 +373,27 @@ def main() -> int:
             entry["watch_candidates"] = watchlist_candidates(spark, dest)
             print(
                 f"# x{scale} watch_candidates: {entry['watch_candidates']}",
+                file=sys.stderr,
+            )
+        if args.suffix_probe:
+            from jubilant_garbanzo_spark.catalog import load_table
+            from jubilant_garbanzo_spark.operators import suffixarray as SA
+
+            docs = load_table(spark, dest, "documents")
+            walls = []
+            n_sfx = 0
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n_sfx = SA.suffix_ranks(docs).count()
+                walls.append(time.perf_counter() - t0)
+            walls.sort()
+            entry["suffix_build"] = {
+                "wall_sec": round(walls[len(walls) // 2], 3),
+                "noise_band": round(walls[-1] - walls[0], 3),
+                "n_suffixes": n_sfx,
+            }
+            print(
+                f"# x{scale} suffix_build: {entry['suffix_build']}",
                 file=sys.stderr,
             )
         for name in bench_queries:
@@ -406,6 +433,8 @@ def main() -> int:
                     merged["candidates"] = entry["candidates"]
                 if "watch_candidates" in entry:
                     merged["watch_candidates"] = entry["watch_candidates"]
+                if "suffix_build" in entry:
+                    merged["suffix_build"] = entry["suffix_build"]
                 merged["n_docs"] = entry["n_docs"]
                 merged["n_vecs"] = entry["n_vecs"]
         result = prior
