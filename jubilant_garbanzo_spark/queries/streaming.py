@@ -260,7 +260,7 @@ def stream_dedup(spark, sf_dir):
                    row_number() OVER (PARTITION BY user_id, event_type
                                       ORDER BY ts, event_id) AS rn,
                    count(*) OVER (PARTITION BY user_id, event_type) AS n
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT user_id, event_type,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
@@ -286,7 +286,11 @@ def stream_novelty_registry(spark, sf_dir):
     why the arbitrary-arrival determinism holds. Complete mode; state
     is one row per distinct key (bounded by the key domain, the same
     contract as any streaming dedup)."""
-    s = read_events_stream(spark, sf_dir)
+    # ts IS NOT NULL on both sides: a null ts would sort FIRST in
+    # Spark's struct-min but LAST under DuckDB's default NULLS LAST —
+    # fixtures carry no null ts, but the guard removes the latent
+    # cross-engine divergence (ADVICE-r9 class of bug).
+    s = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = s.groupBy("user_id", "event_type").agg(
         F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("first"),
         F.count("*").cast("bigint").alias("n_occurrences"),
