@@ -43,9 +43,9 @@ _SH_CTE = """
     # feeds into label propagation — the oracle checks the iterative
     # algorithm reached the true fixpoint.
     oracle=f"""
-        WITH RECURSIVE pairs AS (
+        WITH RECURSIVE pairs AS MATERIALIZED (
             SELECT id_a, id_b FROM ({_minhash_lsh_oracle(0.8)}) lsh
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b AS src, id_a AS dst FROM pairs
@@ -77,9 +77,9 @@ def dedup_cluster_cc(spark, sf_dir):
     # the per-cluster argmax by (n_words DESC, doc_id ASC) — a total
     # order, so the retention decision is deterministic end-to-end.
     oracle=f"""
-        WITH RECURSIVE pairs AS (
+        WITH RECURSIVE pairs AS MATERIALIZED (
             SELECT id_a, id_b FROM ({_minhash_lsh_oracle(0.8)}) lsh
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b AS src, id_a AS dst FROM pairs
@@ -283,26 +283,34 @@ def dedup_cluster_incremental(spark, sf_dir):
         .agg((F.min("c") - F.lit(_OLD_ENC)).alias("enc"))
     )
 
+    # Components over the NEW-NEW pair graph only, THEN fold the seed
+    # encodings in per component. Feeding the seeds into the propagation
+    # as extra edges would let a SHARED old-cluster virtual node bridge
+    # two new docs that have no new-new path between them — over-merging
+    # (and diverging from the oracle, whose reachability is new-new
+    # only). Virtual labels must be component ATTRIBUTES, never transit
+    # nodes.
     new_pairs = pairs.filter(is_new("id_a") & is_new("id_b"))
-    seed_edges = seeds.select(
-        F.col("n").alias("id_a"), F.col("enc").alias("id_b")
-    )
-    labels = D.duplicate_clusters(new_pairs.unionByName(seed_edges))
+    comp = D.duplicate_clusters(new_pairs)
 
     new_docs = d.filter(is_new("doc_id")).select("doc_id")
-    out = (
-        new_docs.join(labels, "doc_id", "left")
+    member = new_docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("comp_id")
+    )
+    best = (
+        member.join(seeds, member.doc_id == seeds.n, "left")
+        .groupBy("comp_id")
+        .agg(F.min("enc").alias("best_enc"))
+    )
+    return (
+        member.join(best, "comp_id")
         .select(
             "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("label"),
+            F.coalesce(
+                F.col("best_enc") + _OLD_ENC, F.col("comp_id")
+            ).alias("cluster_id"),
+            F.col("best_enc").isNull().alias("is_new_cluster"),
         )
-    )
-    return out.select(
-        "doc_id",
-        F.when(F.col("label") < 0, F.col("label") + _OLD_ENC)
-        .otherwise(F.col("label"))
-        .alias("cluster_id"),
-        (F.col("label") >= 0).alias("is_new_cluster"),
     )
 
 

@@ -366,8 +366,11 @@ def main() -> int:
         # Candidate-mass counts cover the four dedup/ANN families; on a
         # --queries targeted run they are unchanged, so keep the prior
         # artifact's values instead of re-paying the four pipelines.
+        # --queries given (even empty, i.e. probe-only) means a
+        # targeted run: keep the committed candidate numbers instead of
+        # re-paying (and re-writing) the four candidate pipelines.
         entry["candidates"] = (
-            None if args.queries else candidate_counts(spark, dest)
+            None if args.queries is not None else candidate_counts(spark, dest)
         )
         if args.watch_candidates:
             entry["watch_candidates"] = watchlist_candidates(spark, dest)

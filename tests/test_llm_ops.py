@@ -1517,3 +1517,68 @@ def test_span_corruption_randomized_lengths(spark, tmp_path):
             rebuilt.extend(spans[int(m[1])] if m else [tok])
         assert rebuilt == (text.split(" ") if text else []), n
         assert all(len(spans[k]) == 3 for k in range(n // 20)), n
+
+
+def test_cluster_incremental_no_bridge_through_shared_old_cluster(
+    spark, tmp_path
+):
+    """A shared old-cluster seed must be a component ATTRIBUTE, never a
+    transit node: new docs 4 and 9 both seed to old cluster 10 (via
+    different anchors), 9 additionally chains new-new to 14 whose seed
+    is the smaller old cluster 3 — doc 4 has NO new-new path to 14 and
+    must stay in cluster 10, not be dragged to 3 through the shared
+    virtual node (the round-10 review finding)."""
+    from jubilant_garbanzo_spark.operators import dedup as D
+    from jubilant_garbanzo_spark.queries import load_all
+
+    # All edits are chosen to flip EXACTLY 4 of the 38 3-gram shingles
+    # (J_sh = 34/42 = 0.81 >= 0.8): 4-token swaps at the head/tail
+    # edges, 2-token swaps mid-doc. Second-degree pairs accumulate two
+    # disjoint edits (J_sh = 30/46 = 0.65 < 0.8), so the chain is a
+    # path, not a clique.
+    T = [f"t{i}" for i in range(40)]
+
+    def swap(base, lo, n, tag):
+        out = list(base)
+        for j in range(n):
+            out[lo + j] = f"{tag}{j}"
+        return out
+
+    A = T                              # doc 10 (old)
+    B = swap(A, 0, 4, "b")             # doc 15 (old): ~10
+    x4 = swap(A, 36, 4, "x")           # doc 4 (new): ~10 only
+    y9 = swap(B, 36, 4, "y")           # doc 9 (new): ~15 only
+    z14 = swap(y9, 18, 2, "z")         # doc 14 (new): ~9
+    c3 = swap(z14, 0, 4, "c")          # doc 3 (old): ~14 only
+    rows = [
+        (10, "src", " ".join(A)),
+        (15, "src", " ".join(B)),
+        (3, "src", " ".join(c3)),
+        (4, "src", " ".join(x4)),
+        (9, "src", " ".join(y9)),
+        (14, "src", " ".join(z14)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    # Pin the pair structure this test depends on (loud failure if the
+    # banding geometry ever shifts): 10-15 old-old, 4-10, 9-15, 3-14
+    # seeds, 9-14 new-new; crucially NO 4-9 and NO 4-14 edge.
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert got_pairs == {(10, 15), (4, 10), (9, 15), (3, 14), (9, 14)}, (
+        got_pairs
+    )
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_new_cluster"])
+        for r in load_all()["dedup_cluster_incremental"].fn(spark, sf).collect()
+    }
+    assert set(out) == {4, 9, 14}
+    assert out[4] == (10, False), "4 must NOT be bridged to cluster 3"
+    assert out[9] == (3, False)   # new-new chain to 14 reaches cluster 3
+    assert out[14] == (3, False)
