@@ -191,47 +191,36 @@ def mergeable_rank_min(
 # exponentially across N_ROUNDS.
 
 
-def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
-    """WITH-clause body (merges → wcnt → r0 → ... → r{rounds}) whose
-    final CTE ``r{rounds}`` holds (wid, pos, sym) BPE tokens for every
-    DISTINCT word of ``documents``; ``wcnt(wid, cnt)`` carries the
-    corpus occurrence count to weight instance-level consumers.
-
-    Vocabulary-bound on the oracle side too (round-10 sweep-cost fix):
-    tokens depend only on the word, so the earlier instance-keyed
-    replay re-ran the 6-round recurrence once per word OCCURRENCE and
-    dominated the sf0.1 closing-gate sweep. ``wid`` is the word string
-    itself — the same keying :func:`oracle_train_sql` already uses."""
-    vals = ", ".join(
-        f"('{a}', '{b}', {rank})" for rank, (a, b) in enumerate(MERGES)
-    )
-    parts = [
-        f"merges(a, b, rank) AS MATERIALIZED (VALUES {vals})",
-        """wcnt AS MATERIALIZED (
+#: Shared vocabulary CTEs: distinct words of ``documents`` keyed by the
+#: word string itself (``wid``), with corpus occurrence counts, and the
+#: character-exploded round-0 symbol table. Every BPE oracle starts
+#: here — vocabulary-bound (round-10 sweep-cost fix: tokens depend only
+#: on the word, so an instance-keyed replay re-ran the recurrence once
+#: per word OCCURRENCE and dominated the sf0.1 closing gate).
+_VOCAB_CTES = (
+    """wcnt AS MATERIALIZED (
             SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word
                   FROM documents)
             WHERE word <> ''
             GROUP BY 1
         )""",
-        """r0 AS MATERIALIZED (
+    """r0 AS MATERIALIZED (
             SELECT wid, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
             FROM (SELECT wid, string_split(wid, '') AS cs FROM wcnt)
         )""",
-    ]
-    for i in range(rounds):
-        parts.append(f"""p{i} AS MATERIALIZED (
-            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym, m.rank AS rank
-            FROM r{i} s
-            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
-            LEFT JOIN merges m ON m.a = s.sym AND m.b = nx.sym
-        ), g{i} AS MATERIALIZED (
-            SELECT p.wid, p.pos, p.sym, p.nsym,
-                   (p.rank IS NOT NULL
-                    AND p.rank = min(p.rank) OVER (PARTITION BY p.wid))
-                       AS mergeable
-            FROM p{i} p
-        ), m{i} AS MATERIALIZED (
+)
+
+
+def _merge_and_renumber_ctes(g: str, m: str, nxt: str) -> str:
+    """The shared greedy-merge tail of ONE BPE round, from a ``{g}``
+    CTE carrying (wid, pos, sym, nsym, mergeable): ``{m}`` picks the
+    odd row offsets within each maximal run of consecutive mergeable
+    positions (gaps-and-islands — the left-to-right non-overlap rule),
+    ``{nxt}`` concatenates each picked pair, drops the absorbed right
+    halves, and renumbers. Both the apply and the train recurrences
+    end every round with exactly this text."""
+    return f"""{m} AS MATERIALIZED (
             SELECT wid, pos
             FROM (SELECT wid, pos,
                          ROW_NUMBER() OVER (PARTITION BY wid, isl
@@ -239,20 +228,83 @@ def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
                   FROM (SELECT wid, pos,
                                pos - ROW_NUMBER() OVER (PARTITION BY wid
                                                         ORDER BY pos) AS isl
-                        FROM g{i} WHERE mergeable))
+                        FROM {g} WHERE mergeable))
             WHERE rn % 2 = 1
-        ), r{i + 1} AS MATERIALIZED (
+        ), {nxt} AS MATERIALIZED (
             SELECT wid,
                    ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
                    sym
             FROM (SELECT g.wid, g.pos,
                          CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
                               ELSE g.sym END AS sym
-                  FROM g{i} g
-                  LEFT JOIN m{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
-                  LEFT JOIN m{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
+                  FROM {g} g
+                  LEFT JOIN {m} mm ON mm.wid = g.wid AND mm.pos = g.pos
+                  LEFT JOIN {m} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
                   WHERE pr.pos IS NULL)
-        )""")
+        )"""
+
+
+def _apply_round_ctes(i: int, merge_table: str, pfx: str = "") -> str:
+    """One APPLY round against a (a, b, rank) merge table: pair each
+    position with its successor, flag the per-word MIN-rank pairs
+    mergeable, then the shared greedy-merge tail. ``pfx`` namespaces
+    the CTE chain (the roundtrip oracle runs apply as ``a*`` beside
+    the train chain)."""
+    # Round 0 always reads the shared vocab symbol table ``r0`` (the
+    # prefixed chain only exists from its own first output onward).
+    src = f"{pfx}r{i}" if i > 0 else "r0"
+    p, g, m = f"{pfx}p{i}", f"{pfx}g{i}", f"{pfx}m{i}"
+    return f"""{p} AS MATERIALIZED (
+            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym, m.rank AS rank
+            FROM {src} s
+            LEFT JOIN {src} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            LEFT JOIN {merge_table} m ON m.a = s.sym AND m.b = nx.sym
+        ), {g} AS MATERIALIZED (
+            SELECT p.wid, p.pos, p.sym, p.nsym,
+                   (p.rank IS NOT NULL
+                    AND p.rank = min(p.rank) OVER (PARTITION BY p.wid))
+                       AS mergeable
+            FROM {p} p
+        ), {_merge_and_renumber_ctes(g, m, f"{pfx}r{i + 1}")}"""
+
+
+def _train_round_ctes(i: int, best_cols: str) -> str:
+    """One TRAIN round (Sennrich get_stats/merge): weighted adjacent
+    pair counts, the single argmax pair (``best_cols`` picks what the
+    consumer needs from it), every occurrence of exactly that pair
+    flagged mergeable, then the shared greedy-merge tail."""
+    return f"""pc{i} AS MATERIALIZED (
+            SELECT s.sym AS a, nx.sym AS b, CAST(sum(w.cnt) AS BIGINT) AS wcount
+            FROM r{i} s
+            JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            JOIN wcnt w ON w.wid = s.wid
+            GROUP BY 1, 2
+        ), best{i} AS MATERIALIZED (
+            SELECT {best_cols}
+            FROM pc{i} ORDER BY wcount DESC, a ASC, b ASC LIMIT 1
+        ), g{i} AS MATERIALIZED (
+            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym,
+                   (nx.sym IS NOT NULL AND s.sym = bb.a AND nx.sym = bb.b)
+                       AS mergeable
+            FROM r{i} s
+            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+            CROSS JOIN best{i} bb
+        ), {_merge_and_renumber_ctes(f"g{i}", f"m{i}", f"r{i + 1}")}"""
+
+
+def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
+    """WITH-clause body (merges → wcnt → r0 → ... → r{rounds}) whose
+    final CTE ``r{rounds}`` holds (wid, pos, sym) BPE tokens for every
+    DISTINCT word of ``documents``; ``wcnt(wid, cnt)`` carries the
+    corpus occurrence count to weight instance-level consumers."""
+    vals = ", ".join(
+        f"('{a}', '{b}', {rank})" for rank, (a, b) in enumerate(MERGES)
+    )
+    parts = [
+        f"merges(a, b, rank) AS MATERIALIZED (VALUES {vals})",
+        *_VOCAB_CTES,
+        *(_apply_round_ctes(i, "merges") for i in range(rounds)),
+    ]
     return ",\n".join(parts)
 
 
@@ -345,57 +397,16 @@ def oracle_train_sql(rounds: int = N_TRAIN_MERGES) -> str:
     instead of a per-word min rank). Trains on the distinct-word dict
     keyed by the word string itself."""
     parts = [
-        """wcnt AS MATERIALIZED (
-            SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            WHERE word <> ''
-            GROUP BY 1
-        )""",
-        """r0 AS MATERIALIZED (
-            SELECT wid, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
-            FROM (SELECT wid, string_split(wid, '') AS cs FROM wcnt)
-        )""",
+        *_VOCAB_CTES,
+        *(
+            _train_round_ctes(
+                i,
+                f"{i} AS merge_rank, a, b, a || b AS merged,"
+                f" wcount AS weighted_count",
+            )
+            for i in range(rounds)
+        ),
     ]
-    for i in range(rounds):
-        parts.append(f"""pc{i} AS MATERIALIZED (
-            SELECT s.sym AS a, nx.sym AS b, CAST(sum(w.cnt) AS BIGINT) AS wcount
-            FROM r{i} s
-            JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
-            JOIN wcnt w ON w.wid = s.wid
-            GROUP BY 1, 2
-        ), best{i} AS MATERIALIZED (
-            SELECT {i} AS merge_rank, a, b, a || b AS merged,
-                   wcount AS weighted_count
-            FROM pc{i} ORDER BY wcount DESC, a ASC, b ASC LIMIT 1
-        ), g{i} AS MATERIALIZED (
-            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym,
-                   (nx.sym IS NOT NULL AND s.sym = bb.a AND nx.sym = bb.b)
-                       AS mergeable
-            FROM r{i} s
-            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
-            CROSS JOIN best{i} bb
-        ), m{i} AS MATERIALIZED (
-            SELECT wid, pos
-            FROM (SELECT wid, pos,
-                         ROW_NUMBER() OVER (PARTITION BY wid, isl
-                                            ORDER BY pos) AS rn
-                  FROM (SELECT wid, pos,
-                               pos - ROW_NUMBER() OVER (PARTITION BY wid
-                                                        ORDER BY pos) AS isl
-                        FROM g{i} WHERE mergeable))
-            WHERE rn % 2 = 1
-        ), r{i + 1} AS MATERIALIZED (
-            SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
-                       AS pos, sym
-            FROM (SELECT g.wid, g.pos,
-                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
-                              ELSE g.sym END AS sym
-                  FROM g{i} g
-                  LEFT JOIN m{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
-                  LEFT JOIN m{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
-                  WHERE pr.pos IS NULL)
-        )""")
     union = " UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(rounds))
     return (
         "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_rank"
@@ -412,101 +423,22 @@ def oracle_roundtrip_sql(rounds: int = N_TRAIN_MERGES, topk: int = 40) -> str:
     INDEPENDENTLY of the training end-state, so the oracle checks the
     same train→apply consistency property the engine path claims.
     Output: corpus token frequencies under the learned vocabulary."""
-    parts = [
-        """wcnt AS MATERIALIZED (
-            SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            WHERE word <> ''
-            GROUP BY 1
-        )""",
-        """r0 AS MATERIALIZED (
-            SELECT wid, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym
-            FROM (SELECT wid, string_split(wid, '') AS cs FROM wcnt)
-        )""",
-    ]
-    # Training rounds (identical recurrence to oracle_train_sql).
-    for i in range(rounds):
-        parts.append(f"""pc{i} AS MATERIALIZED (
-            SELECT s.sym AS a, nx.sym AS b, CAST(sum(w.cnt) AS BIGINT) AS wcount
-            FROM r{i} s
-            JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
-            JOIN wcnt w ON w.wid = s.wid
-            GROUP BY 1, 2
-        ), best{i} AS MATERIALIZED (
-            SELECT {i} AS merge_rank, a, b
-            FROM pc{i} ORDER BY wcount DESC, a ASC, b ASC LIMIT 1
-        ), g{i} AS MATERIALIZED (
-            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym,
-                   (nx.sym IS NOT NULL AND s.sym = bb.a AND nx.sym = bb.b)
-                       AS mergeable
-            FROM r{i} s
-            LEFT JOIN r{i} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
-            CROSS JOIN best{i} bb
-        ), m{i} AS MATERIALIZED (
-            SELECT wid, pos
-            FROM (SELECT wid, pos,
-                         ROW_NUMBER() OVER (PARTITION BY wid, isl
-                                            ORDER BY pos) AS rn
-                  FROM (SELECT wid, pos,
-                               pos - ROW_NUMBER() OVER (PARTITION BY wid
-                                                        ORDER BY pos) AS isl
-                        FROM g{i} WHERE mergeable))
-            WHERE rn % 2 = 1
-        ), r{i + 1} AS MATERIALIZED (
-            SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
-                       AS pos, sym
-            FROM (SELECT g.wid, g.pos,
-                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
-                              ELSE g.sym END AS sym
-                  FROM g{i} g
-                  LEFT JOIN m{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
-                  LEFT JOIN m{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
-                  WHERE pr.pos IS NULL)
-        )""")
     merges_union = " UNION ALL ".join(
         f"SELECT merge_rank, a, b FROM best{i}" for i in range(rounds)
     )
-    parts.append(
+    parts = [
+        *_VOCAB_CTES,
+        # Training rounds (identical recurrence to oracle_train_sql).
+        *(
+            _train_round_ctes(i, f"{i} AS merge_rank, a, b")
+            for i in range(rounds)
+        ),
         f"lmerges AS MATERIALIZED (SELECT a, b, merge_rank AS rank"
-        f" FROM ({merges_union}))"
-    )
-    # Apply rounds from scratch against the learned table (per-word
-    # min-rank greedy — the oracle_replay_ctes recurrence).
-    for i in range(rounds):
-        src = "r0" if i == 0 else f"ar{i}"
-        parts.append(f"""ap{i} AS MATERIALIZED (
-            SELECT s.wid, s.pos, s.sym, nx.sym AS nsym, m.rank AS rank
-            FROM {src} s
-            LEFT JOIN {src} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
-            LEFT JOIN lmerges m ON m.a = s.sym AND m.b = nx.sym
-        ), ag{i} AS MATERIALIZED (
-            SELECT p.wid, p.pos, p.sym, p.nsym,
-                   (p.rank IS NOT NULL
-                    AND p.rank = min(p.rank) OVER (PARTITION BY p.wid))
-                       AS mergeable
-            FROM ap{i} p
-        ), am{i} AS MATERIALIZED (
-            SELECT wid, pos
-            FROM (SELECT wid, pos,
-                         ROW_NUMBER() OVER (PARTITION BY wid, isl
-                                            ORDER BY pos) AS rn
-                  FROM (SELECT wid, pos,
-                               pos - ROW_NUMBER() OVER (PARTITION BY wid
-                                                        ORDER BY pos) AS isl
-                        FROM ag{i} WHERE mergeable))
-            WHERE rn % 2 = 1
-        ), ar{i + 1} AS MATERIALIZED (
-            SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
-                       AS pos, sym
-            FROM (SELECT g.wid, g.pos,
-                         CASE WHEN mm.pos IS NOT NULL THEN g.sym || g.nsym
-                              ELSE g.sym END AS sym
-                  FROM ag{i} g
-                  LEFT JOIN am{i} mm ON mm.wid = g.wid AND mm.pos = g.pos
-                  LEFT JOIN am{i} pr ON pr.wid = g.wid AND pr.pos = g.pos - 1
-                  WHERE pr.pos IS NULL)
-        )""")
+        f" FROM ({merges_union}))",
+        # Apply rounds from scratch against the learned table (the
+        # oracle_replay_ctes recurrence, namespaced under a*).
+        *(_apply_round_ctes(i, "lmerges", pfx="a") for i in range(rounds)),
+    ]
     return (
         "WITH "
         + ",\n".join(parts)
