@@ -63,11 +63,12 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-10 contents: the eleven operators born this round (Gopher
+#: Round-10 contents: the twelve operators born this round (Gopher
 #: battery, DSIR resampling, BPE train→apply roundtrip, cluster
 #: retention, incremental cluster maintenance, n-gram novelty,
 #: suffix array, longest-dup-substring, T5 span corruption,
-#: Kneser-Ney NLL, streaming first-seen registry),
+#: Kneser-Ney NLL, streaming first-seen registry, GROUP BY ALL +
+#: lateral-alias SQL surface),
 #: every query whose ORACLE was rewritten for the closing-gate cost
 #: fix (posting-join pair forms, vocabulary-bound BPE replay,
 #: MATERIALIZED LPA/SSSP rounds), the cogroup engine-side pushdown,
@@ -87,6 +88,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_span_corruption",
     "text_kneser_ney_nll",
     "stream_novelty_registry",
+    "sql_group_by_all_lateral_alias",
     # round-10 closing-gate oracle rewrites (posting-join forms /
     # MATERIALIZED round CTEs): the compare changed, so each needs a
     # fresh driver green
@@ -154,11 +156,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
-    # cohort, tpch_q5/q6/q7 and the window_* family (lag_lead,
+    # cohort, tpch_q4/q5/q6/q7 and the window_* family (lag_lead,
     # range_frame, ranking, running_frames, topn_per_group) roll to
     # round 11) ---------------------------------------------------------
 )

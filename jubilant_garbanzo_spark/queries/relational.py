@@ -858,6 +858,71 @@ def sql_pipe_syntax(spark, sf_dir):
 
 
 @register(
+    "sql_group_by_all_lateral_alias",
+    # The oracle spells both conveniences out longhand: explicit GROUP
+    # BY keys and the alias expression re-expanded — proving the sugar
+    # changes syntax only, never semantics.
+    oracle="""
+        SELECT event_type, event_hour, n_events, cents,
+               CAST(cents AS DOUBLE) / 100.0 AS dollars,
+               round((CAST(cents AS DOUBLE) / 100.0) / n_events, 6)
+                   AS avg_value
+        FROM (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS event_hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events
+            GROUP BY event_type, CAST(extract(hour FROM ts) AS BIGINT)
+        )
+    """,
+    tags=("relational", "spark4", "sql-surface"),
+)
+def sql_group_by_all_lateral_alias(spark, sf_dir):
+    """Two Spark 3.4+/4 SQL conveniences pinned in one query:
+
+    - ``GROUP BY ALL`` (SPARK-40218): the grouping keys are inferred
+      as every non-aggregate select item — here (event_type,
+      event_hour), where event_hour is itself a computed column;
+    - LATERAL COLUMN ALIAS (SPARK-27561): the outer projection's
+      ``avg_value`` references the SIBLING alias ``dollars``, which
+      classic SQL scoping forbids. (The two sugars cannot share one
+      SELECT: Spark 4.1 still rejects lateral aliases inside a
+      GROUP BY ALL block — UNSUPPORTED_FEATURE
+      .LATERAL_COLUMN_ALIAS_IN_GROUP_BY — so the projection nests.)
+
+    The oracle expands both by hand (explicit keys, alias re-inlined),
+    so the differential check proves the sugar is pure syntax — same
+    rows, same exact-cents arithmetic (cents is CAST to DOUBLE before
+    the division: a bare `cents / 100.0` makes Spark SQL's literal a
+    DECIMAL and the output column decimal-typed — the round-7
+    vanilla-rehearsal failure class, caught again here by
+    drive_entry --names). Plans identically to the longhand form:
+    filter-free scan → partial agg on low-cardinality keys; the nested
+    projection collapses."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "gba_events_src"
+    )
+    return spark.sql(
+        """
+        SELECT event_type, event_hour, n_events, cents,
+               CAST(cents AS DOUBLE) / 100.0 AS dollars,
+               round(dollars / n_events, 6) AS avg_value
+        FROM (
+            SELECT event_type,
+                   CAST(extract(HOUR FROM ts) AS BIGINT) AS event_hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM gba_events_src
+            GROUP BY ALL
+        )
+        """
+    )
+
+
+@register(
     "sql_udf_scalar",
     oracle="""
         SELECT l_returnflag,
