@@ -121,11 +121,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 10 (VERDICT r9 #1): CHANGED_THIS_ROUND (24: the 11 queries
-#: born this round + 13 whose bodies/oracles changed) + the 26 stalest
-#: greens, per `scripts/next_window.py --slots 50`. That covers 26 of
-#: the 34-query r2 cohort; the remaining 8 r2-stale entries
-#: (tpch_q5/q6/q7 and the five window_* queries) did NOT fit after the
+#: Round 10 (VERDICT r9 #1): CHANGED_THIS_ROUND (25: the 12 queries
+#: born this round + 13 whose bodies/oracles changed) + the 25 stalest
+#: greens, per `scripts/next_window.py --slots 50`. That covers 25 of
+#: the 34-query r2 cohort; the remaining 9 r2-stale entries
+#: (tpch_q4-q7 and the five window_* queries) did NOT fit after the
 #: round's changed set grew — they are the head of round 11's
 #: staleness queue, ahead of the r3 cohort.
 DRIVER_PRIORITY: tuple[str, ...] = (
