@@ -85,10 +85,16 @@ def main() -> int:
     for n in red:
         print(f"    {n} (last seen r{last_status[n][0]})")
     remaining = args.slots - len(never) - len(red)
-    print(
-        f"\ntier 3 — changed bodies/oracles this round: (from git, not "
-        f"computable here)"
-    )
+    # Tier 3: the round's declared changed set (minus tier 1, which
+    # already leads) — readable directly from the registry since r9's
+    # pin test forces it to be maintained.
+    from jubilant_garbanzo_spark.queries import CHANGED_THIS_ROUND
+
+    tier3 = [n for n in CHANGED_THIS_ROUND if n not in set(never) | set(red)]
+    remaining -= len(tier3)
+    print(f"\ntier 3 — CHANGED_THIS_ROUND beyond tiers 1+2 ({len(tier3)}):")
+    for n in tier3:
+        print(f"    {n}")
     print(
         f"\ntier 4 — staleness-ranked refreshes for the ~{max(remaining, 0)} "
         f"remaining slots (oldest green first):"
