@@ -63,12 +63,12 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-10 contents: the twelve operators born this round (Gopher
+#: Round-10 contents: the thirteen operators born this round (Gopher
 #: battery, DSIR resampling, BPE train→apply roundtrip, cluster
 #: retention, incremental cluster maintenance, n-gram novelty,
 #: suffix array, longest-dup-substring, T5 span corruption,
 #: Kneser-Ney NLL, streaming first-seen registry, GROUP BY ALL +
-#: lateral-alias SQL surface),
+#: lateral-alias SQL surface, Matryoshka truncation recall),
 #: every query whose ORACLE was rewritten for the closing-gate cost
 #: fix (posting-join pair forms, vocabulary-bound BPE replay,
 #: MATERIALIZED LPA/SSSP rounds), the cogroup engine-side pushdown,
@@ -89,6 +89,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_kneser_ney_nll",
     "stream_novelty_registry",
     "sql_group_by_all_lateral_alias",
+    "embed_matryoshka_recall",
     # round-10 closing-gate oracle rewrites (posting-join forms /
     # MATERIALIZED round CTEs): the compare changed, so each needs a
     # fresh driver green
@@ -121,11 +122,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 10 (VERDICT r9 #1): CHANGED_THIS_ROUND (25: the 12 queries
-#: born this round + 13 whose bodies/oracles changed) + the 25 stalest
-#: greens, per `scripts/next_window.py --slots 50`. That covers 25 of
-#: the 34-query r2 cohort; the remaining 9 r2-stale entries
-#: (tpch_q4-q7 and the five window_* queries) did NOT fit after the
+#: Round 10 (VERDICT r9 #1): CHANGED_THIS_ROUND (26: the 13 queries
+#: born this round + 13 whose bodies/oracles changed) + the 24 stalest
+#: greens, per `scripts/next_window.py --slots 50`. That covers 24 of
+#: the 34-query r2 cohort; the remaining 10 r2-stale entries
+#: (tpch_q3-q7 and the five window_* queries) did NOT fit after the
 #: round's changed set grew — they are the head of round 11's
 #: staleness queue, ahead of the r3 cohort.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -155,11 +156,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
     # -- staleness refreshes: last green r3 (none left this round —
     # the round-10 wave-2 operators and the oracle rewrites take the
     # remaining slots, per the rotation discipline above; the r3
-    # cohort, tpch_q4/q5/q6/q7 and the window_* family (lag_lead,
+    # cohort, tpch_q3-q7 and the window_* family (lag_lead,
     # range_frame, ranking, running_frames, topn_per_group) roll to
     # round 11) ---------------------------------------------------------
 )

@@ -908,6 +908,123 @@ def embed_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
+#: Matryoshka evaluation geometry: prefix dims checked against the
+#: full 64-dim ranking, 5 probe vectors, recall@10.
+_MRL_DIMS = (16, 32, 64)
+_MRL_PROBES = 5
+_MRL_K = 10
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle=f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), p AS MATERIALIZED (
+            SELECT vec_id AS q_id, v AS qv FROM e
+            WHERE vec_id < {_MRL_PROBES}
+        ), dims(dim) AS (VALUES {", ".join(f"({d})" for d in _MRL_DIMS)}),
+        scored AS MATERIALIZED (
+            SELECT d.dim, p.q_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       e.v[1:d.dim], p.qv[1:d.dim]), 6) AS cos6
+            FROM e JOIN p ON e.vec_id <> p.q_id
+            CROSS JOIN dims d
+        ), ranked AS (
+            SELECT dim, q_id, vec_id,
+                   row_number() OVER (PARTITION BY dim, q_id
+                                      ORDER BY cos6 DESC, vec_id ASC) AS rn
+            FROM scored
+        ), tops AS MATERIALIZED (
+            SELECT dim, q_id, vec_id FROM ranked WHERE rn <= {_MRL_K}
+        ), fulltop AS (
+            SELECT q_id, vec_id FROM tops WHERE dim = {max(_MRL_DIMS)}
+        )
+        SELECT t.q_id AS probe_id, CAST(t.dim AS BIGINT) AS dim,
+               CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+               round(CAST(count(f.vec_id) AS DOUBLE) / {_MRL_K}.0, 6)
+                   AS recall_at_{_MRL_K}
+        FROM tops t
+        LEFT JOIN fulltop f
+               ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "embedding", "ann", "matryoshka"),
+)
+def embed_matryoshka_recall(spark, sf_dir):
+    """MATRYOSHKA truncation evaluation (Kusupati et al. NeurIPS'22
+    MRL): how much of the full-dimension cosine top-{_MRL_K} survives
+    when vectors are truncated to a prefix of their dimensions — THE
+    ablation run before shipping shortened embeddings to a cheaper ANN
+    tier (prefix dims 16/32 vs the full 64; the full-dim rows are the
+    built-in recall=1.0 sanity).
+
+    Determinism: each truncated cosine is the same fixed-shape IEEE
+    expression `dot/(|a||b|)` over prefix slices, rounded to 6 before
+    ranking with a vec_id tiebreak (the brute_force_topk discipline),
+    so both engines rank identical lists; overlap counts are exact
+    integers.
+
+    Scale shape: probes x corpus brute force, like every exact-baseline
+    embed op — one broadcast of {_MRL_PROBES} probe vectors, a map-side
+    scored pass per dim, and per-(dim, probe) TOP-{_MRL_K} via a window
+    partitioned by probe (never global). Production swaps the exact
+    scorer for any registry ANN; the evaluation joins stay the same."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    p = F.broadcast(
+        e.filter(F.col("vec_id") < _MRL_PROBES).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    parts = []
+    for d in _MRL_DIMS:
+        vd, qd = F.slice("v", 1, d), F.slice("qv", 1, d)
+        cos6 = F.round(S.dot(vd, qd) / (S.norm(vd) * S.norm(qd)), 6)
+        parts.append(
+            e.crossJoin(p)
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                F.lit(d).cast("bigint").alias("dim"),
+                "q_id",
+                "vec_id",
+                cos6.alias("cos6"),
+            )
+        )
+    scored = parts[0]
+    for pt in parts[1:]:
+        scored = scored.unionByName(pt)
+    w = W.partitionBy("dim", "q_id").orderBy(
+        F.desc("cos6"), F.asc("vec_id")
+    )
+    tops = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("dim", "q_id", "vec_id")
+    )
+    full = tops.filter(F.col("dim") == max(_MRL_DIMS)).select(
+        F.col("q_id").alias("fq"), F.col("vec_id").alias("fv")
+    )
+    return (
+        tops.join(
+            full,
+            (F.col("q_id") == F.col("fq")) & (F.col("vec_id") == F.col("fv")),
+            "left",
+        )
+        .groupBy(F.col("q_id").alias("probe_id"), "dim")
+        .agg(
+            F.count("fv").cast("bigint").alias("n_overlap"),
+            F.round(
+                F.count("fv").cast("double") / float(_MRL_K), 6
+            ).alias(f"recall_at_{_MRL_K}"),
+        )
+    )
+
+
 def _hyperplane_sig_cte(
     dim: int = 64, seeded: bool = False, skew: bool = True
 ) -> str:
