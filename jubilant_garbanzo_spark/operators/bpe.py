@@ -297,8 +297,15 @@ def oracle_replay_ctes(rounds: int = N_ROUNDS) -> str:
     final CTE ``r{rounds}`` holds (wid, pos, sym) BPE tokens for every
     DISTINCT word of ``documents``; ``wcnt(wid, cnt)`` carries the
     corpus occurrence count to weight instance-level consumers."""
+    # Escape quotes exactly like merge_rank_map_expr does (ADVICE r10:
+    # the map literal escaped but these VALUES tuples did not, so a
+    # future merge symbol containing an apostrophe would silently break
+    # the oracle SQL while the Spark side kept working).
     vals = ", ".join(
-        f"('{a}', '{b}', {rank})" for rank, (a, b) in enumerate(MERGES)
+        "('{}', '{}', {})".format(
+            a.replace("'", "''"), b.replace("'", "''"), rank
+        )
+        for rank, (a, b) in enumerate(MERGES)
     )
     parts = [
         f"merges(a, b, rank) AS MATERIALIZED (VALUES {vals})",

@@ -148,7 +148,9 @@ _MINHASH_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 def _dir_fingerprint(cache_key: tuple) -> tuple:
     """Cheap content fingerprint of any filesystem paths inside a
-    cache key: (name, size, mtime_ns) per file, one level deep. Guards
+    cache key: (relative path, size, mtime_ns) per file, RECURSIVE
+    (ADVICE r10: one level deep missed partitioned parquet subdirs
+    regenerated in place with identical top-level entry names). Guards
     the memo against parquet dirs REWRITTEN at the same path within a
     single application (e.g. a regenerated scale dir) — without it the
     checkpointed frames would silently serve the old data."""
@@ -157,9 +159,14 @@ def _dir_fingerprint(cache_key: tuple) -> tuple:
     fps = []
     for part in cache_key:
         if isinstance(part, str) and os.path.isdir(part):
-            for e in sorted(os.scandir(part), key=lambda e: e.name):
-                st = e.stat()
-                fps.append((e.name, st.st_size, st.st_mtime_ns))
+            for root, dirs, files in sorted(os.walk(part)):
+                dirs.sort()
+                rel = os.path.relpath(root, part)
+                for name in sorted(files):
+                    st = os.stat(os.path.join(root, name))
+                    fps.append(
+                        (os.path.join(rel, name), st.st_size, st.st_mtime_ns)
+                    )
     return tuple(fps)
 
 

@@ -33,12 +33,17 @@ Distribution discipline (the part that must survive 100 TB):
   ``ids_global_row_number`` decomposition): distinct keys -> contiguous
   range buckets -> per-bucket window (each task sorts one bucket) ->
   bucket offsets from a window over the <=64-row counts table.
-- Bucket ranges: round 0 buckets by the token's leading character
-  (contiguous in lexicographic order; a cluster deploy would use
-  sampled range splits, i.e. Spark's own RangePartitioner). Every
-  later round buckets by ``(r-1)*64 DIV M`` over the PREVIOUS dense
-  rank r — dense ranks are uniform on [1, M] by construction, so the
-  ranges are balanced for free. M rides in a broadcast 1-row frame
+- Bucket ranges: round 0 buckets by the leading character's CAPPED
+  codepoint (``least(63, codepoint DIV 4)`` — contiguous in
+  lexicographic order and bounded at ``N_BUCKETS`` for ANY alphabet;
+  ADVICE r10 flagged the raw leading-character bucket as unbounded on
+  Unicode-heavy corpora. Codepoints ≥ 252 collapse into the last
+  bucket, so a non-Latin corpus skews there — a perf property, not a
+  correctness one; a cluster deploy would use sampled range splits,
+  i.e. Spark's own RangePartitioner). Every later round buckets by
+  ``(r-1)*64 DIV M`` over the PREVIOUS dense rank r — dense ranks are
+  uniform on [1, M] by construction, so the ranges are balanced for
+  free. M rides in a broadcast 1-row frame
   (the argmax-frame pattern of operators/bpe.train_merges — no
   driver-side data path).
 - Each round ends in an eager ``localCheckpoint``: the next round
@@ -128,9 +133,19 @@ def suffix_ranks(
         if hit is not None:
             return hit
     pos = corpus_positions(docs)
-    # Round 0: rank by the single token at pos (leading-char ranges).
+    # Round 0: rank by the single token at pos. Bucket = capped leading
+    # codepoint — monotone in token order (for codepoints < 252, UTF-16
+    # comparison order == codepoint order; everything ≥ 252 collapses
+    # into bucket 63) and bounded at N_BUCKETS for any alphabet, so the
+    # offsets window really does touch ≤ 64 rows (ADVICE r10).
     r0 = _dense_rank(
-        pos.select("tok", F.substring("tok", 1, 1).alias("_b")), ["tok"]
+        pos.select(
+            "tok",
+            F.expr(
+                f"least({N_BUCKETS - 1}, ascii(substring(tok, 1, 1)) DIV 4)"
+            ).alias("_b"),
+        ),
+        ["tok"],
     )
     cur = (
         pos.join(r0.select("tok", "_r"), "tok")

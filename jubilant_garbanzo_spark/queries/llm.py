@@ -401,7 +401,7 @@ def text_suffix_array(spark, sf_dir):
     Lee et al. ACL'22 EXACTSUBSTR (text_duplicated_ngram_coverage is
     its fixed-width approximation; this is the variable-length real
     thing: equal final ranks <=> suffixes identical to depth
-    2^{SA.ROUNDS} tokens, i.e. arbitrarily-long duplicated spans
+    2^7 = 128 tokens, i.e. arbitrarily-long duplicated spans
     surface as rank collisions, and rank adjacency gives the
     lexicographic neighbor for LCP-style extension).
 
@@ -488,12 +488,12 @@ def text_longest_dup_substring(spark, sf_dir):
     representative (min (doc,pos)) against (a) the next rank's
     representative ('adj' — the classic adjacent-LCP candidates) and
     (b) the same rank's second member ('dup' — groups identical to
-    depth 2^{SA.ROUNDS}, where LCP = span length, capped). Top-50 by
+    depth 2^7 = 128, where LCP = span length, capped). Top-50 by
     (lcp DESC, rank, kind) — a total order, so both engines pick
     identical rows.
 
     LCP itself is a per-pair array comparison (token slices from each
-    position, capped at 2^{SA.ROUNDS}; first-mismatch index via one
+    position, capped at 2^7 = 128; first-mismatch index via one
     zip_with + array_position — no per-token join): the pair SELECTION
     is what the suffix ranks buy, and those ranks are independently
     verified by text_suffix_array's own oracle.
@@ -954,7 +954,7 @@ _MRL_K = 10
 )
 def embed_matryoshka_recall(spark, sf_dir):
     """MATRYOSHKA truncation evaluation (Kusupati et al. NeurIPS'22
-    MRL): how much of the full-dimension cosine top-{_MRL_K} survives
+    MRL): how much of the full-dimension cosine top-10 survives
     when vectors are truncated to a prefix of their dimensions — THE
     ablation run before shipping shortened embeddings to a cheaper ANN
     tier (prefix dims 16/32 vs the full 64; the full-dim rows are the
@@ -967,8 +967,8 @@ def embed_matryoshka_recall(spark, sf_dir):
     integers.
 
     Scale shape: probes x corpus brute force, like every exact-baseline
-    embed op — one broadcast of {_MRL_PROBES} probe vectors, a map-side
-    scored pass per dim, and per-(dim, probe) TOP-{_MRL_K} via a window
+    embed op — one broadcast of 5 probe vectors, a map-side
+    scored pass per dim, and per-(dim, probe) TOP-10 via a window
     partitioned by probe (never global). Production swaps the exact
     scorer for any registry ANN; the evaluation joins stay the same."""
     from pyspark.sql import Window as W
