@@ -63,55 +63,28 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-10 contents: the thirteen operators born this round (Gopher
-#: battery, DSIR resampling, BPE train→apply roundtrip, cluster
-#: retention, incremental cluster maintenance, n-gram novelty,
-#: suffix array, longest-dup-substring, T5 span corruption,
-#: Kneser-Ney NLL, streaming first-seen registry, GROUP BY ALL +
-#: lateral-alias SQL surface, Matryoshka truncation recall),
-#: every query whose ORACLE was rewritten for the closing-gate cost
-#: fix (posting-join pair forms, vocabulary-bound BPE replay,
-#: MATERIALIZED LPA/SSSP rounds), the cogroup engine-side pushdown,
-#: and every query the ADVICE-r9 fixes touched (short-doc shingle
-#: guard, BPE oracle wid stride, canonicalize_url NULL fallback,
-#: minhash_index cache-key fingerprint).
+#: Round-11 contents: the operators born this round (deterministic
+#: global corpus shuffle; perceptual-hash image dedup; EXACTSUBSTR
+#: duplicated-span removal; unigram-LM / SentencePiece Viterbi
+#: tokenizer), the suffix-array pair whose round-0 bucket expression
+#: changed (ADVICE r10: capped leading-codepoint buckets — results
+#: identical, body changed), and the five MinHash-index consumers
+#: touched by the recursive _dir_fingerprint fix (same adjudication as
+#: the round-10 cache-fingerprint change: session-cache keying only,
+#: results can't differ, fresh greens anyway per the rotation
+#: discipline).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-10 new operators (windowed the round they are born)
-    "text_gopher_rules",
-    "text_dsir_resample",
-    "text_bpe_roundtrip",
-    "dedup_cluster_keep_best",
-    "text_ngram_novelty",
+    # round-11 new operators (windowed the round they are born)
+    "pipeline_global_shuffle",
+    # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
-    "dedup_cluster_incremental",
-    "text_span_corruption",
-    "text_kneser_ney_nll",
-    "stream_novelty_registry",
-    "sql_group_by_all_lateral_alias",
-    "embed_matryoshka_recall",
-    # round-10 closing-gate oracle rewrites (posting-join forms /
-    # MATERIALIZED round CTEs): the compare changed, so each needs a
-    # fresh driver green
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "graph_label_propagation",
-    "graph_sssp_bellman_ford",
-    # round-10 engine fix: orders-side filter mirrored through the
-    # opaque cogroup seam (155 s -> 7 s at sf0.1)
-    "join_cogroup_customer_orders",
-    # ADVICE r9 medium: sequence(1,0) shingle guard in both bodies
-    "text_sparse_tfidf_cosine",
-    "text_heaps_law",
-    # ADVICE r9: canonicalize_url NULL fallback (body + oracle twin)
-    "text_url_canonical_dedup",
-    # ADVICE r9: BPE oracle word-id stride 1024 → 2^20
-    "text_bpe_tokenize",
-    "text_bpe_pack",
-    # ADVICE r9: minhash_index memo now fingerprints the input dir
+    # recursive dir-fingerprint in the shared index memos (ADVICE r10)
     "dedup_minhash_lsh",
     "dedup_minhash_accuracy",
     "dedup_cluster_cc",
+    "dedup_cluster_keep_best",
+    "dedup_cluster_incremental",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -122,46 +95,54 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 10 (VERDICT r9 #1): CHANGED_THIS_ROUND (26: the 13 queries
-#: born this round + 13 whose bodies/oracles changed) + the 24 stalest
-#: greens, per `scripts/next_window.py --slots 50`. That covers 24 of
-#: the 34-query r2 cohort; the remaining 10 r2-stale entries
-#: (tpch_q3-q7 and the five window_* queries) did NOT fit after the
-#: round's changed set grew — they are the head of round 11's
-#: staleness queue, ahead of the r3 cohort.
+#: Round 11 (VERDICT r10 #1): CHANGED_THIS_ROUND + the ENTIRE
+#: remaining r2/r3 evidence tail (27 queries — the full tier-4 head of
+#: `scripts/next_window.py --slots 50`), then the oldest r4 greens up
+#: to the 50-slot cap. After this round's driver pass the oldest
+#: driver evidence anywhere in the registry becomes r4.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: last green r2 (the full remaining cohort) ----
-    "map_functions",
-    "math_functions",
-    "scan_csv",
-    "scan_json",
-    "scan_projection",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    "sink_parquet_partitioned",
-    "sort_multikey_nulls",
-    "source_binaryfile",
-    "string_functions",
-    "subquery_correlated_scalar",
-    "text_prefix_token_trending",
-    "text_tfidf_top_terms",
-    "text_train_holdout_split",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing_summary",
-    # -- staleness refreshes: last green r3 (none left this round —
-    # the round-10 wave-2 operators and the oracle rewrites take the
-    # remaining slots, per the rotation discipline above; the r3
-    # cohort, tpch_q3-q7 and the window_* family (lag_lead,
-    # range_frame, ranking, running_frames, topn_per_group) roll to
-    # round 11) ---------------------------------------------------------
+    # -- staleness refreshes: last green r2 (the final r2 remainder) -----
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_frames",
+    "window_topn_per_group",
+    # -- staleness refreshes: last green r3 (the full r3 cohort) ---------
+    "array_functions",
+    "join_left_anti",
+    "join_left_semi",
+    "sliding_window_counts",
+    "source_orc",
+    "text_decontamination",
+    "text_fingerprints",
+    "text_normalize_pandas_udf",
+    "text_pack_sequences",
+    "text_pii_scrub",
+    "text_robust_scale",
+    "text_vocab_oov",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q8_market_share",
+    # -- staleness refreshes: last green r4 (oldest-first fill) ----------
+    "agg_collect_list_set",
+    "agg_cube",
+    "agg_distinct",
+    "agg_groupby_basic",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_skewness_kurtosis",
+    "agg_statistics",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1196,3 +1196,99 @@ def pipeline_temperature_mixture(spark, sf_dir):
     return ranked.join(F.broadcast(targets), "lang").filter(
         F.col("rk") <= F.col("target")
     ).select("doc_id", "lang", "rk")
+
+
+#: Global-shuffle geometry: permutation seed (re-shuffling per epoch =
+#: changing the seed), target documents per output shard, and the
+#: hash-prefix bucket count for the two-phase global ordering (the only
+#: unpartitioned window touches ≤ _GS_BUCKETS rows).
+_GS_SEED = "r11"
+_GS_SHARD = 1000
+_GS_BUCKETS = 256
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5('shuffle-{_GS_SEED}:' || CAST(doc_id AS VARCHAR))
+                       AS rk
+            FROM documents
+        ), numbered AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY rk, doc_id) AS BIGINT)
+                       AS global_pos
+            FROM h
+        )
+        SELECT doc_id, global_pos,
+               CAST((global_pos - 1) // {_GS_SHARD} AS BIGINT) AS shard_id,
+               CAST((global_pos - 1) % {_GS_SHARD} AS BIGINT) AS shard_pos
+        FROM numbered
+    """,
+    tags=("pipeline", "shuffle", "sampling", "scale", "row-number"),
+)
+def pipeline_global_shuffle(spark, sf_dir):
+    """Deterministic GLOBAL corpus shuffle — the final pre-training
+    stage before sharding: every document gets a seeded pseudo-random
+    permutation rank (md5 of seed + doc_id — reshuffling per epoch is
+    just a new seed, and the permutation is reproducible across runs,
+    partitionings, and engines), then a dense global position and a
+    (shard_id, shard_pos) assignment of exactly _GS_SHARD docs per
+    shard (last shard ragged). Pairs with `pipeline_shard_binpack`
+    (size-budgeted packing) — this is the order-randomizing variant a
+    dataloader wants when documents must be visited in a globally
+    shuffled order.
+
+    NO global single-partition window over the data: the two-phase
+    bucket-offset decomposition of `ids_global_row_number`, with the
+    bucket = the first md5 byte (256 contiguous ranges of the rank
+    key, monotone in (rk, doc_id) order by construction). Phase 1
+    counts the 256 buckets (map-side combinable); the ONLY
+    unpartitioned window runs over that 256-row counts table; phase 2
+    ranks within buckets (each task sorts ~N/256 rows) and adds the
+    broadcast offsets. md5 ranks are uniform, so buckets are balanced
+    for free — at 100 TB raise _GS_BUCKETS so each bucket's sort fits
+    an executor.
+
+    The oracle computes the same permutation with DuckDB's global
+    row_number window, proving the decomposition exact (bijectivity,
+    seed determinism, and shard-size bounds are additionally pinned by
+    tests/test_llm_ops.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.md5(
+        F.concat(F.lit(f"shuffle-{_GS_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    h = d.select(
+        "doc_id",
+        rk.alias("rk"),
+        F.conv(F.substring(rk, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+    )
+    counts = h.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("rk", "doc_id")
+    pos = (
+        h.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("rn")).cast("bigint").alias("global_pos"),
+        )
+    )
+    return pos.select(
+        "doc_id",
+        "global_pos",
+        ((F.col("global_pos") - 1) / _GS_SHARD)
+        .cast("bigint")
+        .alias("shard_id"),
+        ((F.col("global_pos") - 1) % _GS_SHARD)
+        .cast("bigint")
+        .alias("shard_pos"),
+    )

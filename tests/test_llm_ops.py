@@ -1582,3 +1582,29 @@ def test_cluster_incremental_no_bridge_through_shared_old_cluster(
     assert out[4] == (10, False), "4 must NOT be bridged to cluster 3"
     assert out[9] == (3, False)   # new-new chain to 14 reaches cluster 3
     assert out[14] == (3, False)
+
+
+def test_global_shuffle_permutation_invariants(spark, sf_dir):
+    """pipeline_global_shuffle must be a seeded PERMUTATION: positions
+    are a bijection onto 1..N, shard sizes are exactly _GS_SHARD
+    except the ragged last shard, and the assignment is deterministic
+    across independent evaluations (seed-keyed md5, no RNG, no
+    partitioning dependence)."""
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.queries.pipeline import _GS_SHARD
+
+    fn = load_all()["pipeline_global_shuffle"].fn
+    rows = fn(spark, sf_dir).collect()
+    n = len(rows)
+    pos = sorted(r["global_pos"] for r in rows)
+    assert pos == list(range(1, n + 1)), "positions not a bijection"
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    last = max(by_shard)
+    for sid, sp in by_shard.items():
+        expect = _GS_SHARD if sid < last else n - last * _GS_SHARD
+        assert len(sp) == expect, (sid, len(sp))
+        assert sorted(sp) == list(range(len(sp))), sid
+    again = {r["doc_id"]: r["global_pos"] for r in fn(spark, sf_dir).collect()}
+    assert again == {r["doc_id"]: r["global_pos"] for r in rows}

@@ -945,3 +945,15 @@ def test_ngram_novelty_is_two_hash_aggs_and_a_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_global_shuffle_no_global_data_sort(spark, sf_dir):
+    """The permutation rank must be two-phase: data windows are
+    hash-partitioned by the md5-prefix bucket; the only
+    single-partition exchange feeds the 256-row offsets window —
+    never a range sort of the data."""
+    df = q(spark, sf_dir, "pipeline_global_shuffle")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+    assert "hashpartitioning(bucket" in plan, plan[:2000]
