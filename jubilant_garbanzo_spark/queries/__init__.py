@@ -77,6 +77,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-11 new operators (windowed the round they are born)
     "pipeline_global_shuffle",
     "multimodal_phash_dedup",
+    "dedup_exactsubstr_removal",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",

@@ -559,6 +559,132 @@ def text_longest_dup_substring(spark, sf_dir):
     )
 
 
+#: EXACTSUBSTR removal geometry: duplicated spans of _ES_K = 2^_ES_ROUNDS
+#: tokens are cut (Lee et al. ACL'22 ship k=50 at production scale; 8
+#: matches the fixture's _SPAN_N inventory so the detection and removal
+#: tiers agree on what "duplicated" means).
+_ES_ROUNDS = 3
+_ES_K = 1 << _ES_ROUNDS
+
+
+@register(
+    "dedup_exactsubstr_removal",
+    oracle=f"""
+        WITH {SA.oracle_sql(_ES_ROUNDS)},
+        nt AS MATERIALIZED (
+            SELECT doc_id, count(*) AS ntok FROM toks GROUP BY doc_id
+        ), starts AS MATERIALIZED (
+            SELECT s.doc_id, s.pos, s.r,
+                   ROW_NUMBER() OVER (PARTITION BY s.r
+                                      ORDER BY s.doc_id, s.pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY s.r) AS c
+            FROM r{_ES_ROUNDS} s JOIN nt USING (doc_id)
+            WHERE s.pos + {_ES_K} <= nt.ntok
+        ), covered AS MATERIALIZED (
+            SELECT DISTINCT s.doc_id, s.pos + t.o AS cpos
+            FROM starts s, UNNEST(range(0, {_ES_K})) AS t(o)
+            WHERE s.c >= 2 AND s.rn >= 2
+        ), flagged AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   (c.cpos IS NOT NULL) AS cut
+            FROM toks t
+            LEFT JOIN covered c
+              ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(sum(CASE WHEN cut THEN strlen(tok) ELSE 0 END)
+                    AS BIGINT) AS n_chars_removed,
+               coalesce(string_agg(CASE WHEN NOT cut THEN tok END,
+                                   ' ' ORDER BY pos), '') AS cleaned_text
+        FROM flagged GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "substring", "suffix-array", "cleaning"),
+)
+def dedup_exactsubstr_removal(spark, sf_dir):
+    """EXACTSUBSTR duplicated-span REMOVAL — the cleaning transform
+    Lee et al. ACL'22 §4.1 actually ship (the detection tiers —
+    text_suffix_array / text_duplicated_ngram_coverage — find the
+    spans; this produces the cleaned corpus): every 8-token span that
+    occurs ≥ 2 times anywhere in the corpus is cut from every
+    occurrence EXCEPT one canonical keeper (the corpus-order-first
+    (doc_id, pos) of its rank group); overlapping cuts union, and the
+    cleaned text is the surviving tokens rejoined. Output per doc:
+    token/char removal stats + the cleaned text.
+
+    Built on the shared suffix-rank index at depth 2^3 = 8
+    (operators/suffixarray.py, rounds=3): a duplicated-span start is a
+    position whose depth-8 dense-rank group (over suffixes ≥ 8 tokens
+    long) has ≥ 2 members — exactly the rank-collision signal the
+    suffix array exists to provide; a longer duplicated span is a run
+    of colliding starts, so its cut positions union into the whole
+    span. The only windows are PARTITIONED BY RANK (never global);
+    coverage explodes ≤ 8 rows per cut start; the rebuild is one
+    ordered collect_list per doc. Everything is linear in corpus
+    tokens — no all-pairs stage exists.
+
+    Invariants pinned by tests/test_llm_ops.py: kept + removed token
+    counts reconstruct the source; a planted duplicated span is cut
+    from exactly the non-canonical doc; re-running on the cleaned
+    corpus removes nothing (idempotence); and an independent Python
+    replay of the span inventory + cut matches row-for-row.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = SA.corpus_positions(d)
+    ranks = SA.suffix_ranks(
+        d, rounds=_ES_ROUNDS, cache_key=("documents", sf_dir)
+    ).select("doc_id", "pos", F.col("suffix_rank").alias("r"))
+    nt = pos.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    starts = ranks.join(nt, "doc_id").filter(
+        F.col("pos") + _ES_K <= F.col("ntok")
+    )
+    w = W.partitionBy("r").orderBy("doc_id", "pos")
+    wc = W.partitionBy("r")
+    cut_starts = (
+        starts.withColumn("rn", F.row_number().over(w))
+        .withColumn("c", F.count("*").over(wc))
+        .filter((F.col("c") >= 2) & (F.col("rn") >= 2))
+    )
+    covered = (
+        cut_starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_ES_K - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+        .withColumn("is_cut", F.lit(True))
+    )
+    flagged = pos.join(
+        covered,
+        (pos.doc_id == covered.doc_id) & (pos.pos == covered.cpos),
+        "left",
+    ).select(
+        pos.doc_id.alias("doc_id"),
+        "pos",
+        "tok",
+        F.coalesce("is_cut", F.lit(False)).alias("cut"),
+    )
+    kept_struct = F.when(~F.col("cut"), F.struct("pos", "tok"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cut").cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(F.when(F.col("cut"), F.length("tok")).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.tok
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 #: Span-corruption geometry (Raffel et al. JMLR'20 §3.1.4 "i.i.d. noise
 #: span corruption", fixed-span variant): one 3-token span masked per
 #: 20-token window ⇒ 15% corruption rate, mean span 3 — T5's defaults.

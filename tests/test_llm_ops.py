@@ -1655,3 +1655,105 @@ def test_phash_dedup_exact_dup_and_kernel_reference(spark, tmp_path):
     # 3 that survives banding must still clear the radius to appear.
     for pair, hd in out.items():
         assert hd <= 20, (pair, hd)
+
+
+def _exactsubstr_python_replay(texts: dict[int, str], k: int = 8):
+    """Independent imperative replay of the EXACTSUBSTR cut: span
+    inventory → ≥2-occurrence groups → corpus-order canonical keeper →
+    covered-position union → cleaned text + stats."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    groups: dict[tuple, list] = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(len(ws) - k + 1):
+            groups.setdefault(tuple(ws[p : p + k]), []).append((d, p))
+    covered: dict[int, set] = {d: set() for d in toks}
+    for occ in groups.values():
+        if len(occ) < 2:
+            continue
+        for d, p in sorted(occ)[1:]:
+            covered[d].update(range(p, p + k))
+    out = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        cut = covered[d]
+        kept = [t for i, t in enumerate(ws) if i not in cut]
+        out[d] = (
+            len(ws),
+            len(cut),
+            sum(len(ws[i]) for i in cut),
+            " ".join(kept),
+        )
+    return out
+
+
+def test_exactsubstr_removal_planted_span_and_replay(spark, tmp_path):
+    """A 10-token span planted in two docs must be cut from exactly
+    the non-canonical doc (union of its three overlapping 8-span
+    starts = the whole 10 tokens); the canonical doc keeps everything;
+    and the full output matches the independent Python replay."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    span = " ".join(f"dup{i}" for i in range(10))
+    texts = {
+        1: f"a1 b1 c1 {span} d1 e1",
+        2: f"x2 y2 {span} z2 w2 v2 u2",
+        3: " ".join(f"u{i}" for i in range(30)),
+    }
+    rows = [(d, "src", t) for d, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_chars_removed"],
+            r["cleaned_text"],
+        )
+        for r in load_all()["dedup_exactsubstr_removal"].fn(spark, sf).collect()
+    }
+    assert got == _exactsubstr_python_replay(texts)
+    assert got[1][1] == 0, "canonical occurrence must be kept"
+    assert got[2][1] == 10, "whole planted span cut from doc 2"
+    assert "dup0" not in got[2][3] and "dup9" not in got[2][3]
+    # kept + removed reconstruct the source token counts
+    for d, (n, rm, _, cleaned) in got.items():
+        kept = [t for t in cleaned.split(" ") if t]
+        assert len(kept) == n - rm
+
+
+def test_exactsubstr_removal_idempotent(spark, tmp_path, sf_dir):
+    """Re-running removal on the cleaned corpus must remove nothing —
+    each surviving 8-span occurs once by construction (checked on the
+    planted fixture AND on the real sf0.001 corpus, where cut
+    boundaries could in principle mint new spans)."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    fn = load_all()["dedup_exactsubstr_removal"].fn
+    for src in ("planted", "fixture"):
+        if src == "planted":
+            span = " ".join(f"dup{i}" for i in range(12))
+            rows = [
+                (1, "src", f"a1 b1 {span} c1 d1"),
+                (2, "src", f"{span} e2 f2 g2 h2 i2 j2 k2"),
+                (3, "src", " ".join(f"m{i}" for i in range(25))),
+            ]
+            base = str(tmp_path / "base")
+            spark.createDataFrame(
+                rows, "doc_id long, source string, text string"
+            ).write.parquet(f"{base}/documents.parquet")
+        else:
+            base = sf_dir
+        cleaned = fn(spark, base).select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+        )
+        again = str(tmp_path / f"again_{src}")
+        cleaned.filter(F.col("text") != "").write.parquet(
+            f"{again}/documents.parquet"
+        )
+        rerun = fn(spark, again).agg(F.sum("n_removed")).first()[0]
+        assert rerun == 0, f"{src}: second pass removed {rerun} tokens"
