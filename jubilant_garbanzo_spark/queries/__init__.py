@@ -78,6 +78,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "pipeline_global_shuffle",
     "multimodal_phash_dedup",
     "dedup_exactsubstr_removal",
+    "text_unigram_tokenize",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",

@@ -3875,6 +3875,60 @@ def text_url_canonical_dedup(spark, sf_dir):
     )
 
 
+from jubilant_garbanzo_spark.operators import unigram as UG  # noqa: E402
+
+
+@register(
+    "text_unigram_tokenize",
+    oracle=UG.oracle_sql(),
+    tags=("llm", "text", "tokenize", "unigram", "sentencepiece"),
+)
+def text_unigram_tokenize(spark, sf_dir):
+    """UNIGRAM-LM (SentencePiece) tokenizer apply — Kudo ACL'18
+    Viterbi segmentation, the DP-optimal twin of the BPE greedy apply
+    (operators/unigram.py): each distinct corpus word is segmented
+    into the piece sequence maximizing the summed piece
+    log-probability under a broadcast piece→milli-nat table, with
+    per-character UNK fallback so segmentation is total. Output per
+    distinct word: occurrence count, piece count, the segmentation,
+    and the exact integer score.
+
+    Spark shape: vocabulary-bound (the round-10 BPE discipline —
+    tokens depend only on the word, so the DP runs once per DISTINCT
+    word, never per occurrence); the whole Viterbi DP is ONE
+    constant-size ``aggregate`` fold per row (let-binding lambdas, no
+    per-position unrolling), so the stage is a pure map over the
+    word dict — the only shuffle is the word-count aggregation
+    feeding it. The DuckDB oracle replays the recurrence as unrolled
+    relational rounds (substr joins + ROW_NUMBER argmax with the
+    identical (s, np, seg) tie order), independently of the fold; a
+    Python Viterbi loop additionally pins the semantics in
+    tests/test_llm_ops.py.
+
+    Training (the EM re-estimation loop of Kudo §3.2) is NOT
+    implemented this round: each EM iteration needs
+    forward-backward expectations over all segmentations — the same
+    bounded-DP machinery, but E-step accumulators across rounds
+    make the exact-integer oracle replay ~MAXLEN× the apply oracle's
+    size; adjudicated to the round notes, with apply (the hot-path
+    production operator) carrying the family."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= UG.MAXLEN))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    dp = words.withColumn("dp", F.expr(UG.viterbi_expr()))
+    return dp.select(
+        "word",
+        "cnt",
+        (-F.col("dp.np")).cast("bigint").alias("n_pieces"),
+        F.expr("substring(dp.seg, 2)").alias("segmentation"),
+        F.col("dp.s").cast("bigint").alias("score_milli"),
+    )
+
+
 @register(
     "text_bpe_train",
     oracle=BPE.oracle_train_sql(),

@@ -1757,3 +1757,58 @@ def test_exactsubstr_removal_idempotent(spark, tmp_path, sf_dir):
         )
         rerun = fn(spark, again).agg(F.sum("n_removed")).first()[0]
         assert rerun == 0, f"{src}: second pass removed {rerun} tokens"
+
+
+def test_unigram_tokenize_matches_python_viterbi(spark, tmp_path):
+    """The fold must reproduce an independent Python Viterbi loop —
+    same vocab, same (score, fewer-pieces, lexicographically-greatest)
+    tie order — on adversarial words: vocab words, UNK characters,
+    length-1, and the MAXLEN boundary."""
+    from jubilant_garbanzo_spark.operators import unigram as U
+    from jubilant_garbanzo_spark.queries import load_all
+
+    vocab = dict(U.VOCAB)
+
+    def viterbi(word: str):
+        # best[j] = (score, -pieces, seg) for word[:j]
+        best = [(0, 0, "")] + [None] * len(word)
+        for j in range(1, len(word) + 1):
+            cands = []
+            for k in range(1, min(U.KMAX, j) + 1):
+                prev = best[j - k]
+                if prev is None:
+                    continue
+                piece = word[j - k : j]
+                lp = vocab.get(piece)
+                if lp is None and k == 1:
+                    lp = U.UNK_MILLI
+                if lp is None:
+                    continue
+                cands.append(
+                    (prev[0] + lp, prev[1] - 1, prev[2] + " " + piece)
+                )
+            best[j] = max(cands)
+        s, np_, seg = best[len(word)]
+        return (-np_, seg[1:], s)
+
+    words = [
+        "data", "batch", "window", "customer", "stream", "query",
+        "a", "zq9", "thethethe", "datadatada", "xyxyxyxyxyxy",
+        "atatatatat", "scanscansc",
+    ]
+    assert all(len(w) <= U.MAXLEN for w in words)
+    text = " ".join(words)
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "src", text)], "doc_id long, source string, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["word"]: (r["n_pieces"], r["segmentation"], r["score_milli"])
+        for r in load_all()["text_unigram_tokenize"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == viterbi(w), (w, got[w], viterbi(w))
+        # reconstruction: pieces concatenate back to the word
+        assert "".join(got[w][1].split(" ")) == w
