@@ -146,6 +146,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_skewness_kurtosis",
     "agg_statistics",
+    "agg_unpivot",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -312,6 +312,157 @@ def watchlist_candidates(spark, sf_dir: str) -> dict:
     }
 
 
+def incremental_probe(spark, dest: str, runs: int) -> dict:
+    """Steady-state crawl-increment probe (VERDICT r10 #7): the two
+    incremental operators are THE 100 TB shapes — their cost must be
+    bounded by the INCREMENT, not the corpus. Setup per scale:
+
+    - corpus = the scaled dir (x1/x10/x30 — grows);
+    - increment = a FIXED batch: the base corpus's ``doc_id % 5 == 4``
+      slice re-identified as fresh ids with text unchanged (the
+      re-crawl shape — every batch doc near-dups its origin replica,
+      so candidate mass is non-trivial and scale-constant);
+    - corpus-side state pre-materialized UNTIMED and hash-partitioned
+      on its join key (``repartition(key).localCheckpoint`` — the
+      planner keeps the LogicalRDD's outputPartitioning, so this is
+      the bucketed-index deployment shape: the timed joins shuffle
+      ONLY the increment; the corpus side contributes a partitioned
+      scan, which a cluster prunes by bucket).
+
+    Timed (median-of-``runs``):
+
+    - ``exact``: batch fingerprint build + within-batch min-id dedup +
+      anti-join against the corpus fingerprint index
+      (``dedup_incremental``'s increment path);
+    - ``cluster``: batch shingle/signature/band build + batch→corpus
+      and batch↔batch band joins + exact-Jaccard verify + frozen-seed
+      fold + new-new min-label propagation
+      (``dedup_cluster_incremental``'s increment path).
+    """
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.queries.pipeline import _OLD_ENC
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    corpus = load_table(spark, dest, "documents")
+    batch = (
+        load_table(spark, BASE, "documents")
+        .filter(F.col("doc_id") % 5 == 4)
+        .select((F.col("doc_id") + 900 * ID_STRIDE).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+
+    def fp_col(col):
+        return F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(col, " "))))
+        )
+
+    # -- corpus-side state (UNTIMED): the materialized key-partitioned
+    # index tables a deployment maintains between increments ------------
+    corpus_fp = (
+        corpus.select(fp_col("text").alias("fp"))
+        .distinct()
+        .repartition(width, "fp")
+        .localCheckpoint(eager=True)
+    )
+    csh = corpus.select(
+        F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=True)
+    csig = D.minhash_signatures(csh, "id", "sh").localCheckpoint(eager=True)
+    cband = (
+        csig.select("id", F.explode(D.band_keys()).alias("band"))
+        .repartition(width, "band")
+        .localCheckpoint(eager=True)
+    )
+    cpairs = (
+        cband.alias("x")
+        .join(cband.alias("y"), "band")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+        .join(csh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(csh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(D.exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    old_cl = (
+        D.duplicate_clusters(cpairs)
+        .repartition(width, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def run_exact() -> int:
+        b = batch.select("doc_id", fp_col("text").alias("fp"))
+        incoming = b.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        return incoming.join(corpus_fp, "fp", "left_anti").count()
+
+    def run_cluster() -> int:
+        bsh = batch.select(
+            F.col("doc_id").alias("id"), D.shingles(F.col("text")).alias("sh")
+        ).localCheckpoint(eager=True)
+        bsig = D.minhash_signatures(bsh, "id", "sh")
+        bband = bsig.select(
+            "id", F.explode(D.band_keys()).alias("band")
+        ).localCheckpoint(eager=True)
+        sh_n = bsh.select(F.col("id").alias("n"), F.col("sh").alias("sh_n"))
+        # new -> old candidates against the partitioned corpus postings
+        no = (
+            bband.join(cband.select(F.col("id").alias("o"), "band"), "band")
+            .select(F.col("id").alias("n"), "o")
+            .distinct()
+            .join(sh_n, "n")
+            .join(
+                csh.select(F.col("id").alias("o"), F.col("sh").alias("sh_o")),
+                "o",
+            )
+            .filter(D.exact_jaccard(F.col("sh_n"), F.col("sh_o")) >= 0.8)
+            .select("n", "o")
+        )
+        seeds = (
+            no.join(old_cl, no.o == old_cl.doc_id, "left")
+            .select("n", F.coalesce("cluster_id", F.col("o")).alias("c"))
+            .groupBy("n")
+            .agg((F.min("c") - F.lit(_OLD_ENC)).alias("enc"))
+        )
+        nn = (
+            bband.alias("x")
+            .join(bband.alias("y"), "band")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+            .join(sh_n.select(F.col("n").alias("id_a"), F.col("sh_n").alias("sh_a")), "id_a")
+            .join(sh_n.select(F.col("n").alias("id_b"), F.col("sh_n").alias("sh_b")), "id_b")
+            .filter(D.exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.8)
+            .select("id_a", "id_b")
+        )
+        comp = D.duplicate_clusters(nn)
+        member = batch.select("doc_id").join(comp, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("comp_id")
+        )
+        best = (
+            member.join(seeds, member.doc_id == seeds.n, "left")
+            .groupBy("comp_id")
+            .agg(F.min("enc").alias("best_enc"))
+        )
+        return member.join(best, "comp_id").count()
+
+    out: dict = {"n_batch": n_batch}
+    for label, fn in (("exact", run_exact), ("cluster", run_cluster)):
+        rows = fn()  # warm-up
+        walls = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            rows = fn()
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        out[label] = {
+            "wall_sec": round(walls[len(walls) // 2], 3),
+            "noise_band": round(walls[-1] - walls[0], 3),
+            "result_rows": rows,
+        }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_scale.json")
@@ -338,6 +489,9 @@ def main() -> int:
     # session memo would otherwise serve run 1's checkpoint to runs
     # 2..N and fake the median at ~0 s).
     ap.add_argument("--suffix-probe", action="store_true")
+    # Steady-state increment probe: fixed batch vs growing corpus with
+    # pre-materialized key-partitioned corpus indexes (VERDICT r10 #7).
+    ap.add_argument("--incremental-probe", action="store_true")
     args = ap.parse_args()
     bench_queries = (
         QUERIES if args.queries is None else tuple(args.queries)
@@ -399,6 +553,14 @@ def main() -> int:
                 f"# x{scale} suffix_build: {entry['suffix_build']}",
                 file=sys.stderr,
             )
+        if args.incremental_probe:
+            entry["incremental_probe"] = incremental_probe(
+                spark, dest, args.runs
+            )
+            print(
+                f"# x{scale} incremental_probe: {entry['incremental_probe']}",
+                file=sys.stderr,
+            )
         for name in bench_queries:
             fn = specs[name].fn
             # warm-up (codegen/JIT), then median-of-N
@@ -438,6 +600,8 @@ def main() -> int:
                     merged["watch_candidates"] = entry["watch_candidates"]
                 if "suffix_build" in entry:
                     merged["suffix_build"] = entry["suffix_build"]
+                if "incremental_probe" in entry:
+                    merged["incremental_probe"] = entry["incremental_probe"]
                 merged["n_docs"] = entry["n_docs"]
                 merged["n_vecs"] = entry["n_vecs"]
         result = prior
