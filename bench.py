@@ -99,6 +99,14 @@ HEADLINE: tuple[str, ...] = (
     "text_longest_dup_substring",
     "text_span_corruption",
     "dedup_cluster_incremental",
+    # Round-11 additions per the heaviest-member policy: the four new
+    # operators — EXACTSUBSTR span removal (shares the session
+    # suffix-rank index at rounds=3), perceptual-hash image dedup,
+    # unigram-LM Viterbi apply, and the deterministic global shuffle.
+    "dedup_exactsubstr_removal",
+    "multimodal_phash_dedup",
+    "text_unigram_tokenize",
+    "pipeline_global_shuffle",
 )
 
 

@@ -543,6 +543,15 @@ def main() -> int:
                 t0 = time.perf_counter()
                 n_sfx = SA.suffix_ranks(docs).count()
                 walls.append(time.perf_counter() - t0)
+                # Drop the Python refs to the finished build so the
+                # ContextCleaner reclaims its localCheckpoint blocks
+                # before the next one starts — at x100 three retained
+                # builds (~8 rounds × ~2.7 GB of cached rank frames
+                # each) otherwise exhaust the driver heap.
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
             walls.sort()
             entry["suffix_build"] = {
                 "wall_sec": round(walls[len(walls) // 2], 3),

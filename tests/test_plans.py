@@ -957,3 +957,39 @@ def test_global_shuffle_no_global_data_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
     assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
     assert "hashpartitioning(bucket" in plan, plan[:2000]
+
+
+def test_unigram_tokenize_single_shuffle_jvm_side(spark, sf_dir):
+    """The Viterbi DP is a plan-constant JVM fold over the word dict:
+    exactly the word-count aggregation shuffles (map-side combined),
+    and no Python stage exists anywhere — the tokenizer hot path
+    stays inside codegen."""
+    df = q(spark, sf_dir, "text_unigram_tokenize")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+    assert has_partial_aggregate(df)
+
+
+def test_phash_dedup_band_join_no_nested_loop(spark, sf_dir):
+    """Perceptual-hash dedup must stay banded: every join is a hash
+    join on the band key or the id (never a cartesian / nested-loop
+    all-pairs), mirroring the MinHash-LSH plan gate."""
+    df = q(spark, sf_dir, "multimodal_phash_dedup")
+    strategies = join_strategies(df)
+    assert strategies, "no joins found in plan"
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_exactsubstr_removal_windows_partition_by_rank(spark, sf_dir):
+    """The removal stage's windows partition BY RANK and the rebuild
+    aggregates per doc — no single-partition exchange and no range
+    sort anywhere downstream of the (checkpointed) suffix index."""
+    df = q(spark, sf_dir, "dedup_exactsubstr_removal")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+    assert "hashpartitioning(r" in plan, plan[:2000]
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
