@@ -66,7 +66,8 @@ def register(
 #: Round-11 contents: the operators born this round (deterministic
 #: global corpus shuffle; perceptual-hash image dedup; EXACTSUBSTR
 #: duplicated-span removal; unigram-LM / SentencePiece Viterbi
-#: tokenizer), the suffix-array pair whose round-0 bucket expression
+#: tokenizer; hybrid RRF retrieval fusion; CCNet per-segment
+#: perplexity bucketing), the suffix-array pair whose round-0 bucket expression
 #: changed (ADVICE r10: capped leading-codepoint buckets — results
 #: identical, body changed), and the five MinHash-index consumers
 #: touched by the recursive _dir_fingerprint fix (same adjudication as
@@ -79,6 +80,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "dedup_exactsubstr_removal",
     "text_unigram_tokenize",
+    "retrieval_rrf_fusion",
+    "text_ccnet_bucket_filter",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -145,8 +148,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     "agg_rollup",
     "agg_skewness_kurtosis",
-    "agg_statistics",
-    "agg_unpivot",
+    # (agg_statistics / agg_unpivot roll to round 12: the two
+    # late-round stretch operators take their slots, per the pin
+    # test's new-query-must-be-windowed invariant; both hold r4
+    # greens, so this is evidence freshness, not correctness)
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -3009,6 +3009,175 @@ def text_bigram_avg_nll(spark, sf_dir):
 
 
 @register(
+    "text_ccnet_bucket_filter",
+    oracle="""
+        WITH toks0 AS (
+            SELECT doc_id, r.i AS rawpos,
+                   lower(string_split(text, ' ')[r.i]) AS tok
+            FROM documents,
+                 UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)
+        ), toks AS MATERIALIZED (
+            SELECT doc_id, tok,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY rawpos
+                   ) AS pos
+            FROM toks0 WHERE tok <> ''
+        ), nt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+            FROM toks GROUP BY doc_id
+        ), bg AS (
+            SELECT doc_id, pos, tok AS w1,
+                   lead(tok) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS w2
+            FROM toks
+        ), bigrams AS MATERIALIZED (
+            SELECT b.doc_id,
+                   CASE WHEN b.pos * 3 <= n.ntok THEN 'head'
+                        WHEN b.pos * 3 <= 2 * n.ntok THEN 'middle'
+                        ELSE 'tail' END AS segment,
+                   b.w1, b.w2
+            FROM bg b JOIN nt n USING (doc_id)
+            WHERE b.w2 IS NOT NULL
+        ), c2 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+            FROM bigrams GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS n1
+            FROM bigrams GROUP BY w1
+        ), v AS (
+            SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize FROM toks
+        ), scored AS (
+            SELECT b.doc_id, b.segment,
+                   CAST(round(-ln(CAST(c2.n2 + 1 AS DOUBLE)
+                                  / CAST(c1.n1 + v.vsize AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS nll_q
+            FROM bigrams b
+            JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+            JOIN c1 ON c1.w1 = b.w1
+            CROSS JOIN v
+        ), per_seg AS (
+            SELECT doc_id, segment,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(nll_q) AS BIGINT) AS sum_q,
+                   CAST(sum(nll_q) // count(*) AS BIGINT) AS avg_q
+            FROM scored GROUP BY doc_id, segment
+        )
+        SELECT doc_id, segment, n_bigrams,
+               round(CAST(sum_q AS DOUBLE)
+                     / (CAST(n_bigrams AS DOUBLE) * 1000000000.0), 6)
+                   AS avg_nll,
+               CAST(ntile(3) OVER (
+                   PARTITION BY segment
+                   ORDER BY avg_q ASC, doc_id ASC) AS BIGINT) AS ppl_bucket,
+               (ntile(3) OVER (
+                   PARTITION BY segment
+                   ORDER BY avg_q ASC, doc_id ASC)) <= 2 AS is_kept
+        FROM per_seg
+    """,
+    tags=("llm", "text", "language-model", "quality", "ccnet"),
+)
+def text_ccnet_bucket_filter(spark, sf_dir):
+    """CCNet-style per-SEGMENT perplexity bucketing (Wenzek et al.
+    LREC'20 §4.3: score each paragraph under a reference LM, split the
+    corpus into head/middle/tail perplexity terciles, keep head +
+    middle): each document is cut into positional thirds (the
+    paragraph stand-in for a corpus with no paragraph marks), every
+    third is scored with the add-1 corpus bigram model of
+    `text_bigram_avg_nll` — per-bigram −ln p quantized to integer
+    nano-nats before the order-free sum — and thirds are bucketed into
+    terciles WITHIN their segment class by exact integer average NLL
+    (``sum DIV count``, doc_id tie-break — ntile over a total integer
+    order, so buckets agree cross-engine bit-for-bit). ``is_kept``
+    marks CCNet's head+middle retention verdict.
+
+    Scale shape: scoring is the audited bigram-NLL pipeline (two
+    map-side-combinable model aggregates + vocab-sized model joins);
+    the only new stage is the per-(doc, segment) aggregate and the
+    tercile ntile, a 3-partition window over one row per doc-third —
+    the event_rfm_segmentation ntile shape, with the same deployment
+    note (at fleet scale the tercile cut becomes a two-phase exact
+    percentile over the bounded avg_q spectrum).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("rawpos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.lower(F.col("tok")).alias("tok"),
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rawpos"))
+            .alias("pos"),
+        )
+    )
+    nt = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("ntok"))
+    bg = toks.select(
+        "doc_id",
+        "pos",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    seg = (
+        F.when(F.col("pos") * 3 <= F.col("ntok"), "head")
+        .when(F.col("pos") * 3 <= 2 * F.col("ntok"), "middle")
+        .otherwise("tail")
+    )
+    bigrams = bg.join(nt, "doc_id").select(
+        "doc_id", seg.alias("segment"), "w1", "w2"
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n2")
+    )
+    c1 = bigrams.groupBy(F.col("w1").alias("cw1")).agg(
+        F.count("*").cast("bigint").alias("n1")
+    )
+    v = toks.agg(F.count_distinct("tok").cast("bigint").alias("vsize"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == F.col("cw1"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "segment",
+            F.round(
+                -F.log(
+                    (F.col("n2") + 1).cast("double")
+                    / (F.col("n1") + F.col("vsize")).cast("double")
+                )
+                * 1000000000.0
+            )
+            .cast("bigint")
+            .alias("nll_q"),
+        )
+    )
+    per_seg = scored.groupBy("doc_id", "segment").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("nll_q").cast("bigint").alias("sum_q"),
+        F.expr("CAST(sum(nll_q) DIV count(*) AS BIGINT)").alias("avg_q"),
+    )
+    nt3 = F.ntile(3).over(
+        W.partitionBy("segment").orderBy(F.asc("avg_q"), F.asc("doc_id"))
+    )
+    return per_seg.select(
+        "doc_id",
+        "segment",
+        "n_bigrams",
+        F.round(
+            F.col("sum_q").cast("double")
+            / (F.col("n_bigrams").cast("double") * 1000000000.0),
+            6,
+        ).alias("avg_nll"),
+        nt3.cast("bigint").alias("ppl_bucket"),
+        (nt3 <= 2).alias("is_kept"),
+    )
+
+
+@register(
     "text_kneser_ney_nll",
     oracle="""
         WITH toks0 AS (

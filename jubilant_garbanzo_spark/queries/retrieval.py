@@ -36,7 +36,7 @@ _K1 = "1.2"
 _B = "0.75"
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(limit: int = 15) -> str:
     terms = ", ".join(f"('{t}')" for t in _QUERY_TERMS)
     return f"""
         WITH terms(qt) AS (VALUES {terms}),
@@ -82,27 +82,15 @@ def _bm25_oracle() -> str:
         FROM contrib
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id ASC
-        LIMIT 15
+        LIMIT {limit}
     """
 
 
-@register(
-    "text_bm25_rank",
-    oracle=_bm25_oracle(),
-    tags=("llm", "text", "retrieval", "ranking"),
-)
-def text_bm25_rank(spark, sf_dir):
-    """BM25 top-15 documents for a fixed 3-term query (k1=1.2, b=0.75)
-    — the classic probabilistic retrieval score, exact idf/tf/dl from
-    the corpus itself.
-
-    Scale shape: tokens are exploded ONCE and filtered to the query
-    terms BEFORE the tf groupBy, so the shuffled volume is
-    O(matching tokens), not O(corpus tokens); df and the (N, sum_dl)
-    corpus stats are single-row/tiny broadcasts; the final per-doc
-    fold touches <= |query| elements. At 100 TB this is one narrow
-    scan + one small-key aggregation — no all-corpus shuffle.
-    """
+def _bm25_scores(spark, sf_dir):
+    """The unbounded BM25 score frame (doc_id, n_terms_matched, bm25)
+    — shared verbatim by `text_bm25_rank` (which top-15s it) and the
+    hybrid fusion query (which top-20s and ranks it); one pipeline,
+    identical plan either way."""
     d = load_table(spark, sf_dir, "documents")
     k1, b = float(_K1), float(_B)
 
@@ -152,6 +140,28 @@ def text_bm25_rank(spark, sf_dir):
                 6,
             ).alias("bm25"),
         )
+    )
+
+
+@register(
+    "text_bm25_rank",
+    oracle=_bm25_oracle(),
+    tags=("llm", "text", "retrieval", "ranking"),
+)
+def text_bm25_rank(spark, sf_dir):
+    """BM25 top-15 documents for a fixed 3-term query (k1=1.2, b=0.75)
+    — the classic probabilistic retrieval score, exact idf/tf/dl from
+    the corpus itself (score pipeline in `_bm25_scores`).
+
+    Scale shape: tokens are exploded ONCE and filtered to the query
+    terms BEFORE the tf groupBy, so the shuffled volume is
+    O(matching tokens), not O(corpus tokens); df and the (N, sum_dl)
+    corpus stats are single-row/tiny broadcasts; the final per-doc
+    fold touches <= |query| elements. At 100 TB this is one narrow
+    scan + one small-key aggregation — no all-corpus shuffle.
+    """
+    return (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(15)
     )
@@ -198,4 +208,122 @@ def text_inverted_index(spark, sf_dir):
                 "postings"
             ),
         )
+    )
+
+
+#: Reciprocal-rank-fusion geometry: arm depth, fused cut, and the RRF
+#: constant (Cormack/Clarke/Büttcher SIGIR'09 use k=60). Each arm's
+#: contribution is the exact integer 10^9 DIV (60 + rank) — integer
+#: nano-units of 1/(60+rank), so fusion is float-free end to end
+#: (error vs real RRF < 1e-9, far below any rank flip).
+_RRF_K = 60
+_RRF_ARM_DEPTH = 20
+_RRF_TOP = 15
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+        WITH sparse_raw AS MATERIALIZED (
+            SELECT doc_id, bm25 FROM ({_bm25_oracle(_RRF_ARM_DEPTH)})
+        ), sparse AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rs
+            FROM sparse_raw
+        ), dense_raw AS MATERIALIZED (
+            SELECT e.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS cos6
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cos6 DESC, doc_id ASC
+            LIMIT {_RRF_ARM_DEPTH}
+        ), dense AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos6 DESC, doc_id ASC) AS rd
+            FROM dense_raw
+        ), fused AS (
+            SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
+                   coalesce(1000000000 // ({_RRF_K} + s.rs), 0)
+                   + coalesce(1000000000 // ({_RRF_K} + d.rd), 0) AS rrf_nano
+            FROM sparse s FULL OUTER JOIN dense d ON d.doc_id = s.doc_id
+        )
+        SELECT doc_id,
+               CAST(rs AS BIGINT) AS rank_sparse,
+               CAST(rd AS BIGINT) AS rank_dense,
+               CAST(rrf_nano AS BIGINT) AS rrf_nano
+        FROM fused
+        ORDER BY rrf_nano DESC, doc_id ASC
+        LIMIT {_RRF_TOP}
+    """,
+    tags=("llm", "retrieval", "ranking", "embedding", "hybrid"),
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    """HYBRID retrieval via reciprocal-rank fusion (Cormack et al.
+    SIGIR'09, the standard in every RAG stack): the sparse arm is the
+    BM25 top-20 for the fixed 3-term query (`_bm25_scores` — the
+    text_bm25_rank pipeline verbatim), the dense arm is the exact
+    cosine top-20 against the vec_id=0 probe (the embed_cosine_topk
+    pipeline via operators/similarity.brute_force_topk; embeddings
+    align 1:1 with documents by id), fused by
+    RRF(d) = Σ_arms 1/(60 + rank_arm(d)) and cut to the top-15.
+
+    Determinism: each arm ranks on its ROUNDED score with an id
+    tie-break (the total-order discipline both arm queries already
+    prove cross-engine); each RRF term is the exact integer
+    10^9 DIV (60 + rank) — nano-units of the reciprocal rank — so the
+    fusion sum, the final order, and the cut are float-free.
+
+    Scale shape: each arm is its own already-audited pipeline ending
+    in a TakeOrdered top-20; ranking and fusion then touch ≤ 20-row
+    frames (the only unpartitioned windows run over those bounded
+    arms), and the full-outer fusion join is a ≤40-row broadcast-size
+    operation. At 100 TB the arms dominate; fusion stays driver-cheap
+    without ever collecting to the driver."""
+    from pyspark.sql import Window as W
+
+    from jubilant_garbanzo_spark.operators import similarity as S
+
+    sparse_raw = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_ARM_DEPTH)
+    )
+    sparse = sparse_raw.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rs"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense_raw = S.brute_force_topk(e, q, k=_RRF_ARM_DEPTH)
+    dense = dense_raw.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("rd"),
+    )
+    fused = sparse.join(dense, "doc_id", "full").select(
+        "doc_id",
+        "rs",
+        "rd",
+        (
+            F.coalesce(F.expr(f"1000000000 DIV ({_RRF_K} + rs)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 DIV ({_RRF_K} + rd)"), F.lit(0))
+        ).alias("rrf_nano"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rs").cast("bigint").alias("rank_sparse"),
+            F.col("rd").cast("bigint").alias("rank_dense"),
+            F.col("rrf_nano").cast("bigint").alias("rrf_nano"),
+        )
+        .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
     )

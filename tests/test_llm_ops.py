@@ -1812,3 +1812,80 @@ def test_unigram_tokenize_matches_python_viterbi(spark, tmp_path):
         assert got[w] == viterbi(w), (w, got[w], viterbi(w))
         # reconstruction: pieces concatenate back to the word
         assert "".join(got[w][1].split(" ")) == w
+
+
+def test_rrf_fusion_matches_arm_recomputation(spark, sf_dir):
+    """RRF invariants: every fused score equals the integer-nano sum
+    recomputed from the two arms run independently; ranks agree with
+    each arm's own total order; the cut is the top-15 of the fused
+    order."""
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.queries.retrieval import (
+        _RRF_ARM_DEPTH,
+        _RRF_K,
+        _RRF_TOP,
+        _bm25_scores,
+    )
+
+    specs = load_all()
+    sparse = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_ARM_DEPTH)
+        .collect()
+    )
+    rs = {r["doc_id"]: i + 1 for i, r in enumerate(sparse)}
+    dense = specs["embed_cosine_topk"].fn(spark, sf_dir)  # top-10 twin
+    # recompute the dense arm at depth 20 via the same operator
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense_rows = S.brute_force_topk(e, q, k=_RRF_ARM_DEPTH).collect()
+    rd = {r["vec_id"]: i + 1 for i, r in enumerate(dense_rows)}
+
+    expect = {}
+    for doc in set(rs) | set(rd):
+        n = 0
+        if doc in rs:
+            n += 10**9 // (_RRF_K + rs[doc])
+        if doc in rd:
+            n += 10**9 // (_RRF_K + rd[doc])
+        expect[doc] = n
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOP]
+
+    got = specs["retrieval_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert [(r["doc_id"], r["rrf_nano"]) for r in got] == want
+    for r in got:
+        assert r["rank_sparse"] == rs.get(r["doc_id"])
+        assert r["rank_dense"] == rd.get(r["doc_id"])
+
+
+def test_ccnet_buckets_partition_and_verdict(spark, sf_dir):
+    """CCNet bucketing invariants: per doc the three segments' bigram
+    counts sum to ntok−1; buckets are terciles within each segment
+    class (sizes differ by ≤1); is_kept ⇔ bucket ≤ 2."""
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = load_all()["text_ccnet_bucket_filter"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    ntok = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t]) for r in docs
+    }
+    per_doc: dict[int, int] = {}
+    per_seg_bucket: dict[tuple, int] = {}
+    for r in rows:
+        assert r["ppl_bucket"] in (1, 2, 3)
+        assert r["is_kept"] == (r["ppl_bucket"] <= 2)
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_bigrams"]
+        k = (r["segment"], r["ppl_bucket"])
+        per_seg_bucket[k] = per_seg_bucket.get(k, 0) + 1
+    for d, n in per_doc.items():
+        assert n == ntok[d] - 1, (d, n, ntok[d])
+    for seg in ("head", "middle", "tail"):
+        sizes = [per_seg_bucket.get((seg, b), 0) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (seg, sizes)
