@@ -107,6 +107,10 @@ HEADLINE: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "text_unigram_tokenize",
     "pipeline_global_shuffle",
+    # Round-11 stretch heavies: hybrid RRF fusion (BM25 + cosine arms)
+    # and CCNet per-segment perplexity bucketing.
+    "retrieval_rrf_fusion",
+    "text_ccnet_bucket_filter",
 )
 
 
