@@ -67,7 +67,8 @@ def register(
 #: global corpus shuffle; perceptual-hash image dedup; EXACTSUBSTR
 #: duplicated-span removal; unigram-LM / SentencePiece Viterbi
 #: tokenizer; hybrid RRF retrieval fusion; CCNet per-segment
-#: perplexity bucketing), the suffix-array pair whose round-0 bucket expression
+#: perplexity bucketing; BPE fertility report; repeat-epochs token
+#: budget planner), the suffix-array pair whose round-0 bucket expression
 #: changed (ADVICE r10: capped leading-codepoint buckets — results
 #: identical, body changed), and the five MinHash-index consumers
 #: touched by the recursive _dir_fingerprint fix (same adjudication as
@@ -82,6 +83,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_unigram_tokenize",
     "retrieval_rrf_fusion",
     "text_ccnet_bucket_filter",
+    "text_bpe_fertility",
+    "pipeline_token_budget_plan",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -146,12 +149,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_having",
     "agg_percentiles",
     "agg_pivot",
-    "agg_rollup",
-    "agg_skewness_kurtosis",
-    # (agg_statistics / agg_unpivot roll to round 12: the two
-    # late-round stretch operators take their slots, per the pin
-    # test's new-query-must-be-windowed invariant; both hold r4
-    # greens, so this is evidence freshness, not correctness)
+    # (agg_rollup / agg_skewness_kurtosis / agg_statistics /
+    # agg_unpivot roll to round 12: the four late-round stretch
+    # operators take their slots, per the pin test's
+    # new-query-must-be-windowed invariant; all four hold r4 greens,
+    # so this is evidence freshness, not correctness)
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -4099,6 +4099,79 @@ def text_unigram_tokenize(spark, sf_dir):
 
 
 @register(
+    "text_bpe_fertility",
+    oracle=f"""
+        WITH {BPE.oracle_replay_ctes()},
+        wlang AS MATERIALIZED (
+            SELECT lang, word AS wid, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY 1, 2
+        ), tokn AS MATERIALIZED (
+            SELECT wid, CAST(count(*) AS BIGINT) AS ntok
+            FROM r{BPE.N_ROUNDS} GROUP BY wid
+        )
+        SELECT w.lang,
+               CAST(sum(w.cnt) AS BIGINT) AS n_words,
+               CAST(sum(w.cnt * t.ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(w.cnt * len(w.wid)) AS BIGINT) AS n_chars,
+               round(CAST(sum(w.cnt * t.ntok) AS DOUBLE)
+                     / CAST(sum(w.cnt) AS DOUBLE), 6) AS fertility,
+               round(CAST(sum(w.cnt * len(w.wid)) AS DOUBLE)
+                     / CAST(sum(w.cnt * t.ntok) AS DOUBLE), 6)
+                   AS chars_per_token
+        FROM wlang w JOIN tokn t USING (wid)
+        GROUP BY w.lang
+    """,
+    tags=("llm", "text", "tokenize", "bpe", "quality"),
+)
+def text_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY report per language — the standard
+    vocabulary-coverage diagnostic (tokens per word and characters
+    per token; Rust et al. ACL'21 use exactly this to compare
+    tokenizers across languages): apply the BPE tokenizer
+    (operators/bpe.py, the text_bpe_tokenize pipeline) to the
+    DISTINCT word dict, then weight each word's token count by its
+    per-language corpus frequency. High fertility = the vocabulary
+    serves that language poorly — the signal that drives per-language
+    vocabulary budgets in multilingual tokenizer training.
+
+    Scale shape: vocabulary-bound like every BPE op (the tokenizer
+    runs once per distinct word, JVM-side, zero shuffle); per-(lang,
+    word) counts are one map-side-combinable aggregate; the final
+    rollup touches vocab-sized rows into a 5-row result. The ratios
+    are single int/int IEEE divisions over exact integer sums —
+    bit-equal cross-engine without quantization."""
+    d = load_table(spark, sf_dir, "documents")
+    wlang = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    words = wlang.select("word").distinct()
+    tokn = BPE.bpe_tokens(words, "word", "tokens").select(
+        "word", F.size("tokens").cast("bigint").alias("ntok")
+    )
+    j = wlang.join(tokn, "word")
+    n_words = F.sum("cnt").cast("bigint")
+    n_tokens = F.sum(F.col("cnt") * F.col("ntok")).cast("bigint")
+    n_chars = F.sum(F.col("cnt") * F.length("word")).cast("bigint")
+    return j.groupBy("lang").agg(
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            n_tokens.cast("double") / n_words.cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            n_chars.cast("double") / n_tokens.cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
     "text_bpe_train",
     oracle=BPE.oracle_train_sql(),
     tags=("llm", "text", "tokenize", "bpe", "iterative"),

@@ -1292,3 +1292,104 @@ def pipeline_global_shuffle(spark, sf_dir):
         .cast("bigint")
         .alias("shard_pos"),
     )
+
+
+#: Token budget for the repeat-epochs plan (tokens to draw across all
+#: sources) and the temperature exponent discipline: α = 0.5 (IEEE
+#: sqrt is correctly rounded everywhere — the pipeline_temperature_
+#: mixture rationale), with the per-source weight nano-quantized
+#: BEFORE the integer share arithmetic so every downstream number is
+#: exact.
+_TB_BUDGET = 200_000
+
+
+@register(
+    "pipeline_token_budget_plan",
+    oracle=f"""
+        WITH avail AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS avail_tokens
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY source
+        ), wts AS (
+            SELECT source, avail_tokens,
+                   CAST(round(sqrt(CAST(avail_tokens AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS weight_nano
+            FROM avail
+        ), tot AS (
+            SELECT CAST(sum(weight_nano) AS BIGINT) AS tot_nano FROM wts
+        ), plan AS (
+            SELECT w.source, w.avail_tokens, w.weight_nano,
+                   CAST({_TB_BUDGET} * w.weight_nano // t.tot_nano
+                        AS BIGINT) AS target_tokens
+            FROM wts w, tot t
+        )
+        SELECT source, avail_tokens, weight_nano, target_tokens,
+               CAST((target_tokens + avail_tokens - 1) // avail_tokens
+                    AS BIGINT) AS n_epochs,
+               CAST(target_tokens
+                    - ((target_tokens + avail_tokens - 1) // avail_tokens
+                       - 1) * avail_tokens AS BIGINT) AS last_epoch_tokens
+        FROM plan
+    """,
+    tags=("pipeline", "mixture", "budget", "epochs"),
+)
+def pipeline_token_budget_plan(spark, sf_dir):
+    """Repeat-EPOCHS token-budget planner — the data-constrained
+    scaling step (Muennighoff et al. 2023: when the budget exceeds a
+    source's unique tokens, the source repeats for multiple epochs):
+    given a total token budget and per-source unique-token counts,
+    allocate temperature-scaled targets (α = 0.5 — the mT5 rule,
+    chosen because IEEE sqrt is correctly rounded, the
+    pipeline_temperature_mixture discipline) and emit each source's
+    epoch plan: full epochs plus the ragged last-epoch token count.
+
+    Exactness: the per-source weight is nano-quantized sqrt
+    (one closed-form IEEE expression → integer), the share is
+    ``budget · w_nano DIV Σw_nano`` (pure integer — no float division
+    anywhere), and epochs/remainders are ceiling-division identities,
+    so every output column is an exact BIGINT both engines must agree
+    on bit-for-bit.
+
+    Scale shape: one map-side-combinable token-count aggregate into a
+    20-row source table; the total is a 1-row broadcast; everything
+    after is per-row arithmetic. At 100 TB the only corpus-sized cost
+    is the token count, which rides any existing stats pass."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("avail_tokens"))
+    )
+    wts = avail.select(
+        "source",
+        "avail_tokens",
+        F.round(F.sqrt(F.col("avail_tokens").cast("double")) * 1000000000.0)
+        .cast("bigint")
+        .alias("weight_nano"),
+    )
+    tot = wts.agg(F.sum("weight_nano").cast("bigint").alias("tot_nano"))
+    plan = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        "weight_nano",
+        F.expr(f"CAST({_TB_BUDGET} * weight_nano DIV tot_nano AS BIGINT)")
+        .alias("target_tokens"),
+    )
+    return plan.select(
+        "source",
+        "avail_tokens",
+        "weight_nano",
+        "target_tokens",
+        F.expr(
+            "CAST((target_tokens + avail_tokens - 1) DIV avail_tokens"
+            " AS BIGINT)"
+        ).alias("n_epochs"),
+        F.expr(
+            "CAST(target_tokens - ((target_tokens + avail_tokens - 1)"
+            " DIV avail_tokens - 1) * avail_tokens AS BIGINT)"
+        ).alias("last_epoch_tokens"),
+    )

@@ -112,6 +112,18 @@ QUERIES = (
     "text_bpe_train",
     "text_sparse_tfidf_cosine",
     "embed_ann_ivfpq",
+    # round-11: the six new operators — EXACTSUBSTR removal (steady
+    # state over the shared rounds=3 rank index, the build measured
+    # separately by --suffix-probe), perceptual-hash banded dedup,
+    # the unigram Viterbi map stage, the two-phase global shuffle,
+    # RRF fusion (arm-dominated), and CCNet segment bucketing
+    # (bigram-LM joins + one ntile over doc-third rows)
+    "dedup_exactsubstr_removal",
+    "multimodal_phash_dedup",
+    "text_unigram_tokenize",
+    "pipeline_global_shuffle",
+    "retrieval_rrf_fusion",
+    "text_ccnet_bucket_filter",
 )
 ID_STRIDE = 10_000_000
 

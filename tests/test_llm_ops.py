@@ -1889,3 +1889,80 @@ def test_ccnet_buckets_partition_and_verdict(spark, sf_dir):
     for seg in ("head", "middle", "tail"):
         sizes = [per_seg_bucket.get((seg, b), 0) for b in (1, 2, 3)]
         assert max(sizes) - min(sizes) <= 1, (seg, sizes)
+
+
+def test_bpe_fertility_rollup_matches_per_word_counts(spark, tmp_path):
+    """Fertility must equal the frequency-weighted average of per-word
+    BPE token counts (recomputed independently from bpe_tokens on the
+    distinct words), with fertility ≥ 1 and n_chars ≥ n_tokens."""
+    from jubilant_garbanzo_spark.operators import bpe as BPE
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = [
+        (1, "en", "src0", "batch batch data the the the"),
+        (2, "de", "src0", "data merge sort sort"),
+        (3, "en", "src1", "window scan"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    words = sorted({w for _, _, _, t in rows for w in t.split(" ")})
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    ntok = {
+        r["word"]: len(r["tokens"])
+        for r in BPE.bpe_tokens(wdf, "word", "tokens").collect()
+    }
+    expect = {}
+    for lang in ("en", "de"):
+        ws = [
+            w
+            for _, lg, _, t in rows
+            if lg == lang
+            for w in t.split(" ")
+        ]
+        n_words = len(ws)
+        n_tokens = sum(ntok[w] for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        expect[lang] = (
+            n_words,
+            n_tokens,
+            n_chars,
+            round(n_tokens / n_words, 6),
+            round(n_chars / n_tokens, 6),
+        )
+    got = {
+        r["lang"]: (
+            r["n_words"],
+            r["n_tokens"],
+            r["n_chars"],
+            r["fertility"],
+            r["chars_per_token"],
+        )
+        for r in load_all()["text_bpe_fertility"].fn(spark, sf).collect()
+    }
+    assert got == expect
+    for lang, (_, ntk, nch, fert, cpt) in got.items():
+        assert fert >= 1.0 and nch >= ntk, (lang, fert)
+
+
+def test_token_budget_plan_invariants(spark, sf_dir):
+    """Budget-plan invariants: Σ target ≤ budget with slack < one
+    nano-share per source (floor division), epochs = ceil(target /
+    avail), and the ragged last epoch holds 1..avail tokens whenever
+    the target is positive."""
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.queries.pipeline import _TB_BUDGET
+
+    rows = load_all()["pipeline_token_budget_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    total_target = sum(r["target_tokens"] for r in rows)
+    assert total_target <= _TB_BUDGET
+    assert _TB_BUDGET - total_target < len(rows) + 1  # floor-div slack
+    for r in rows:
+        t, a = r["target_tokens"], r["avail_tokens"]
+        assert r["n_epochs"] == -(-t // a)
+        if t > 0:
+            assert 1 <= r["last_epoch_tokens"] <= a
+            assert (r["n_epochs"] - 1) * a + r["last_epoch_tokens"] == t
