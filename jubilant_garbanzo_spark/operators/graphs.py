@@ -258,3 +258,104 @@ def bfs_hops(
             dist = dist.coalesce(graph_partitions)
         dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+#: HITS fixed-point scale: scores live in integer millionths.
+HITS_SCALE = 10**6
+
+
+def hits_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 2,
+    graph_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg JACM'99 hubs & authorities) in
+    exact scaled-integer arithmetic — the mutual-reinforcement twin of
+    :func:`pagerank_fixed` on the same (src, dst, w) edge list.
+
+    Per iteration, all BIGINT:
+
+        a_raw(v) = Σ_{(u,v)∈E} w · h(u)      (authority from in-edges)
+        a(v)     = a_raw(v) DIV max(1, max_v a_raw DIV SCALE)
+        h_raw(u) = Σ_{(u,v)∈E} w · a(v)      (hub from out-edges)
+        h(u)     = h_raw(u) DIV max(1, max_u h_raw DIV SCALE)
+
+    Normalization is max-based (not L2 — no square roots) and uses a
+    PRE-SHIFTED divisor (``max DIV SCALE``) instead of multiplying
+    ``a_raw · SCALE``, so the intermediate never exceeds the raw sum
+    itself: with total edge mass W, the largest value any step holds
+    is ~W·SCALE — overflow-safe to W ≈ 9·10^12 edges-weight on this
+    scale (pre-scale w once above that). Truncating division costs
+    < 1 unit (1e-6) per node per round, the pagerank_fixed price for
+    a bit-replayable iterative fixpoint.
+
+    Nodes with no in-edges hold authority 0, no out-edges hub 0 —
+    emitted explicitly (left joins against the full vertex set).
+    Each round ends in an eager ``localCheckpoint`` (the 3-consumer
+    lineage rationale of pagerank_fixed).
+    """
+    edges = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("w").cast("bigint").alias("w"),
+    )
+    nodes = nodes.select(F.col("node").cast("bigint").alias("node"))
+    if graph_partitions is not None:
+        edges = edges.coalesce(graph_partitions)
+        nodes = nodes.coalesce(graph_partitions)
+    edges = edges.persist()
+    nodes = nodes.persist()
+
+    hub = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("bigint").alias("h")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("w * h").alias("x"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").cast("bigint").alias("a_raw"))
+        )
+        amax = araw.agg(F.max("a_raw").alias("m"))
+        auth = (
+            araw.crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(a_raw DIV greatest(m DIV {HITS_SCALE}, 1)"
+                    " AS BIGINT)"
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "a"), "dst"
+            )
+            .select("src", F.expr("w * a").alias("x"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("x").cast("bigint").alias("h_raw"))
+        )
+        hmax = hraw.agg(F.max("h_raw").alias("m"))
+        hub = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(h_raw DIV greatest(m DIV {HITS_SCALE}, 1)"
+                    " AS BIGINT)"
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("authority_fixed"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_fixed"),
+        )
+    )

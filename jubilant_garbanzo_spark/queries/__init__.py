@@ -68,7 +68,7 @@ def register(
 #: duplicated-span removal; unigram-LM / SentencePiece Viterbi
 #: tokenizer; hybrid RRF retrieval fusion; CCNet per-segment
 #: perplexity bucketing; BPE fertility report; repeat-epochs token
-#: budget planner), the suffix-array pair whose round-0 bucket expression
+#: budget planner; integer-exact HITS), the suffix-array pair whose round-0 bucket expression
 #: changed (ADVICE r10: capped leading-codepoint buckets — results
 #: identical, body changed), and the five MinHash-index consumers
 #: touched by the recursive _dir_fingerprint fix (same adjudication as
@@ -85,6 +85,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_ccnet_bucket_filter",
     "text_bpe_fertility",
     "pipeline_token_budget_plan",
+    "graph_hits",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -148,12 +149,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_having",
     "agg_percentiles",
-    "agg_pivot",
-    # (agg_rollup / agg_skewness_kurtosis / agg_statistics /
-    # agg_unpivot roll to round 12: the four late-round stretch
-    # operators take their slots, per the pin test's
-    # new-query-must-be-windowed invariant; all four hold r4 greens,
-    # so this is evidence freshness, not correctness)
+    # (agg_pivot / agg_rollup / agg_skewness_kurtosis /
+    # agg_statistics / agg_unpivot roll to round 12: the five
+    # late-round stretch operators take their slots, per the pin
+    # test's new-query-must-be-windowed invariant; all five hold r4
+    # greens, so this is evidence freshness, not correctness)
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -899,3 +899,132 @@ def graph_link_prediction_jaccard(spark, sf_dir):
         .orderBy(F.desc("score_ppm"), F.asc("node_a"), F.asc("node_b"))
         .limit(15)
     )
+
+
+_HITS_ITERATIONS = 2
+
+
+def _hits_oracle(iterations: int = _HITS_ITERATIONS) -> str:
+    """Unrolled-CTE DuckDB twin of the integer HITS recurrence."""
+    from jubilant_garbanzo_spark.operators.graphs import HITS_SCALE
+
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), nodes AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+        ), h0 AS (
+            SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", ar{i} AS MATERIALIZED (
+            SELECT e.dst AS node, CAST(sum(e.w * h.h) AS BIGINT) AS a_raw
+            FROM edges e JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY e.dst
+        ), am{i} AS (
+            SELECT CAST(max(a_raw) AS BIGINT) AS m FROM ar{i}
+        ), a{i} AS MATERIALIZED (
+            SELECT node,
+                   CAST(a_raw // greatest(m // {HITS_SCALE}, 1) AS BIGINT)
+                       AS a
+            FROM ar{i}, am{i}
+        ), hr{i} AS MATERIALIZED (
+            SELECT e.src AS node, CAST(sum(e.w * a.a) AS BIGINT) AS h_raw
+            FROM edges e JOIN a{i} a ON a.node = e.dst
+            GROUP BY e.src
+        ), hm{i} AS (
+            SELECT CAST(max(h_raw) AS BIGINT) AS m FROM hr{i}
+        ), h{i} AS MATERIALIZED (
+            SELECT node,
+                   CAST(h_raw // greatest(m // {HITS_SCALE}, 1) AS BIGINT)
+                       AS h
+            FROM hr{i}, hm{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n.n_name AS nation,
+               CAST(coalesce(a.a, 0) AS BIGINT) AS authority_fixed,
+               CAST(coalesce(h.h, 0) AS BIGINT) AS hub_fixed,
+               round(CAST(coalesce(a.a, 0) AS DOUBLE)
+                     / {float(HITS_SCALE)}, 6) AS authority,
+               round(CAST(coalesce(h.h, 0) AS DOUBLE)
+                     / {float(HITS_SCALE)}, 6) AS hub
+        FROM nation n
+        LEFT JOIN a{iterations} a ON a.node = n.n_nationkey
+        LEFT JOIN h{iterations} h ON h.node = n.n_nationkey
+        ORDER BY authority_fixed DESC, hub_fixed DESC, nation"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "iterative"),
+)
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg JACM'99) over the nation
+    trade graph — the mutual-reinforcement ranking beside PageRank's
+    random surfer: a nation is a strong AUTHORITY when heavy trade
+    flows in from strong hubs, a strong HUB when it sources from
+    strong authorities. 2 fixed iterations, EXACT scaled-integer
+    arithmetic with overflow-safe pre-shifted max normalization
+    (operators/graphs.hits_fixed), so the iterative fixpoint is
+    hash-oracled against DuckDB's unrolled-CTE replay — the
+    graph_pagerank discipline applied to a second classic algorithm.
+
+    Scale shape: identical to graph_pagerank — the fact-join edge
+    derivation is the 100 TB cost, the iterations run on the
+    collapsed ≤25-node graph (one equi-join + one groupBy per
+    half-step, scalar maxima as broadcast 1-row frames, never a
+    driver collect)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    from jubilant_garbanzo_spark.operators.graphs import HITS_SCALE, hits_fixed
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = nation.select(F.col("n_nationkey").cast("bigint").alias("node"))
+    scores = hits_fixed(
+        edges, nodes, iterations=_HITS_ITERATIONS, graph_partitions=1
+    )
+    return (
+        scores.join(nation, scores.node == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "authority_fixed",
+            "hub_fixed",
+            F.round(
+                F.col("authority_fixed").cast("double") / float(HITS_SCALE), 6
+            ).alias("authority"),
+            F.round(
+                F.col("hub_fixed").cast("double") / float(HITS_SCALE), 6
+            ).alias("hub"),
+        )
+        .orderBy(
+            F.desc("authority_fixed"), F.desc("hub_fixed"), F.asc("nation")
+        )
+    )

@@ -103,3 +103,41 @@ def test_iterative_oracles_materialize_their_ctes():
             assert f"{cte} AS MATERIALIZED (" in sql, (
                 f"{name}: CTE {cte} is inlined again"
             )
+
+
+def test_hits_star_graph_matches_integer_recurrence(spark):
+    """HITS sanity on a hand-solvable star: 1→3 (w=2), 2→3 (w=1).
+    Structure: node 3 is the only authority (no out-edges → hub 0),
+    1/2 are pure hubs with h1 = 2·h2 exactly (shared divisor keeps
+    within-round ratios); values match an independent Python replay
+    of the integer recurrence bit-for-bit."""
+    from jubilant_garbanzo_spark.operators.graphs import (
+        HITS_SCALE,
+        hits_fixed,
+    )
+
+    E = [(1, 3, 2), (2, 3, 1)]
+    N = [1, 2, 3]
+    h = {n: HITS_SCALE for n in N}
+    a = {}
+    for _ in range(2):
+        araw = {}
+        for s_, d_, w in E:
+            araw[d_] = araw.get(d_, 0) + w * h[s_]
+        am = max(araw.values())
+        a = {n: v // max(am // HITS_SCALE, 1) for n, v in araw.items()}
+        hraw = {}
+        for s_, d_, w in E:
+            hraw[s_] = hraw.get(s_, 0) + w * a.get(d_, 0)
+        hm = max(hraw.values())
+        h = {n: v // max(hm // HITS_SCALE, 1) for n, v in hraw.items()}
+
+    edges = spark.createDataFrame(E, "src long, dst long, w long")
+    nodes = spark.createDataFrame([(n,) for n in N], "node long")
+    out = {
+        r["node"]: (r["authority_fixed"], r["hub_fixed"])
+        for r in hits_fixed(edges, nodes, iterations=2).collect()
+    }
+    assert out == {n: (a.get(n, 0), h.get(n, 0)) for n in N}
+    assert out[3][1] == 0 and out[1][0] == 0 and out[2][0] == 0
+    assert out[1][1] == 2 * out[2][1]
