@@ -139,15 +139,25 @@ def _candidate(k: int, vmap: str) -> str:
     )
 
 
-def viterbi_expr(word_col: str = "word") -> str:
+def viterbi_expr(word_col: str = "word", vmap: str | None = None) -> str:
     """SQL expression: the final DP state ``struct(s, np, seg)`` for
     ``word_col`` — score in milli-nats, negated piece count, and the
-    ' '-prefixed segmentation string."""
-    vmap = vocab_map_expr()
+    ' '-prefixed segmentation string.
+
+    ``vmap`` is the piece→milli-logprob map EXPRESSION: the fixed
+    apply vocabulary plan literal by default, or a COLUMN NAME when
+    the vocabulary is data (the training path crossJoins a broadcast
+    1-row ``map_from_entries(collect_list(...))`` frame and passes
+    its column here — the DP text is identical either way)."""
+    if vmap is None:
+        vmap = vocab_map_expr()
     cands = ", ".join(_candidate(k, vmap) for k in range(1, KMAX + 1))
+    # the zero score is BIGINT so the accumulator's struct type is
+    # identical whether piece scores come from the INT-literal apply
+    # map or the BIGINT learned-vocab map (pv.s + lp widens either way)
     fold = (
         f"aggregate(sequence(1, length({word_col})),"
-        f" array(named_struct('s', 0, 'np', 0, 'seg', '')),"
+        f" array(named_struct('s', CAST(0 AS BIGINT), 'np', 0, 'seg', '')),"
         f" (acc, j) -> concat(acc, array("
         f"   array_max(filter(array({cands}), x -> x IS NOT NULL)))))"
     )
@@ -157,25 +167,31 @@ def viterbi_expr(word_col: str = "word") -> str:
 # -- DuckDB oracle replay -----------------------------------------------------
 
 
-def oracle_sql(topcols: str = "") -> str:
-    """Full DuckDB SELECT replaying the Viterbi DP as unrolled
-    relational rounds over the distinct-word dict of ``documents``:
-    one (candidates, argmax) CTE pair per position 1..MAXLEN, piece
-    lookups via substr joins against a VALUES vocab, the argmax via a
-    ROW_NUMBER window with the tie order (s DESC, np DESC, seg DESC) —
-    exactly ``max(struct(s, np, seg))``."""
-    vals = ", ".join(f"('{p}', {lp})" for p, lp in VOCAB)
-    parts = [
-        f"vocab(piece, lp) AS MATERIALIZED (VALUES {vals})",
-        f"""wcnt AS MATERIALIZED (
+def wcnt_cte() -> str:
+    """The distinct-word dictionary CTE (word, occurrence count),
+    shared by the apply and train oracles."""
+    return f"""wcnt AS MATERIALIZED (
             SELECT word AS wid, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word
                   FROM documents)
             WHERE word <> '' AND len(word) <= {MAXLEN}
             GROUP BY 1
-        )""",
-        "d0 AS MATERIALIZED (SELECT wid, 0 AS s, 0 AS np, '' AS seg"
-        " FROM wcnt)",
+        )"""
+
+
+def dp_round_ctes(prefix: str, vocab_cte: str) -> list[str]:
+    """Unrolled Viterbi DP as relational rounds: one (candidates,
+    argmax) CTE pair per position 1..MAXLEN, piece lookups via substr
+    joins against ``vocab_cte`` (piece, lp), the per-word argmax via a
+    ROW_NUMBER window with the tie order (s DESC, np DESC, seg DESC) —
+    exactly the fold's ``max(struct(s, np, seg))``. CTE names are
+    ``{prefix}c{j}`` / ``{prefix}d{j}``; the terminal states land in
+    ``{prefix}fin``. Parameterizing the vocab table is what lets the
+    TRAIN oracle re-run the identical sweep per EM round against a
+    vocabulary it just computed."""
+    parts = [
+        f"{prefix}d0 AS MATERIALIZED"
+        " (SELECT wid, 0 AS s, 0 AS np, '' AS seg FROM wcnt)",
     ]
     for j in range(1, MAXLEN + 1):
         branches = []
@@ -186,31 +202,44 @@ def oracle_sql(topcols: str = "") -> str:
             SELECT d.wid, d.s + coalesce(v.lp, {UNK_MILLI}) AS s,
                    d.np - 1 AS np,
                    d.seg || ' ' || substr(d.wid, {start}, 1) AS seg
-            FROM d{j - 1} d
-            LEFT JOIN vocab v ON v.piece = substr(d.wid, {start}, 1)
+            FROM {prefix}d{j - 1} d
+            LEFT JOIN {vocab_cte} v ON v.piece = substr(d.wid, {start}, 1)
             WHERE len(d.wid) >= {j}""")
             else:
                 branches.append(f"""
             SELECT d.wid, d.s + v.lp AS s, d.np - 1 AS np,
                    d.seg || ' ' || substr(d.wid, {start}, {k}) AS seg
-            FROM d{j - k} d
-            JOIN vocab v ON v.piece = substr(d.wid, {start}, {k})
+            FROM {prefix}d{j - k} d
+            JOIN {vocab_cte} v ON v.piece = substr(d.wid, {start}, {k})
             WHERE len(d.wid) >= {j}""")
         union = " UNION ALL ".join(branches)
-        parts.append(f"c{j} AS MATERIALIZED ({union})")
-        parts.append(f"""d{j} AS MATERIALIZED (
+        parts.append(f"{prefix}c{j} AS MATERIALIZED ({union})")
+        parts.append(f"""{prefix}d{j} AS MATERIALIZED (
             SELECT wid, s, np, seg FROM (
                 SELECT c.*, ROW_NUMBER() OVER (
                     PARTITION BY wid
                     ORDER BY s DESC, np DESC, seg DESC) AS rk
-                FROM c{j} c
+                FROM {prefix}c{j} c
             ) WHERE rk = 1
         )""")
     fin = " UNION ALL ".join(
-        f"SELECT * FROM d{j} WHERE len(wid) = {j}"
+        f"SELECT * FROM {prefix}d{j} WHERE len(wid) = {j}"
         for j in range(1, MAXLEN + 1)
     )
-    parts.append(f"fin AS ({fin})")
+    parts.append(f"{prefix}fin AS ({fin})")
+    return parts
+
+
+def oracle_sql(topcols: str = "") -> str:
+    """Full DuckDB SELECT replaying the APPLY Viterbi DP over the
+    distinct-word dict of ``documents`` against the fixed VALUES
+    vocabulary (see :func:`dp_round_ctes` for the sweep shape)."""
+    vals = ", ".join(f"('{p}', {lp})" for p, lp in VOCAB)
+    parts = [
+        f"vocab(piece, lp) AS MATERIALIZED (VALUES {vals})",
+        wcnt_cte(),
+        *dp_round_ctes("", "vocab"),
+    ]
     return (
         "WITH "
         + ",\n".join(parts)
@@ -220,4 +249,129 @@ def oracle_sql(topcols: str = "") -> str:
                substr(f.seg, 2) AS segmentation,
                CAST(f.s AS BIGINT) AS score_milli
         FROM fin f JOIN wcnt w ON w.wid = f.wid{topcols}"""
+    )
+
+
+# -- Viterbi-EM (hard-EM) TRAINING --------------------------------------------
+#
+# Kudo ACL'18 §3.2 re-estimates piece probabilities with EM over all
+# segmentations (forward-backward expectations). The hard-EM /
+# Viterbi-EM variant — E-step counts pieces in the single BEST
+# segmentation only — is the standard exact-arithmetic-friendly
+# approximation (it is also what the SentencePiece pruning loop scores
+# with: the Viterbi path is `EncodeAsPieces`). Every quantity below is
+# an integer (counts) or a milli-nat quantized log, so the Spark fold
+# and the DuckDB relational replay agree bit-for-bit.
+
+#: Multi-char seed pieces must occur at least this often (weighted by
+#: word frequency) to enter the seed vocabulary.
+SEED_MIN_CNT = 3
+
+#: Seed cap for multi-char pieces (count DESC, piece ASC total order).
+SEED_MULTI_MAX = 120
+
+#: Pieces kept per EM round after pruning (multi-char; singles always
+#: survive for segmentation totality).
+KEEP_MULTI = 60
+
+#: Unrolled EM rounds (each = one Viterbi sweep + re-estimate + prune).
+EM_ROUNDS = 2
+
+
+def lp_milli_sql(cnt: str, tot: str, nv: str) -> str:
+    """Add-1-smoothed log-probability in integer milli-nats:
+    ``round(ln((cnt+1)/(tot+|V|)) * 1000)``. ONE division then ONE ln
+    — a single identical IEEE expression on both engines, quantized
+    before anything sums it (the text_bigram_avg_nll rule)."""
+    return (
+        f"CAST(round(ln(CAST({cnt} + 1 AS DOUBLE)"
+        f" / CAST({tot} + {nv} AS DOUBLE)) * 1000) AS BIGINT)"
+    )
+
+
+def train_oracle_sql() -> str:
+    """DuckDB replay of the full Viterbi-EM training loop: seed
+    substring counts → milli-nat scores → EM_ROUNDS × (Viterbi sweep
+    via :func:`dp_round_ctes` → usage counts → prune → re-score) →
+    the final vocabulary. Round prefixes are ``emA``, ``emB``, ..."""
+    parts = [wcnt_cte()]
+    # Seed: every substring of length 1..KMAX of every distinct word,
+    # weighted by word frequency. The k-unnest is uncorrelated
+    # (constant 1..KMAX); the in-range correlation lives in WHERE.
+    parts.append(f"""sub AS MATERIALIZED (
+            SELECT substr(w.wid, s.i, k.j) AS piece, w.cnt
+            FROM wcnt w,
+                 UNNEST(range(1, len(w.wid) + 1)) AS s(i),
+                 UNNEST(range(1, {KMAX} + 1)) AS k(j)
+            WHERE s.i + k.j - 1 <= len(w.wid)
+        )""")
+    parts.append("""seed AS MATERIALIZED (
+            SELECT piece, CAST(sum(cnt) AS BIGINT) AS ucnt
+            FROM sub GROUP BY piece
+        )""")
+    parts.append(f"""v0 AS MATERIALIZED (
+            SELECT piece, ucnt FROM seed WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece, ucnt FROM (
+                SELECT piece, ucnt FROM seed
+                WHERE len(piece) >= 2 AND ucnt >= {SEED_MIN_CNT}
+                ORDER BY ucnt DESC, piece ASC LIMIT {SEED_MULTI_MAX}
+            )
+        )""")
+    parts.append("""t0 AS (
+            SELECT CAST(sum(ucnt) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS nv
+            FROM v0
+        )""")
+    parts.append(f"""vocab0 AS MATERIALIZED (
+            SELECT piece, {lp_milli_sql('ucnt', 'tot', 'nv')} AS lp
+            FROM v0, t0
+        )""")
+    prev = "vocab0"
+    prefix = ""
+    for r in range(EM_ROUNDS):
+        prefix = "em" + chr(ord("A") + r)
+        parts.extend(dp_round_ctes(prefix, prev))
+        parts.append(f"""{prefix}use AS MATERIALIZED (
+            SELECT p.piece, CAST(sum(w.cnt) AS BIGINT) AS ucnt
+            FROM (SELECT wid,
+                         unnest(string_split(substr(seg, 2), ' ')) AS piece
+                  FROM {prefix}fin) p
+            JOIN wcnt w ON w.wid = p.wid
+            GROUP BY p.piece
+        )""")
+        # Prune: singles always survive (usage 0 if unused); multi-char
+        # pieces keep the top KEEP_MULTI actually-used, total order.
+        parts.append(f"""{prefix}v AS MATERIALIZED (
+            SELECT v.piece, coalesce(u.ucnt, 0) AS ucnt
+            FROM {prev} v LEFT JOIN {prefix}use u USING (piece)
+            WHERE len(v.piece) = 1
+            UNION ALL
+            SELECT piece, ucnt FROM (
+                SELECT v.piece, u.ucnt
+                FROM {prev} v JOIN {prefix}use u USING (piece)
+                WHERE len(v.piece) >= 2 AND u.ucnt > 0
+                ORDER BY u.ucnt DESC, v.piece ASC LIMIT {KEEP_MULTI}
+            )
+        )""")
+        parts.append(f"""{prefix}t AS (
+            SELECT CAST(sum(ucnt) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS nv
+            FROM {prefix}v
+        )""")
+        parts.append(f"""{prefix}vocab AS MATERIALIZED (
+            SELECT v.piece, v.ucnt,
+                   {lp_milli_sql('v.ucnt', 't.tot', 't.nv')} AS lp
+            FROM {prefix}v v, {prefix}t t
+        )""")
+        prev = f"{prefix}vocab"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT piece,
+               CAST(len(piece) AS BIGINT) AS piece_len,
+               ucnt AS usage_count,
+               lp AS lp_milli
+        FROM {prev}"""
     )

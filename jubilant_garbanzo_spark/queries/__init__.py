@@ -86,6 +86,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_bpe_fertility",
     "pipeline_token_budget_plan",
     "graph_hits",
+    "text_unigram_train",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -148,12 +149,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_groupby_basic",
     "agg_grouping_sets",
     "agg_having",
-    "agg_percentiles",
-    # (agg_pivot / agg_rollup / agg_skewness_kurtosis /
-    # agg_statistics / agg_unpivot roll to round 12: the five
-    # late-round stretch operators take their slots, per the pin
-    # test's new-query-must-be-windowed invariant; all five hold r4
-    # greens, so this is evidence freshness, not correctness)
+    # (agg_percentiles / agg_pivot / agg_rollup /
+    # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to
+    # round 12: the late-round stretch operators take their slots,
+    # per the pin test's new-query-must-be-windowed invariant; all
+    # six hold r4 greens, so this is evidence freshness, not
+    # correctness)
 )
 
 def load_all() -> dict[str, QuerySpec]:

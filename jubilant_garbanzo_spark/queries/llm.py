@@ -4074,13 +4074,12 @@ def text_unigram_tokenize(spark, sf_dir):
     Python Viterbi loop additionally pins the semantics in
     tests/test_llm_ops.py.
 
-    Training (the EM re-estimation loop of Kudo §3.2) is NOT
-    implemented this round: each EM iteration needs
-    forward-backward expectations over all segmentations — the same
-    bounded-DP machinery, but E-step accumulators across rounds
-    make the exact-integer oracle replay ~MAXLEN× the apply oracle's
-    size; adjudicated to the round notes, with apply (the hot-path
-    production operator) carrying the family."""
+    Training lives beside this as ``text_unigram_train`` — the
+    Viterbi-EM (hard-EM) re-estimation loop whose E-step counts
+    pieces on this same DP's best path (full forward-backward
+    expectations stay adjudicated out: soft-count accumulators are
+    float-valued sums over exponentially many segmentations, with no
+    exact-integer replay)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -4095,6 +4094,131 @@ def text_unigram_tokenize(spark, sf_dir):
         (-F.col("dp.np")).cast("bigint").alias("n_pieces"),
         F.expr("substring(dp.seg, 2)").alias("segmentation"),
         F.col("dp.s").cast("bigint").alias("score_milli"),
+    )
+
+
+@register(
+    "text_unigram_train",
+    oracle=UG.train_oracle_sql(),
+    tags=("llm", "text", "tokenize", "unigram", "sentencepiece", "train"),
+)
+def text_unigram_train(spark, sf_dir):
+    """UNIGRAM-LM tokenizer TRAINING — the Viterbi-EM (hard-EM)
+    variant of Kudo ACL'18 §3.2, completing the tokenizer family
+    beside ``text_bpe_train``: seed the vocabulary with every
+    frequency-weighted substring of length 1..KMAX of the distinct
+    corpus words, score pieces in add-1-smoothed integer milli-nats,
+    then run EM_ROUNDS unrolled rounds of (Viterbi-segment every word
+    under the current scores → count piece usage on the best paths →
+    prune multi-char pieces to the top KEEP_MULTI by usage → re-score)
+    and emit the learned vocabulary. Hard-EM is the exact-arithmetic
+    form of the loop (the SentencePiece pruning pass likewise scores
+    with the Viterbi path); full forward-backward expectations are
+    float sums over exponentially many segmentations with no integer
+    replay, so they stay out of oracle scope by design.
+
+    Spark shape: the E-step is the apply operator verbatim — one
+    constant-size ``aggregate`` fold per DISTINCT word
+    (operators/unigram.viterbi_expr), with the learned piece table
+    shipped as a broadcast 1-row ``map_from_entries`` frame instead
+    of apply's plan literal. Each M-step is one map-side-combinable
+    explode+sum; seeding is the same shape over the substring grid
+    (≤ MAXLEN·KMAX pieces per word). The ONLY sort+limit runs over
+    the piece-count table, bounded by the alphabet^KMAX piece space
+    — never by corpus size — and carries a total order
+    (count DESC, piece ASC), so pruning is deterministic on both
+    engines. Per-round ``localCheckpoint`` truncates the self-
+    referential vocab lineage (the suffix-array round discipline).
+
+    The DuckDB oracle replays ALL of it independently: the substring
+    seed via an UNNEST grid, each Viterbi sweep as unrolled relational
+    rounds (operators/unigram.dp_round_ctes parameterized by the
+    round's learned vocab CTE), usage/prune/re-score as plain SQL —
+    so the differential check proves seeding, both E-steps, both
+    M-steps, and the pruning order."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= UG.MAXLEN))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+
+    def score(v):
+        # add-1-smoothed milli-nat log-probs over the kept piece set;
+        # totals ride a broadcast 1-row frame.
+        tot = v.agg(
+            F.sum("ucnt").cast("bigint").alias("tot"),
+            F.count("*").cast("bigint").alias("nv"),
+        )
+        return v.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "ucnt",
+            F.expr(UG.lp_milli_sql("ucnt", "tot", "nv")).alias("lp"),
+        )
+
+    subs = words.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), s ->"
+                f" transform(sequence(1, least({UG.KMAX},"
+                f" length(word) - s + 1)), k -> substring(word, s, k))))"
+            )
+        ).alias("piece"),
+        "cnt",
+    )
+    seed = subs.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("ucnt"))
+    singles0 = seed.filter(F.length("piece") == 1).select("piece", "ucnt")
+    multi0 = (
+        seed.filter(
+            (F.length("piece") >= 2) & (F.col("ucnt") >= UG.SEED_MIN_CNT)
+        )
+        .orderBy(F.desc("ucnt"), F.asc("piece"))
+        .limit(UG.SEED_MULTI_MAX)
+        .select("piece", "ucnt")
+    )
+    vocab = score(singles0.unionByName(multi0)).localCheckpoint()
+
+    zero = F.lit(0).cast("bigint")
+    for _ in range(UG.EM_ROUNDS):
+        vmap = vocab.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "lp"))
+            ).alias("vmap")
+        )
+        seg = (
+            words.crossJoin(F.broadcast(vmap))
+            .withColumn("dp", F.expr(UG.viterbi_expr(vmap="vmap")))
+            .select("cnt", F.expr("substring(dp.seg, 2)").alias("seg"))
+        )
+        use = (
+            seg.select(F.explode(F.split("seg", " ")).alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("ucnt"))
+        )
+        singles = (
+            vocab.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(use, "piece", "left")
+            .select("piece", F.coalesce(F.col("ucnt"), zero).alias("ucnt"))
+        )
+        multi = (
+            vocab.filter(F.length("piece") >= 2)
+            .select("piece")
+            .join(use, "piece", "inner")
+            .filter(F.col("ucnt") > 0)
+            .orderBy(F.desc("ucnt"), F.asc("piece"))
+            .limit(UG.KEEP_MULTI)
+            .select("piece", "ucnt")
+        )
+        vocab = score(singles.unionByName(multi)).localCheckpoint()
+
+    return vocab.select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        F.col("ucnt").alias("usage_count"),
+        F.col("lp").alias("lp_milli"),
     )
 
 

@@ -1814,6 +1814,106 @@ def test_unigram_tokenize_matches_python_viterbi(spark, tmp_path):
         assert "".join(got[w][1].split(" ")) == w
 
 
+def test_unigram_train_matches_python_hard_em(spark, tmp_path):
+    """text_unigram_train must reproduce an independent Python replay
+    of the whole Viterbi-EM loop — seeding, both E-steps (Viterbi
+    counts), both prunes (count DESC, piece ASC), and the add-1
+    milli-nat re-scoring — exactly, piece for piece."""
+    import math
+
+    from jubilant_garbanzo_spark.operators import unigram as U
+    from jubilant_garbanzo_spark.queries import load_all
+
+    words = {
+        # crafted so EM genuinely reprices: 'data'/'scan' dominate,
+        # 'ta'/'at' compete for the same characters, singletons prune
+        "data": 9, "scan": 7, "batch": 5, "tadata": 4, "atdata": 3,
+        "scans": 3, "q": 2, "zq": 1, "datascan": 2,
+    }
+    text = " ".join(w for w, c in sorted(words.items()) for _ in range(c))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "src", text)], "doc_id long, source string, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def round_half_up(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def score(kept: dict[str, int]) -> dict[str, int]:
+        tot, nv = sum(kept.values()), len(kept)
+        return {
+            p: round_half_up(math.log((c + 1) / (tot + nv)) * 1000)
+            for p, c in kept.items()
+        }
+
+    def viterbi(word: str, lp_of: dict[str, int]) -> list[str]:
+        best = [(0, 0, "")] + [None] * len(word)
+        for j in range(1, len(word) + 1):
+            cands = []
+            for k in range(1, min(U.KMAX, j) + 1):
+                prev = best[j - k]
+                if prev is None:
+                    continue
+                piece = word[j - k : j]
+                lp = lp_of.get(piece)
+                if lp is None and k == 1:
+                    lp = U.UNK_MILLI
+                if lp is None:
+                    continue
+                cands.append(
+                    (prev[0] + lp, prev[1] - 1, prev[2] + " " + piece)
+                )
+            best[j] = max(cands)
+        return best[len(word)][2][1:].split(" ")
+
+    # seed: frequency-weighted substrings of length 1..KMAX
+    seed: dict[str, int] = {}
+    for w, c in words.items():
+        for s in range(len(w)):
+            for k in range(1, min(U.KMAX, len(w) - s) + 1):
+                seed[w[s : s + k]] = seed.get(w[s : s + k], 0) + c
+    kept = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in seed.items()
+            if len(p) >= 2 and c >= U.SEED_MIN_CNT
+        ),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: U.SEED_MULTI_MAX]
+    kept.update(dict(multi))
+    lp_of = score(kept)
+
+    for _ in range(U.EM_ROUNDS):
+        use: dict[str, int] = {}
+        for w, c in words.items():
+            for piece in viterbi(w, lp_of):
+                use[piece] = use.get(piece, 0) + c
+        nxt = {p: use.get(p, 0) for p in lp_of if len(p) == 1}
+        multi = sorted(
+            (
+                (p, use[p])
+                for p in lp_of
+                if len(p) >= 2 and use.get(p, 0) > 0
+            ),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: U.KEEP_MULTI]
+        nxt.update(dict(multi))
+        kept, lp_of = nxt, score(nxt)
+
+    got = {
+        r["piece"]: (r["piece_len"], r["usage_count"], r["lp_milli"])
+        for r in load_all()["text_unigram_train"].fn(spark, sf).collect()
+    }
+    want = {p: (len(p), kept[p], lp_of[p]) for p in kept}
+    assert got == want
+    # and EM must have actually pruned: the seed multi set is larger
+    # than the survivors (the loop did work, not a pass-through)
+    assert len([p for p in seed if len(p) >= 2 and seed[p] >= U.SEED_MIN_CNT]) > len(
+        [p for p in got if len(p) >= 2]
+    )
+
+
 def test_rrf_fusion_matches_arm_recomputation(spark, sf_dir):
     """RRF invariants: every fused score equals the integer-nano sum
     recomputed from the two arms run independently; ranks agree with
