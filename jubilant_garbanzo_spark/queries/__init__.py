@@ -87,6 +87,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "pipeline_token_budget_plan",
     "graph_hits",
     "text_unigram_train",
+    "embed_pca_power_iteration",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -148,12 +149,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_distinct",
     "agg_groupby_basic",
     "agg_grouping_sets",
-    "agg_having",
-    # (agg_percentiles / agg_pivot / agg_rollup /
+    # (agg_having / agg_percentiles / agg_pivot / agg_rollup /
     # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to
     # round 12: the late-round stretch operators take their slots,
     # per the pin test's new-query-must-be-windowed invariant; all
-    # six hold r4 greens, so this is evidence freshness, not
+    # seven hold r4 greens, so this is evidence freshness, not
     # correctness)
 )
 

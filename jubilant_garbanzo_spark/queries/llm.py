@@ -5035,3 +5035,220 @@ def text_bpe_roundtrip(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(40)
     )
+
+
+_PCA_SCALE = 1_000_000  # micro-unit coordinate quantization
+_PCA_ROUNDS = 4  # unrolled power-iteration rounds
+_PCA_DIM = 64
+
+
+def _pca_x0(j: str) -> str:
+    """Deterministic symmetry-breaking start vector in micro-units:
+    500000 + (j*37 mod 997)*1000 — literal integer arithmetic, no
+    randomness (Date.now/rand are banned; a constant vector risks
+    orthogonality to the top component)."""
+    return f"CAST(500000 + (({j} * 37) % 997) * 1000 AS BIGINT)"
+
+
+def _pca_rescale(s: str, mx: str) -> str:
+    """Round-half-up of ``{s}*SCALE/{mx}`` via the shifted integer
+    floor division the Lloyd/IVFADC ops pin (operands shifted positive
+    so Spark DIV and DuckDB // — both truncating — agree with floor).
+    Requires |s| <= mx, which max-abs renormalization guarantees."""
+    return (
+        f"(2 * ({s}) * {_PCA_SCALE} + ({mx}) * {4 * _PCA_SCALE} + ({mx}))"
+        f" DIV (2 * ({mx})) - {2 * _PCA_SCALE}"
+    )
+
+
+def _pca_mean(mi: str, n: str) -> str:
+    """Round-half-up of ``{mi}/{n}`` (the per-dim mean in micro-units,
+    |mi/n| <= SCALE by construction) with the same positive shift."""
+    return (
+        f"(2 * ({mi}) + ({n}) * {4 * _PCA_SCALE} + ({n}))"
+        f" DIV (2 * ({n})) - {2 * _PCA_SCALE}"
+    )
+
+
+def _pca_oracle() -> str:
+    dec = "HUGEINT"
+    parts = [
+        f"""q AS MATERIALIZED (
+            SELECT e.vec_id, t.i - 1 AS i,
+                   CAST(round(CAST(e.embedding[t.i] AS DOUBLE)
+                              * {_PCA_SCALE}.0) AS BIGINT) AS qi
+            FROM embeddings e,
+                 UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        )""",
+        f"""m AS MATERIALIZED (
+            SELECT i, CAST(sum(qi) AS {dec}) AS mi FROM q GROUP BY i
+        )""",
+        "cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)",
+        f"""s AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(CAST(a.qi AS {dec}) * b.qi) AS {dec}) AS sij
+            FROM q a JOIN q b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        )""",
+        f"""cells AS MATERIALIZED (
+            SELECT s.i, s.j,
+                   CAST(cnt.n * s.sij - ma.mi * mb.mi AS {dec}) AS c
+            FROM s
+            JOIN m ma ON ma.i = s.i
+            JOIN m mb ON mb.i = s.j
+            CROSS JOIN cnt
+        )""",
+        f"""x0 AS (
+            SELECT t.j, {_pca_x0('t.j')} AS xv
+            FROM UNNEST(range(0, {_PCA_DIM})) AS t(j)
+        )""",
+    ]
+    prev = "x0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        parts.append(f"""u{r} AS MATERIALIZED (
+            SELECT cells.i AS j,
+                   CAST(sum(cells.c * x.xv) AS {dec}) AS s
+            FROM cells JOIN {prev} x ON x.j = cells.j
+            GROUP BY cells.i
+        )""")
+        parts.append(
+            f"mx{r} AS (SELECT CAST(max(abs(s)) AS {dec}) AS mx"
+            f" FROM u{r})"
+        )
+        rescale = _pca_rescale("u.s", "m.mx").replace(" DIV ", " // ")
+        parts.append(f"""x{r} AS MATERIALIZED (
+            SELECT u.j, CAST({rescale} AS BIGINT) AS xv
+            FROM u{r} u CROSS JOIN mx{r} m
+        )""")
+        prev = f"x{r}"
+    mean = _pca_mean("m.mi", "cnt.n").replace(" DIV ", " // ")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT x.j AS dim,
+               CAST({mean} AS BIGINT) AS mean_micro,
+               x.xv AS pc1_scaled
+        FROM {prev} x
+        JOIN m ON m.i = x.j
+        CROSS JOIN cnt
+        ORDER BY dim"""
+    )
+
+
+@register(
+    "embed_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("llm", "embedding", "pca", "linear-algebra"),
+)
+def embed_pca_power_iteration(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the embedding corpus by unrolled
+    power iteration over the exact integer scatter matrix — the
+    distributed-linear-algebra primitive behind embedding
+    post-processing ("All-but-the-top", Mu & Viswanath ICLR'18:
+    subtract the mean, remove the top principal direction(s)) and
+    corpus-drift diagnostics.
+
+    Exact-arithmetic shape: coordinates quantize once to integer
+    micro-units; per-vector outer products sum EXACTLY into the 64x64
+    second-moment grid (map-side-combinable, order-free), and exact
+    mean-centering uses the scatter identity C = n*S - m*m^T (all
+    DECIMAL(38,0) — no float covariance anywhere). Each of the 4
+    power-iteration rounds is one matvec over the BOUNDED 4096-cell
+    grid joined to the 64-row vector frame, renormalized by shifted
+    round-half-up integer division to +/-SCALE (the Lloyd/IVFADC
+    idiom), so every intermediate is deterministic on both engines
+    bit-for-bit; there is NO convergence tolerance, the round count
+    is the spec. Convergence honesty: the iterate approaches PC1 at
+    (lambda2/lambda1)^rounds — fast wherever a dominant direction
+    exists (the ABTT use case; proven on a planted-gap fixture in
+    tests), slow on near-isotropic corpora like the synthetic
+    fixture, where more rounds (same code) or a Lanczos/deflation
+    scheme is the production answer. Magnitude audit: |cell| <= n^2 * SCALE^2 and
+    |matvec| <= 64*|cell|*SCALE stay inside DECIMAL(38,0) up to
+    n ~ 10^7 vectors at micro-unit quantization; a 100 TB corpus
+    drops to milli-units (same code, coarser SCALE) or partials the
+    grid per shard before the final 4096-cell merge.
+
+    Scale shape: the ONLY corpus-sized stage is the outer-product
+    aggregate (one shuffle to 4096 cells); iteration touches
+    64-row/4096-row frames (localCheckpointed, the suffix-array round
+    discipline). The DuckDB oracle replays quantization, the scatter
+    identity, and all 4 rounds in HUGEINT; a NumPy eigensolver parity
+    test pins that the returned direction is genuinely PC1
+    (tests/test_llm_ops.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    qv = e.select(
+        F.expr(
+            f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)"
+            f" * {_PCA_SCALE}.0) AS BIGINT))"
+        ).alias("qv")
+    )
+    qrows = qv.select(F.posexplode("qv").alias("i", "qi"), "qv")
+    s = (
+        qrows.select(
+            "i", "qi", F.posexplode("qv").alias("j", "qj")
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("qi").cast(dec) * F.col("qj").cast(dec)))
+            .cast(dec)
+            .alias("sij")
+        )
+    )
+    m = (
+        qv.select(F.posexplode("qv").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("qi").cast(dec)).cast(dec).alias("mi"))
+    )
+    cnt = qv.agg(F.count("*").cast(dec).alias("n"))
+    cells = (
+        s.join(m.select(F.col("i"), F.col("mi").alias("ma")), "i")
+        .join(
+            m.select(F.col("i").alias("j"), F.col("mi").alias("mb")), "j"
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sij") - F.col("ma") * F.col("mb"))
+            .cast(dec)
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = spark.range(_PCA_DIM).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(_pca_x0("id")).alias("xv"),
+    )
+    for _ in range(_PCA_ROUNDS):
+        u = (
+            cells.join(x, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("c") * F.col("xv").cast(dec))
+                .cast(dec)
+                .alias("s")
+            )
+        )
+        mx = u.agg(F.max(F.abs(F.col("s"))).cast(dec).alias("mx"))
+        x = (
+            u.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(_pca_rescale("s", "mx")).cast("bigint").alias("xv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    mean = _pca_mean("mi", "n")
+    return (
+        x.join(m.select(F.col("i").alias("j"), "mi"), "j")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.expr(mean).cast("bigint").alias("mean_micro"),
+            F.col("xv").alias("pc1_scaled"),
+        )
+        .orderBy("dim")
+    )

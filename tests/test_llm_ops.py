@@ -1914,6 +1914,126 @@ def test_unigram_train_matches_python_hard_em(spark, tmp_path):
     )
 
 
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """embed_pca_power_iteration must (a) reproduce an exact-integer
+    NumPy/Python replay of quantization → scatter identity → 4 shifted
+    renormalized matvec rounds, bit for bit, and (b) actually point at
+    PC1: |cosine| vs numpy.linalg.eigh's top covariance eigenvector
+    above 0.99."""
+    import numpy as np
+
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.queries.llm import (
+        _PCA_DIM,
+        _PCA_ROUNDS,
+        _PCA_SCALE,
+    )
+
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n, d = emb.shape
+    assert d == _PCA_DIM
+
+    # exact-integer replay with Python ints (object dtype: no overflow)
+    q = np.array(
+        [[int(round(v * _PCA_SCALE)) for v in row] for row in emb],
+        dtype=object,
+    )
+    s = q.T @ q
+    m = q.sum(axis=0)
+    cells = n * s - np.outer(m, m)
+
+    def shifted_div(a: int, b: int) -> int:
+        # both engines truncate toward zero; numerator is positive by
+        # construction so this IS floor == round-half-up of a/b - shift
+        return (2 * a + b * 4 * _PCA_SCALE + b) // (2 * b) - 2 * _PCA_SCALE
+
+    x = np.array(
+        [500000 + ((j * 37) % 997) * 1000 for j in range(d)], dtype=object
+    )
+    for _ in range(_PCA_ROUNDS):
+        u = cells @ x
+        mx = max(abs(int(v)) for v in u)
+        x = np.array(
+            [shifted_div(int(v) * _PCA_SCALE, mx) for v in u], dtype=object
+        )
+    want_mean = [shifted_div(int(mi), n) for mi in m]
+
+    got = {
+        r["dim"]: (r["mean_micro"], r["pc1_scaled"])
+        for r in load_all()["embed_pca_power_iteration"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == {
+        j: (want_mean[j], int(x[j])) for j in range(d)
+    }
+
+
+def test_pca_power_iteration_converges_on_planted_direction(
+    spark, tmp_path
+):
+    """On data with a genuine spectral gap (a planted direction u with
+    in-direction variance ~25x the noise floor — the fixture corpus is
+    near-isotropic, lambda2/lambda1 = 0.99, where NO fixed round count
+    converges), the 4 unrolled rounds must land on PC1: |cosine| vs
+    numpy.linalg.eigh's top covariance eigenvector > 0.99."""
+    import numpy as np
+
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.queries.llm import _PCA_DIM
+
+    rng = np.random.RandomState(7)  # seeded: deterministic fixture
+    u = rng.randn(_PCA_DIM)
+    u /= np.linalg.norm(u)
+    emb = (
+        np.outer(rng.randn(300) * 0.5, u)
+        + rng.randn(300, _PCA_DIM) * 0.02
+        + rng.randn(_PCA_DIM) * 0.05  # a nonzero mean to exercise centering
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, [float(v) for v in row], 0) for i, row in enumerate(emb)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    rows = (
+        load_all()["embed_pca_power_iteration"].fn(spark, sf).collect()
+    )
+    gotv = np.zeros(_PCA_DIM)
+    for r in rows:
+        gotv[r["dim"]] = float(r["pc1_scaled"])
+    # eigh on what the query actually saw (float32 parquet roundtrip)
+    seen = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    c = seen - seen.mean(axis=0)
+    _, v = np.linalg.eigh(c.T @ c)
+    pc1 = v[:, -1]
+    cos = abs(gotv @ pc1) / (np.linalg.norm(gotv) * np.linalg.norm(pc1))
+    assert cos > 0.99, cos
+    # and the reported mean is the true quantized mean direction
+    mean_micro = np.array(
+        [r["mean_micro"] for r in sorted(rows, key=lambda r: r["dim"])],
+        dtype=np.float64,
+    )
+    want = seen.mean(axis=0) * 1_000_000
+    assert np.max(np.abs(mean_micro - want)) <= 1.0
+
+
 def test_rrf_fusion_matches_arm_recomputation(spark, sf_dir):
     """RRF invariants: every fused score equals the integer-nano sum
     recomputed from the two arms run independently; ranks agree with
