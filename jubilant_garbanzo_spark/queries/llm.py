@@ -5252,3 +5252,127 @@ def embed_pca_power_iteration(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+_FPI_K = 6  # centers chosen (K-1 unrolled farthest-point rounds)
+_FPI_SCALE = 1_000_000
+
+
+def _fpi_oracle() -> str:
+    parts = [
+        f"""qd AS MATERIALIZED (
+            SELECT e.vec_id AS vid, t.i AS i,
+                   CAST(round(CAST(e.embedding[t.i] AS DOUBLE)
+                              * {_FPI_SCALE}.0) AS BIGINT) AS qi
+            FROM embeddings e,
+                 UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        )""",
+        """ch0 AS (SELECT min(vid) AS vid FROM qd)""",
+    ]
+    outs = [
+        "SELECT CAST(0 AS BIGINT) AS sel_rank, vid AS vec_id,"
+        " CAST(0 AS BIGINT) AS maxmin_dist FROM ch0"
+    ]
+    for r in range(1, _FPI_K):
+        parts.append(f"""d{r} AS MATERIALIZED (
+            SELECT vid, min(s) AS d FROM (
+                SELECT a.vid, c.vid AS cv,
+                       CAST(sum((a.qi - cb.qi) * (a.qi - cb.qi))
+                            AS BIGINT) AS s
+                FROM qd a
+                JOIN ch{r - 1} c ON true
+                JOIN qd cb ON cb.vid = c.vid AND cb.i = a.i
+                GROUP BY a.vid, c.vid
+            ) GROUP BY vid
+        )""")
+        parts.append(f"""n{r} AS (
+            SELECT vid, d FROM d{r}
+            ORDER BY d DESC, vid ASC LIMIT 1
+        )""")
+        parts.append(f"""ch{r} AS (
+            SELECT vid FROM ch{r - 1} UNION ALL SELECT vid FROM n{r}
+        )""")
+        outs.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_rank, vid AS vec_id,"
+            f" d AS maxmin_dist FROM n{r}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + " " + " UNION ALL ".join(outs)
+    )
+
+
+@register(
+    "embed_farthest_point_init",
+    oracle=_fpi_oracle(),
+    tags=("llm", "embedding", "clustering", "kcenter"),
+)
+def embed_farthest_point_init(spark, sf_dir):
+    """Farthest-point (Gonzalez 1985) k-center seeding over the
+    embedding corpus — the deterministic stand-in for k-means++
+    initialization (k-means++'s D² sampling is randomized by
+    definition; the farthest-point traversal is its derandomized
+    2-approximation, and the standard seeding for the Lloyd operator
+    family already in the repo). Output: the K chosen vec_ids in
+    selection order with each pick's max-min squared distance — a
+    provably non-increasing coverage-radius sequence (tested).
+
+    Exactness: coordinates quantize once to integer micro-units;
+    every distance is an exact BIGINT squared-L2 (64 dims x
+    (2*SCALE)^2 ~ 7e13 per pair, far inside BIGINT); each pick is a
+    total-order argmax (dist DESC, vec_id ASC), so the trajectory is
+    bit-deterministic on both engines.
+
+    Scale shape: K-1 rounds, each ONE pure map over the corpus (the
+    chosen-center coordinate block rides a broadcast 1-row array
+    frame; min-dist is a constant-size HOF fold per row — no
+    corpus-sized shuffle at all) followed by a TakeOrdered(1)
+    argmax. Gonzalez is inherently K sequential passes; K stays
+    small (seeding, not clustering), and each pass is
+    embarrassingly parallel — the 100 TB shape is K linear scans.
+    Chosen rows re-enter with distance 0, so they can never be
+    re-picked while any unchosen mass remains."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.expr(
+            f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)"
+            f" * {_FPI_SCALE}.0) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    zero = F.lit(0).cast("bigint")
+    chosen = (
+        q.orderBy("vec_id")
+        .limit(1)
+        .select(
+            zero.alias("sel_rank"),
+            "vec_id",
+            zero.alias("maxmin_dist"),
+            "qv",
+        )
+        .localCheckpoint(eager=True)
+    )
+    mindist = (
+        "array_min(transform(cs, c ->"
+        " aggregate(zip_with(qv, c.qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)))"
+    )
+    for r in range(1, _FPI_K):
+        carr = chosen.agg(
+            F.collect_list(F.struct("qv")).alias("cs")
+        )
+        nxt = (
+            q.crossJoin(F.broadcast(carr))
+            .select("vec_id", "qv", F.expr(mindist).alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+        )
+        chosen = chosen.unionByName(
+            nxt.select(
+                F.lit(r).cast("bigint").alias("sel_rank"),
+                "vec_id",
+                F.col("d").alias("maxmin_dist"),
+                "qv",
+            )
+        ).localCheckpoint(eager=True)
+    return chosen.select("sel_rank", "vec_id", "maxmin_dist")

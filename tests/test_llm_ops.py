@@ -2034,6 +2034,47 @@ def test_pca_power_iteration_converges_on_planted_direction(
     assert np.max(np.abs(mean_micro - want)) <= 1.0
 
 
+def test_farthest_point_init_matches_python_gonzalez(spark, sf_dir):
+    """embed_farthest_point_init must reproduce a Python Gonzalez
+    traversal exactly (same quantization, same (dist DESC, vec_id ASC)
+    argmax) and its max-min distance sequence must be non-increasing
+    (the k-center coverage-radius invariant)."""
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.queries.llm import _FPI_K, _FPI_SCALE
+
+    vecs = {
+        r["vec_id"]: [
+            int(round(float(v) * _FPI_SCALE)) for v in r["embedding"]
+        ]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [(0, min(vecs), 0)]
+    for r in range(1, _FPI_K):
+        best = max(
+            (
+                (min(d2(v, vecs[c]) for _, c, _ in chosen), -vid, vid)
+                for vid, v in vecs.items()
+            ),
+        )
+        chosen.append((r, best[2], best[0]))
+
+    got = sorted(
+        (r["sel_rank"], r["vec_id"], r["maxmin_dist"])
+        for r in load_all()["embed_farthest_point_init"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert got == chosen
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
 def test_rrf_fusion_matches_arm_recomputation(spark, sf_dir):
     """RRF invariants: every fused score equals the integer-nano sum
     recomputed from the two arms run independently; ranks agree with
