@@ -89,6 +89,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_unigram_train",
     "embed_pca_power_iteration",
     "embed_farthest_point_init",
+    "graph_clustering_coefficient",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -148,12 +149,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_collect_list_set",
     "agg_cube",
     "agg_distinct",
-    "agg_groupby_basic",
-    # (agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
+    # (agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
     # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to
     # round 12: the late-round stretch operators take their slots,
     # per the pin test's new-query-must-be-windowed invariant; all
-    # eight hold r4 greens, so this is evidence freshness, not
+    # nine hold r4 greens, so this is evidence freshness, not
     # correctness)
 )
 

@@ -1028,3 +1028,139 @@ def graph_hits(spark, sf_dir):
             F.desc("authority_fixed"), F.desc("hub_fixed"), F.asc("nation")
         )
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_kcore_edge_cte() + """
+        , nbrcc AS MATERIALIZED (
+            SELECT src AS node, dst AS nb FROM und
+        ), degcc AS MATERIALIZED (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM nbrcc GROUP BY node
+        ), wedges AS MATERIALIZED (
+            SELECT a.node, a.nb AS x, b.nb AS y
+            FROM nbrcc a JOIN nbrcc b
+              ON a.node = b.node AND a.nb < b.nb
+        ), closed AS MATERIALIZED (
+            SELECT w.node, CAST(count(*) AS BIGINT) AS tri
+            FROM wedges w
+            JOIN und e ON e.src = w.x AND e.dst = w.y
+            GROUP BY w.node
+        )
+        SELECT n.n_name AS nation,
+               d.deg AS degree,
+               COALESCE(c.tri, 0) AS triangles,
+               CAST((2 * (2 * COALESCE(c.tri, 0) * 1000000)
+                     + d.deg * (d.deg - 1))
+                    // (2 * d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+        FROM degcc d
+        LEFT JOIN closed c ON c.node = d.node
+        JOIN nation n ON n.n_nationkey = d.node
+        WHERE d.deg >= 2
+    """,
+    tags=("graph", "clustering-coefficient", "triangles"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Per-node LOCAL CLUSTERING COEFFICIENT over the symmetrized
+    significant-trade graph (the 9th graph algorithm, after
+    PageRank/triangles/CC/BFS/LPA/SSSP/k-core/HITS): for each nation,
+    the fraction of its neighbor pairs that are themselves connected —
+    cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — the standard
+    "tightly-knit vs hub-and-spoke" structure diagnostic (Watts &
+    Strogatz 1998). Emitted in exact integer ppm via shifted
+    round-half-up division (all operands positive, so Spark DIV and
+    DuckDB // agree), with degree and triangle counts alongside;
+    deg < 2 nodes (coefficient undefined) are excluded on both
+    engines.
+
+    Scale shape: neighbor-pair wedges are generated by the ordered
+    self-join (a.nb < b.nb — each pair once, half the fanout) and
+    closed by ONE equi-join against the edge list, the
+    graph_triangle_count discipline: wedge fanout is sum-of-deg^2
+    bounded, the skew diagnostic `profile_key_skew` is the guard, and
+    at 100 TB the standard remedy (degree-ordered orientation) drops
+    fanout to the arboricity bound. No windows, no driver data path.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    tot = e0.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    sig = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("src", "dst")
+    )
+    und = (
+        sig.unionByName(
+            sig.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nbr = und.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+    deg = nbr.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    a, b = nbr.alias("a"), nbr.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.node") == F.col("b.node"))
+        & (F.col("a.nb") < F.col("b.nb")),
+    ).select(
+        F.col("a.node").alias("node"),
+        F.col("a.nb").alias("x"),
+        F.col("b.nb").alias("y"),
+    )
+    closed = (
+        wedges.join(
+            und,
+            (wedges.x == und.src) & (wedges.y == und.dst),
+            "left_semi",
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("tri"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        deg.join(closed, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), zero).alias("triangles"),
+        )
+        .filter(F.col("deg") >= 2)
+        .join(nation, F.col("node") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("deg").alias("degree"),
+            "triangles",
+            F.expr(
+                "(2 * (2 * triangles * 1000000) + deg * (deg - 1))"
+                " DIV (2 * deg * (deg - 1))"
+            ).cast("bigint").alias("cc_ppm"),
+        )
+    )

@@ -95,7 +95,11 @@ def test_iterative_oracles_materialize_their_ctes():
     from jubilant_garbanzo_spark.queries import load_all
 
     specs = load_all()
-    for name in ("graph_kcore", "graph_link_prediction_jaccard"):
+    for name in (
+        "graph_kcore",
+        "graph_link_prediction_jaccard",
+        "graph_clustering_coefficient",
+    ):
         sql = specs[name].oracle
         assert "AS MATERIALIZED (" in sql, f"{name} lost MATERIALIZED"
         # every multiply-referenced CTE in the shared edge block
@@ -141,3 +145,74 @@ def test_hits_star_graph_matches_integer_recurrence(spark):
     assert out == {n: (a.get(n, 0), h.get(n, 0)) for n in N}
     assert out[3][1] == 0 and out[1][0] == 0 and out[2][0] == 0
     assert out[1][1] == 2 * out[2][1]
+
+
+def test_clustering_coefficient_matches_python_on_fixture(spark, sf_dir):
+    """graph_clustering_coefficient vs an independent Python
+    recomputation from the same symmetrized significant-trade edges:
+    degree, triangle count, and the shifted-div ppm must all agree,
+    and cc_ppm must respect its bounds (0..1e6, tri <= C(deg,2))."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    specs = load_all()
+    rows = specs["graph_clustering_coefficient"].fn(spark, sf_dir).collect()
+    # rebuild the edge set exactly as the query derives it
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    und = set(
+        map(
+            tuple,
+            con.execute(
+                """WITH e0 AS (
+                   SELECT CAST(c.c_nationkey AS BIGINT) src,
+                          CAST(s.s_nationkey AS BIGINT) dst,
+                          count(*) w
+                   FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   GROUP BY 1, 2
+                ), tot AS (SELECT sum(w) tw, count(*) ne FROM e0)
+                SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM e0, tot WHERE w * ne >= tw
+                  UNION ALL
+                  SELECT dst, src FROM e0, tot WHERE w * ne >= tw
+                ) WHERE src != dst"""
+            ).fetchall(),
+        )
+    )
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    nbrs: dict[int, set[int]] = {}
+    for s, d in und:
+        nbrs.setdefault(s, set()).add(d)
+    want = {}
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        if deg < 2:
+            continue
+        tri = sum(
+            1
+            for x in ns
+            for y in ns
+            if x < y and (x, y) in und
+        )
+        ppm = (2 * (2 * tri * 1000000) + deg * (deg - 1)) // (
+            2 * deg * (deg - 1)
+        )
+        want[names[v]] = (deg, tri, ppm)
+    got = {
+        r["nation"]: (r["degree"], r["triangles"], r["cc_ppm"])
+        for r in rows
+    }
+    assert got == want
+    for deg, tri, ppm in got.values():
+        assert 0 <= ppm <= 1_000_000
+        assert tri <= deg * (deg - 1) // 2
