@@ -2467,3 +2467,119 @@ def skyline_pareto_frontier(spark, sf_dir):
             (F.col("rev_cents") / 100.0).alias("revenue"),
         )
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, h, cnt,
+                   CAST(row_number() OVER wo AS BIGINT) AS k,
+                   CAST(sum(cnt) OVER wo AS BIGINT) AS s,
+                   CAST(count(*) OVER wp AS BIGINT) AS n,
+                   CAST(sum(cnt) OVER wp AS BIGINT) AS t
+            FROM hourly
+            WINDOW wo AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wp AS (PARTITION BY event_type)
+        ), scored AS (
+            SELECT event_type, h, k, s, n, t,
+                   abs(n * s - k * t) AS d,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(n * s - k * t) DESC, h ASC
+                   ) AS rk
+            FROM cum WHERE k < n
+        )
+        SELECT event_type,
+               n AS n_hours,
+               t AS total_events,
+               k AS change_idx,
+               strftime(h, '%Y-%m-%d %H:%M') AS change_hour,
+               d AS cusum_stat,
+               CAST((2 * s * 1000000 + k) // (2 * k) AS BIGINT)
+                   AS mean_before_micro,
+               CAST((2 * (t - s) * 1000000 + (n - k)) // (2 * (n - k))
+                    AS BIGINT) AS mean_after_micro
+        FROM scored WHERE rk = 1
+    """,
+    tags=("analytics", "timeseries", "changepoint", "cusum"),
+)
+def timeseries_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM change-point detection per event type — the
+    at-most-one-change estimator (Page 1954 / Hinkley 1970): over the
+    hourly count series, the change point is the prefix k maximizing
+    the cumulative deviation from the global mean, argmax_k
+    |S_k - k*T/n|, reported with the level before/after the break —
+    the "did traffic shift, and when" primitive behind deployment and
+    data-drift forensics.
+
+    Exactness: the statistic is scaled by n to the all-integer form
+    |n*S_k - k*T| (no division anywhere near the argmax), and the
+    argmax carries a total order (stat DESC, hour ASC), so the chosen
+    break is bit-deterministic; before/after means are micro-quantized
+    by shifted round-half-up division of exact integer sums (operands
+    positive, Spark DIV == DuckDB //). Interior splits only (k < n:
+    both segments non-empty).
+
+    Scale shape: events collapse to the bounded (type x hour) grid in
+    one map-side-combinable aggregate; every window (running sum,
+    per-type totals, the argmax rank) sorts only that grid — the
+    event_spike_detection bounded-cell discipline. At 100 TB the same
+    plan runs on the hourly rollup, never the raw event log.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum("cnt").over(wo).cast("bigint").alias("s"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+        F.sum("cnt").over(wp).cast("bigint").alias("t"),
+    )
+    scored = (
+        cum.filter(F.col("k") < F.col("n"))
+        .withColumn(
+            "d", F.abs(F.col("n") * F.col("s") - F.col("k") * F.col("t"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("d"), F.asc("h")
+                )
+            ),
+        )
+    )
+    return scored.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("t").alias("total_events"),
+        F.col("k").alias("change_idx"),
+        F.date_format("h", "yyyy-MM-dd HH:mm").alias("change_hour"),
+        F.col("d").alias("cusum_stat"),
+        F.expr("(2 * s * 1000000 + k) DIV (2 * k)")
+        .cast("bigint")
+        .alias("mean_before_micro"),
+        F.expr("(2 * (t - s) * 1000000 + (n - k)) DIV (2 * (n - k))")
+        .cast("bigint")
+        .alias("mean_after_micro"),
+    )

@@ -819,3 +819,42 @@ def test_gopher_rules_each_rule_fires_exactly_once(spark, tmp_path):
     ):
         assert got[rule] == (1, 0.125), (rule, got[rule])
     assert got["any_rule"] == (7, 0.875)
+
+
+def test_cusum_changepoint_finds_planted_shift(spark, tmp_path):
+    """A series with a hard level shift (5/hour for 30 hours, then
+    25/hour for 30 hours) must put the CUSUM argmax exactly on the
+    last pre-shift hour, with before/after means at the true levels."""
+    import datetime as dt
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for hr in range(60):
+        level = 5 if hr < 30 else 25
+        for i in range(level):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(hours=hr, seconds=i),
+                    "click",
+                    eid % 7,
+                )
+            )
+            eid += 1
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = (
+        load_all()["timeseries_cusum_changepoint"].fn(spark, sf).collect()
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert r["change_idx"] == 30
+    assert r["change_hour"] == "2024-03-02 05:00"  # hour index 29
+    assert r["mean_before_micro"] == 5_000_000
+    assert r["mean_after_micro"] == 25_000_000
