@@ -1012,3 +1012,87 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"tbl": "param_customer_src", "max_nation": 10},
     )
+
+
+_RCTE_SQL = """
+WITH RECURSIVE e0 AS {MAT}(
+    SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst,
+           CAST(count(*) AS BIGINT) AS w
+    FROM {LI} l
+    JOIN {ORD} o ON l.l_orderkey = o.o_orderkey
+    JOIN {CUST} c ON o.o_custkey = c.c_custkey
+    JOIN {SUPP} s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+), tot AS {MAT}(
+    SELECT CAST(sum(w) AS BIGINT) AS tw,
+           CAST(count(*) AS BIGINT) AS ne
+    FROM e0
+), und AS {MAT}(
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0, tot WHERE 2 * w * ne >= tw
+        UNION ALL
+        SELECT dst, src FROM e0, tot WHERE 2 * w * ne >= tw
+    ) WHERE src != dst
+), reach(node, hops) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN und e ON e.src = r.node
+    WHERE r.hops < 3
+)
+SELECT n.n_name AS nation,
+       CAST(min(r.hops) AS BIGINT) AS min_hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach r JOIN {NAT} n ON n.n_nationkey = r.node
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_recursive_cte_reachability",
+    oracle=_RCTE_SQL.format(
+        MAT="MATERIALIZED ",
+        LI="lineitem",
+        ORD="orders",
+        CUST="customer",
+        SUPP="supplier",
+        NAT="nation",
+    ),
+    tags=("relational", "sql", "recursive-cte", "spark4"),
+)
+def sql_recursive_cte_reachability(spark, sf_dir):
+    """Spark 4 RECURSIVE CTE (SPARK-24497, new in 4.0) — transitive
+    reachability from nation 0 over the half-mean-thresholded trade
+    graph, bounded at 3 hops: the iterative UNION ALL member re-joins
+    the working set against the edge list until the guard empties it.
+    Outputs BOTH min_hops (the BFS answer — cross-checked against the
+    manually-unrolled graph_bfs_hops machinery in tests) and n_paths
+    (the bounded path multiplicity), so the differential check pins
+    the engine's recursion semantics — seed row, per-step join, guard,
+    duplicate accumulation — not just the fixpoint.
+
+    The TEXT of the recursive SQL is identical on both engines (one
+    format hook adds DuckDB's MATERIALIZED hint on the non-recursive
+    members, the graph-oracle discipline); Spark executes it through
+    its native UnionLoop iteration under the default recursion-depth
+    guard.
+
+    Scale shape: the recursion's working set lives on the BOUNDED
+    nation graph (the corpus-sized 4-way fact join collapses to the
+    edge list once, before recursion starts); at 100 TB the same
+    recursion runs on the aggregated edge table, and the hop bound
+    caps the blow-up at out_degree^3 path rows over a 25-node graph.
+    """
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
+    return spark.sql(
+        _RCTE_SQL.format(
+            MAT="",
+            LI="rcte_lineitem",
+            ORD="rcte_orders",
+            CUST="rcte_customer",
+            SUPP="rcte_supplier",
+            NAT="rcte_nation",
+        )
+    )

@@ -858,3 +858,64 @@ def test_cusum_changepoint_finds_planted_shift(spark, tmp_path):
     assert r["change_hour"] == "2024-03-02 05:00"  # hour index 29
     assert r["mean_before_micro"] == 5_000_000
     assert r["mean_after_micro"] == 25_000_000
+
+
+def test_recursive_cte_matches_python_bfs_and_path_dp(spark, sf_dir):
+    """sql_recursive_cte_reachability vs an independent Python replay:
+    min_hops must equal BFS distance (<= 3) and n_paths must equal the
+    bounded path-count DP sum_{h<=3} paths(0 -> v, h) over the same
+    half-mean-thresholded edge set."""
+    import duckdb
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    edges = con.execute(
+        """WITH e0 AS (
+           SELECT CAST(c.c_nationkey AS BIGINT) src,
+                  CAST(s.s_nationkey AS BIGINT) dst, count(*) w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2
+        ), tot AS (SELECT sum(w) tw, count(*) ne FROM e0)
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0, tot WHERE 2 * w * ne >= tw
+          UNION ALL
+          SELECT dst, src FROM e0, tot WHERE 2 * w * ne >= tw
+        ) WHERE src != dst"""
+    ).fetchall()
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    # path-count DP: frontier[h][v] = #paths 0->v of length exactly h
+    counts = {0: {0: 1}}
+    for h in range(1, 4):
+        nxt: dict[int, int] = {}
+        for v, c in counts[h - 1].items():
+            for w_ in adj.get(v, []):
+                nxt[w_] = nxt.get(w_, 0) + c
+        counts[h] = nxt
+    want = {}
+    for h in range(4):
+        for v, c in counts[h].items():
+            if names[v] not in want:
+                want[names[v]] = [h, 0]
+            want[names[v]][1] += c
+    got = {
+        r["nation"]: (r["min_hops"], r["n_paths"])
+        for r in load_all()["sql_recursive_cte_reachability"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
