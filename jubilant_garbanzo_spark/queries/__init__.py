@@ -92,6 +92,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "timeseries_cusum_changepoint",
     "sql_recursive_cte_reachability",
+    "multimodal_audio_vad",
     # suffix-array round-0 bucket cap (ADVICE r10)
     "text_suffix_array",
     "text_longest_dup_substring",
@@ -148,12 +149,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q8_market_share",
     # -- staleness refreshes: last green r4 (oldest-first fill) ----------
-    "agg_collect_list_set",
-    # (agg_cube / agg_distinct / agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
+    # (agg_collect_list_set / agg_cube / agg_distinct / agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
     # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to
     # round 12: the late-round stretch operators take their slots,
     # per the pin test's new-query-must-be-windowed invariant; all
-    # eleven hold r4 greens, so this is evidence freshness, not
+    # twelve hold r4 greens, so this is evidence freshness, not
     # correctness)
 )
 

@@ -5376,3 +5376,84 @@ def embed_farthest_point_init(spark, sf_dir):
             )
         ).localCheckpoint(eager=True)
     return chosen.select("sel_rank", "vec_id", "maxmin_dist")
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+        WITH ameta AS MATERIALIZED (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ), fr AS MATERIALIZED (
+            SELECT doc_id, f.f AS f,
+                   list_sum(
+                       [(('0x' || substr(h, 2 * ({M.VAD_FRAME} * f.f + j)
+                                             + 1, 2))::BIGINT - 128)
+                        * (('0x' || substr(h, 2 * ({M.VAD_FRAME} * f.f + j)
+                                               + 1, 2))::BIGINT - 128)
+                        FOR j IN range(0, {M.VAD_FRAME})]) AS e
+            FROM ameta, UNNEST(range(0, n // {M.VAD_FRAME})) AS f(f)
+        ), act AS MATERIALIZED (
+            SELECT doc_id, f, e, e >= {M.VAD_THRESH} AS a FROM fr
+        ), isl AS (
+            SELECT doc_id, f,
+                   f - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY f) AS grp
+            FROM act WHERE a
+        ), seg AS (
+            SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+            FROM isl GROUP BY doc_id, grp
+        ), fagg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_active,
+                   CAST(sum(e) AS BIGINT) AS total_energy
+            FROM act GROUP BY doc_id
+        ), sagg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(max(run) AS BIGINT) AS longest_run
+            FROM seg GROUP BY doc_id
+        )
+        SELECT m.doc_id,
+               coalesce(fagg.n_frames, 0) AS n_frames,
+               coalesce(fagg.n_active, 0) AS n_active,
+               coalesce(sagg.n_segments, 0) AS n_segments,
+               coalesce(sagg.longest_run, 0) AS longest_run,
+               coalesce(fagg.total_energy, 0) AS total_energy
+        FROM ameta m
+        LEFT JOIN fagg ON fagg.doc_id = m.doc_id
+        LEFT JOIN sagg ON sagg.doc_id = m.doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "vad", "pandas-udf"),
+)
+def multimodal_audio_vad(spark, sf_dir):
+    """AUDIO voice-activity detection plumbing — the opaque binary
+    column viewed as 8-bit PCM, short-time frame energy, an energy
+    gate, and gaps-and-islands activity segments per payload
+    (operators/multimodal.audio_vad_summary; Rabiner & Sambur 1975's
+    energy VAD, the pre-transcription screen every speech pipeline
+    runs). This widens the multimodal family to the audio shape
+    explicitly: framing, per-frame reduction, and segment summary are
+    exactly what a real VAD produces — a deployment swaps the energy
+    rule for a model score inside the same Arrow-batched mapInPandas
+    kernel.
+
+    Exactness: energies are exact integer sums of squared deviations
+    from the 128 midpoint, thresholds integer — the DuckDB oracle
+    replays framing, energy, the gate, and the islands relationally
+    from the hex dump, so the whole Python-worker roundtrip is
+    value-checked bit-for-bit (the multimodal_decode discipline).
+
+    Scale shape: one mapInPandas pass (no shuffle; the per-doc frame
+    loop is arithmetic on an Arrow batch); payload-width-aware
+    partition sizing is the only knob (operators/multimodal.py module
+    note). Sub-frame remainders drop identically on both engines;
+    empty payloads yield zero rows rather than vanishing."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return M.audio_vad_summary(payloads)

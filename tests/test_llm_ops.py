@@ -2227,3 +2227,68 @@ def test_token_budget_plan_invariants(spark, sf_dir):
         if t > 0:
             assert 1 <= r["last_epoch_tokens"] <= a
             assert (r["n_epochs"] - 1) * a + r["last_epoch_tokens"] == t
+
+
+def test_audio_vad_matches_python_replay_and_edge_cases(spark, tmp_path):
+    """audio VAD vs a Python replay on crafted payloads: empty text,
+    sub-frame text (0 frames), an all-quiet payload, an
+    active-quiet-active pattern with known segment structure, and a
+    remainder tail that must be dropped."""
+    from jubilant_garbanzo_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESH,
+    )
+    from jubilant_garbanzo_spark.queries import load_all
+
+    loud = " " * VAD_FRAME          # spaces: (32-128)^2*16 = 147456 >= T
+    quiet = "m" * VAD_FRAME         # 'm'=109: (19^2)*16 = 5776 < T
+    docs = [
+        (1, ""),                       # empty: all-zero row
+        (2, "abc"),                    # sub-frame: 0 frames
+        (3, quiet * 3),                # 3 frames, none active
+        (4, loud + quiet + loud * 2),  # segments: [1], [3,4] -> 2 seg
+        (5, loud * 2 + "xy"),          # remainder 'xy' dropped
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, "src", t) for i, t in docs],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def replay(t: str):
+        b = t.encode()
+        nf = len(b) // VAD_FRAME
+        frames = [
+            sum(
+                (x - 128) ** 2
+                for x in b[i * VAD_FRAME : (i + 1) * VAD_FRAME]
+            )
+            for i in range(nf)
+        ]
+        act = [e >= VAD_THRESH for e in frames]
+        nseg = sum(
+            1 for i, a in enumerate(act) if a and (i == 0 or not act[i - 1])
+        )
+        longest = run = 0
+        for a in act:
+            run = run + 1 if a else 0
+            longest = max(longest, run)
+        return (nf, sum(act), nseg, longest, sum(frames))
+
+    got = {
+        r["doc_id"]: (
+            r["n_frames"],
+            r["n_active"],
+            r["n_segments"],
+            r["longest_run"],
+            r["total_energy"],
+        )
+        for r in load_all()["multimodal_audio_vad"].fn(spark, sf).collect()
+    }
+    assert got == {i: replay(t) for i, t in docs}
+    # the crafted cases hit the intended shapes
+    assert got[1] == (0, 0, 0, 0, 0)
+    assert got[2][0] == 0
+    assert got[3][1] == 0 and got[3][0] == 3
+    assert got[4][2] == 2 and got[4][3] == 2
+    assert got[5][0] == 2
