@@ -111,6 +111,13 @@ HEADLINE: tuple[str, ...] = (
     # and CCNet per-segment perplexity bucketing.
     "retrieval_rrf_fusion",
     "text_ccnet_bucket_filter",
+    # Round-11 late-wave heavies per the same rule: exact-integer PCA
+    # power iteration (the corpus-sized outer-product aggregate),
+    # recursive-CTE reachability (Spark 4 UnionLoop), and the
+    # unigram-LM Viterbi-EM training loop (three DP sweeps).
+    "embed_pca_power_iteration",
+    "sql_recursive_cte_reachability",
+    "text_unigram_train",
 )
 
 

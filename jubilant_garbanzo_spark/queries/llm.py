@@ -5186,15 +5186,28 @@ def embed_pca_power_iteration(spark, sf_dir):
         ).alias("qv")
     )
     qrows = qv.select(F.posexplode("qv").alias("i", "qi"), "qv")
-    s = (
+    # S is symmetric: generate only the upper triangle j >= i (slice
+    # from the diagonal — halves the 64^2-per-row fan-out, the only
+    # corpus-sized stage), then mirror the off-diagonal cells.
+    s_up = (
         qrows.select(
-            "i", "qi", F.posexplode("qv").alias("j", "qj")
+            "i",
+            "qi",
+            F.posexplode(
+                F.expr("slice(qv, i + 1, size(qv) - i)")
+            ).alias("dj", "qj"),
+        )
+        .select(
+            "i",
+            (F.col("i") + F.col("dj")).alias("j"),
+            (F.col("qi").cast(dec) * F.col("qj").cast(dec)).alias("p"),
         )
         .groupBy("i", "j")
-        .agg(
-            F.sum((F.col("qi").cast(dec) * F.col("qj").cast(dec)))
-            .cast(dec)
-            .alias("sij")
+        .agg(F.sum("p").cast(dec).alias("sij"))
+    )
+    s = s_up.unionByName(
+        s_up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sij"
         )
     )
     m = (

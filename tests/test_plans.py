@@ -993,3 +993,68 @@ def test_exactsubstr_removal_windows_partition_by_rank(spark, sf_dir):
     assert "hashpartitioning(r" in plan, plan[:2000]
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies, strategies
+
+
+def test_audio_vad_is_one_python_map_no_shuffle(spark, sf_dir):
+    """The VAD kernel must plan as a single Arrow-batched Python map
+    over the scan — zero exchanges, zero joins (the per-doc summary
+    happens inside the kernel, not in a groupBy)."""
+    df = q(spark, sf_dir, "multimodal_audio_vad")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+
+
+def test_pca_scatter_aggregate_combines_map_side(spark, sf_dir):
+    """The 64x64 outer-product aggregate is the ONLY corpus-sized
+    stage: it must partial-agg (map-side combine shrinks the shuffle
+    to 2080 upper-triangle cells per task), and the LUT/scalar frames
+    must ride broadcasts, never a cartesian product."""
+    df = q(spark, sf_dir, "embed_pca_power_iteration")
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_farthest_point_rounds_broadcast_the_centers(spark, sf_dir):
+    """Every Gonzalez pass is corpus x broadcast(1-row center block):
+    no cartesian product, no shuffle of the corpus beyond the initial
+    quantized projection (localCheckpoint truncates lineage, so the
+    executed plan of the FINAL select is tiny — gate the builder
+    frames instead)."""
+    from jubilant_garbanzo_spark.queries.llm import _FPI_SCALE
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    qv = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)"
+            f" * {_FPI_SCALE}.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    carr = qv.limit(1).agg(F.collect_list(F.struct("qv")).alias("cs"))
+    probe = qv.crossJoin(F.broadcast(carr)).select("vec_id")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_cusum_windows_only_the_hourly_grid(spark, sf_dir):
+    """Every window in the change-point plan must run AFTER the
+    hourly rollup: exactly one corpus-sized hash aggregate feeds the
+    window chain, and the plan carries a partial phase for it."""
+    df = q(spark, sf_dir, "timeseries_cusum_changepoint")
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_recursive_cte_collapses_facts_before_recursion(spark, sf_dir):
+    """The recursion must iterate on the aggregated edge list: the
+    4-way fact join appears ONCE (feeding the edge aggregate), and
+    the loop itself shows up as Spark's UnionLoop operator."""
+    df = q(spark, sf_dir, "sql_recursive_cte_reachability")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in plan, plan[:2000]
