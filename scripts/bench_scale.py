@@ -124,6 +124,17 @@ QUERIES = (
     "pipeline_global_shuffle",
     "retrieval_rrf_fusion",
     "text_ccnet_bucket_filter",
+    # round-11 late wave: PCA power iteration (slope = the one
+    # corpus-sized outer-product aggregate; iteration cost is fixed at
+    # 4 matvecs over the 4096-cell grid), unigram-LM Viterbi-EM
+    # training (three distinct-word DP sweeps — sublinear on a replica
+    # corpus like BPE train), the audio-VAD single Python map, and the
+    # recursive-CTE reachability (slope = the fact-join edge
+    # derivation; the recursion runs on the bounded nation graph)
+    "embed_pca_power_iteration",
+    "text_unigram_train",
+    "multimodal_audio_vad",
+    "sql_recursive_cte_reachability",
 )
 ID_STRIDE = 10_000_000
 
