@@ -1014,31 +1014,34 @@ def sql_parameterized(spark, sf_dir):
     )
 
 
-_RCTE_SQL = """
-WITH RECURSIVE e0 AS {MAT}(
+_RCTE_EDGE_CTES = """e0 AS MATERIALIZED (
     SELECT CAST(c.c_nationkey AS BIGINT) AS src,
            CAST(s.s_nationkey AS BIGINT) AS dst,
            CAST(count(*) AS BIGINT) AS w
-    FROM {LI} l
-    JOIN {ORD} o ON l.l_orderkey = o.o_orderkey
-    JOIN {CUST} c ON o.o_custkey = c.c_custkey
-    JOIN {SUPP} s ON l.l_suppkey = s.s_suppkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY 1, 2
-), tot AS {MAT}(
+), tot AS MATERIALIZED (
     SELECT CAST(sum(w) AS BIGINT) AS tw,
            CAST(count(*) AS BIGINT) AS ne
     FROM e0
-), und AS {MAT}(
+), und AS MATERIALIZED (
     SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM e0, tot WHERE 2 * w * ne >= tw
         UNION ALL
         SELECT dst, src FROM e0, tot WHERE 2 * w * ne >= tw
     ) WHERE src != dst
-), reach(node, hops) AS (
+)"""
+
+#: The recursion itself — IDENTICAL text on both engines; only the
+#: name of the (already-aggregated) edge relation is formatted in.
+_RCTE_RECURSION = """reach(node, hops) AS (
     SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
     UNION ALL
     SELECT e.dst, r.hops + 1
-    FROM reach r JOIN und e ON e.src = r.node
+    FROM reach r JOIN {UND} e ON e.src = r.node
     WHERE r.hops < 3
 )
 SELECT n.n_name AS nation,
@@ -1051,13 +1054,11 @@ GROUP BY n.n_name
 
 @register(
     "sql_recursive_cte_reachability",
-    oracle=_RCTE_SQL.format(
-        MAT="MATERIALIZED ",
-        LI="lineitem",
-        ORD="orders",
-        CUST="customer",
-        SUPP="supplier",
-        NAT="nation",
+    oracle=(
+        "WITH RECURSIVE "
+        + _RCTE_EDGE_CTES
+        + ", "
+        + _RCTE_RECURSION.format(UND="und", NAT="nation")
     ),
     tags=("relational", "sql", "recursive-cte", "spark4"),
 )
@@ -1066,33 +1067,76 @@ def sql_recursive_cte_reachability(spark, sf_dir):
     reachability from nation 0 over the half-mean-thresholded trade
     graph, bounded at 3 hops: the iterative UNION ALL member re-joins
     the working set against the edge list until the guard empties it.
-    Outputs BOTH min_hops (the BFS answer — cross-checked against the
-    manually-unrolled graph_bfs_hops machinery in tests) and n_paths
-    (the bounded path multiplicity), so the differential check pins
-    the engine's recursion semantics — seed row, per-step join, guard,
-    duplicate accumulation — not just the fixpoint.
+    Outputs BOTH min_hops (the BFS answer) and n_paths (the bounded
+    path multiplicity), so the differential check pins the engine's
+    recursion semantics — seed row, per-step join, guard, duplicate
+    accumulation — not just the fixpoint; a Python BFS + path-count DP
+    parity test covers the values independently.
 
-    The TEXT of the recursive SQL is identical on both engines (one
-    format hook adds DuckDB's MATERIALIZED hint on the non-recursive
-    members, the graph-oracle discipline); Spark executes it through
-    its native UnionLoop iteration under the default recursion-depth
-    guard.
+    The recursion TEXT is identical on both engines
+    (_RCTE_RECURSION); the edge relation it iterates over is where
+    the engines differ deliberately: Spark's UnionLoop replans the
+    recursive member each step, so an inline edge CTE would re-run
+    the 4-way fact join ONCE PER ITERATION (measured: the first
+    implementation planned exactly that — the fact scans sat inside
+    the loop body). The engine path therefore collapses the fact
+    join to the 25-node edge list FIRST (DataFrame derivation +
+    eager localCheckpoint — truly computed once) and recurses over
+    the materialized view, while the DuckDB oracle keeps the whole
+    derivation inline as MATERIALIZED CTEs — an independent
+    formulation of the same edges, which is exactly what the
+    differential check wants. A plan gate pins the loop body free of
+    parquet scans.
 
     Scale shape: the recursion's working set lives on the BOUNDED
-    nation graph (the corpus-sized 4-way fact join collapses to the
-    edge list once, before recursion starts); at 100 TB the same
-    recursion runs on the aggregated edge table, and the hop bound
-    caps the blow-up at out_degree^3 path rows over a 25-node graph.
+    nation graph; at 100 TB the same recursion runs on the
+    aggregated edge table, and the hop bound caps the blow-up at
+    out_degree^3 path rows over a 25-node graph.
     """
-    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
-    return spark.sql(
-        _RCTE_SQL.format(
-            MAT="",
-            LI="rcte_lineitem",
-            ORD="rcte_orders",
-            CUST="rcte_customer",
-            SUPP="rcte_supplier",
-            NAT="rcte_nation",
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "rcte_nation"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
         )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    tot = e0.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    sig = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("src", "dst")
+    )
+    und = (
+        sig.unionByName(
+            sig.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und.createOrReplaceTempView("rcte_und")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _RCTE_RECURSION.format(UND="rcte_und", NAT="rcte_nation")
     )

@@ -1052,9 +1052,14 @@ def test_cusum_windows_only_the_hourly_grid(spark, sf_dir):
 
 
 def test_recursive_cte_collapses_facts_before_recursion(spark, sf_dir):
-    """The recursion must iterate on the aggregated edge list: the
-    4-way fact join appears ONCE (feeding the edge aggregate), and
-    the loop itself shows up as Spark's UnionLoop operator."""
+    """UnionLoop replans its recursive member EVERY iteration, so the
+    fact join must NOT live inside the loop (the first implementation
+    planned exactly that: fact scans in the loop body, re-run per
+    hop). Pin the fix: the loop is present, and the only parquet
+    relation anywhere in the plan is the nation dimension lookup —
+    the edge list enters as the pre-materialized checkpoint."""
     df = q(spark, sf_dir, "sql_recursive_cte_reachability")
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "UnionLoop" in plan, plan[:2000]
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        assert t not in plan, f"fact scan {t} re-entered the loop"
