@@ -2292,3 +2292,125 @@ def test_audio_vad_matches_python_replay_and_edge_cases(spark, tmp_path):
     assert got[3][1] == 0 and got[3][0] == 3
     assert got[4][2] == 2 and got[4][3] == 2
     assert got[5][0] == 2
+
+
+def test_unigram_viterbi_randomized_corpus_parity(spark, tmp_path):
+    """One-job randomized sweep: 200 seeded random words (length
+    1..MAXLEN over a skewed alphabet, so vocab pieces genuinely fire)
+    must segment identically to the Python Viterbi loop — scores,
+    piece counts, and segmentations."""
+    import random
+
+    from jubilant_garbanzo_spark.operators import unigram as U
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rng = random.Random(20260815)
+    alphabet = "datascnbthequrywio"  # overlaps the vocab pieces
+    words = sorted(
+        {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, U.MAXLEN))
+            )
+            for _ in range(200)
+        }
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "src", " ".join(words))],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    vocab = dict(U.VOCAB)
+
+    def viterbi(word):
+        best = [(0, 0, "")] + [None] * len(word)
+        for j in range(1, len(word) + 1):
+            cands = []
+            for k in range(1, min(U.KMAX, j) + 1):
+                prev = best[j - k]
+                if prev is None:
+                    continue
+                piece = word[j - k : j]
+                lp = vocab.get(piece)
+                if lp is None and k == 1:
+                    lp = U.UNK_MILLI
+                if lp is None:
+                    continue
+                cands.append(
+                    (prev[0] + lp, prev[1] - 1, prev[2] + " " + piece)
+                )
+            best[j] = max(cands)
+        s, np_, seg = best[len(word)]
+        return (-np_, seg[1:], s)
+
+    got = {
+        r["word"]: (r["n_pieces"], r["segmentation"], r["score_milli"])
+        for r in load_all()["text_unigram_tokenize"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == viterbi(w), w
+
+
+def test_audio_vad_randomized_payload_parity(spark, tmp_path):
+    """One-job randomized sweep: 100 seeded random payloads (printable
+    bytes, lengths straddling frame boundaries 0..5 frames plus
+    remainders) must match the Python replay on every summary field."""
+    import random
+
+    from jubilant_garbanzo_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESH,
+    )
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rng = random.Random(16)
+    chars = " abcdefghijklmnopqrstuvwxyz0123456789~!"
+    docs = [
+        (
+            i,
+            "".join(
+                rng.choice(chars)
+                for _ in range(rng.randint(0, 5 * VAD_FRAME + 7))
+            ),
+        )
+        for i in range(100)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, "src", t) for i, t in docs],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def replay(t):
+        b = t.encode()
+        nf = len(b) // VAD_FRAME
+        fr = [
+            sum(
+                (x - 128) ** 2
+                for x in b[i * VAD_FRAME : (i + 1) * VAD_FRAME]
+            )
+            for i in range(nf)
+        ]
+        act = [e >= VAD_THRESH for e in fr]
+        nseg = sum(
+            1 for i, a in enumerate(act) if a and (i == 0 or not act[i - 1])
+        )
+        longest = run = 0
+        for a in act:
+            run = run + 1 if a else 0
+            longest = max(longest, run)
+        return (nf, sum(act), nseg, longest, sum(fr))
+
+    got = {
+        r["doc_id"]: (
+            r["n_frames"],
+            r["n_active"],
+            r["n_segments"],
+            r["longest_run"],
+            r["total_energy"],
+        )
+        for r in load_all()["multimodal_audio_vad"].fn(spark, sf).collect()
+    }
+    assert got == {i: replay(t) for i, t in docs}
