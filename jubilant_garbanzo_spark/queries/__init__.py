@@ -63,18 +63,22 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-11 contents: the operators born this round (deterministic
-#: global corpus shuffle; perceptual-hash image dedup; EXACTSUBSTR
-#: duplicated-span removal; unigram-LM / SentencePiece Viterbi
-#: tokenizer; hybrid RRF retrieval fusion; CCNet per-segment
+#: Round-11 contents: the operators born this round — the early wave
+#: (deterministic global corpus shuffle; perceptual-hash image dedup;
+#: EXACTSUBSTR duplicated-span removal; unigram-LM / SentencePiece
+#: Viterbi tokenizer; hybrid RRF retrieval fusion; CCNet per-segment
 #: perplexity bucketing; BPE fertility report; repeat-epochs token
-#: budget planner; integer-exact HITS), the suffix-array pair whose round-0 bucket expression
-#: changed (ADVICE r10: capped leading-codepoint buckets — results
-#: identical, body changed), and the five MinHash-index consumers
-#: touched by the recursive _dir_fingerprint fix (same adjudication as
-#: the round-10 cache-fingerprint change: session-cache keying only,
-#: results can't differ, fresh greens anyway per the rotation
-#: discipline).
+#: budget planner; integer-exact HITS) and the late wave (unigram-LM
+#: Viterbi-EM TRAINING; exact-integer PCA power iteration; Gonzalez
+#: farthest-point seeding; local clustering coefficient; CUSUM
+#: change-point; Spark 4 recursive-CTE reachability, whose body also
+#: changed again for the UnionLoop loop-body fix; audio VAD) — plus
+#: the suffix-array pair whose round-0 bucket expression changed
+#: (ADVICE r10: capped leading-codepoint buckets — results identical,
+#: body changed), and the five MinHash-index consumers touched by the
+#: recursive _dir_fingerprint fix (same adjudication as the round-10
+#: cache-fingerprint change: session-cache keying only, results can't
+#: differ, fresh greens anyway per the rotation discipline).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-11 new operators (windowed the round they are born)
     "pipeline_global_shuffle",
