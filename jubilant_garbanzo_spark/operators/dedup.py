@@ -159,8 +159,8 @@ def _dir_fingerprint(cache_key: tuple) -> tuple:
     fps = []
     for part in cache_key:
         if isinstance(part, str) and os.path.isdir(part):
-            for root, dirs, files in sorted(os.walk(part)):
-                dirs.sort()
+            for root, dirs, files in os.walk(part):
+                dirs.sort()  # in-place: fixes walk order AND fps order
                 rel = os.path.relpath(root, part)
                 for name in sorted(files):
                     st = os.stat(os.path.join(root, name))

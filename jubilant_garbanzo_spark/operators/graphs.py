@@ -295,6 +295,10 @@ def hits_fixed(
     Each round ends in an eager ``localCheckpoint`` (the 3-consumer
     lineage rationale of pagerank_fixed).
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_fixed needs iterations >= 1, got {iterations}"
+        )
     edges = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),

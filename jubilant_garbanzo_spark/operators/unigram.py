@@ -55,7 +55,7 @@ _MULTI = (
     "st", "sc", "ha", "sh", "ow", "ry", "ue", "am", "ch", "le",
     # 3-char pieces
     "the", "dat", "ata", "ter", "ind", "row", "ort", "can", "tab",
-    "que", "ash", "tch", "eam", "umn", "ter",
+    "que", "ash", "tch", "eam", "umn",
     # 4-char pieces
     "data", "join", "hash", "scan", "sort", "part", "wind", "ream",
     "tabl", "lumn", "quer", "ilte", "grou", "trea", "batc",
@@ -74,24 +74,20 @@ UNK_MILLI = -11500
 MAXLEN = 12
 
 
-def _dedup_keep_first(pieces):
-    seen = set()
-    out = []
-    for p in pieces:
-        if p not in seen:
-            seen.add(p)
-            out.append(p)
-    return out
+assert len(set(_MULTI)) == len(_MULTI), "duplicate piece in _MULTI"
 
 
 def build_vocab() -> tuple[tuple[str, int], ...]:
     """The (piece, milli-logprob) table. Deterministic arithmetic
     pricing: singles ≈ -3.0 to -4.0 nats, k-char pieces priced to beat
-    their character split but stay comparable to rival tilings."""
+    their character split but stay comparable to rival tilings.
+    Pricing is INDEX-SENSITIVE (lp = -(base + 37*i)), so the
+    import-time no-duplicates assert above is load-bearing: a repeated
+    piece would silently shift every later piece's price."""
     vocab = []
     for i, c in enumerate(_SINGLES):
         vocab.append((c, -(3000 + 40 * i)))
-    for i, p in enumerate(_dedup_keep_first(_MULTI)):
+    for i, p in enumerate(_MULTI):
         base = {2: 5200, 3: 6800, 4: 8200}[len(p)]
         vocab.append((p, -(base + 37 * i)))
     return tuple(vocab)

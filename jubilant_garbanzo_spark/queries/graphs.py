@@ -1081,6 +1081,13 @@ def graph_clustering_coefficient(spark, sf_dir):
     bounded, the skew diagnostic `profile_key_skew` is the guard, and
     at 100 TB the standard remedy (degree-ordered orientation) drops
     fanout to the arboricity bound. No windows, no driver data path.
+
+    NOTE (round-12 refactor): the e0/tot/sig/und significant-edge
+    derivation below is the FOURTH Spark-side copy of the block the
+    oracles share via _kcore_edge_cte(); extract a shared
+    _significant_und(spark, sf_dir) helper next rotation window (the
+    four consumers are outside round 11's 50-slot window together, so
+    the extraction waits for a window that can re-verify all four).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"

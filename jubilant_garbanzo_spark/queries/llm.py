@@ -595,7 +595,7 @@ _ES_K = 1 << _ES_ROUNDS
                CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_removed,
-               CAST(sum(CASE WHEN cut THEN strlen(tok) ELSE 0 END)
+               CAST(sum(CASE WHEN cut THEN length(tok) ELSE 0 END)
                     AS BIGINT) AS n_chars_removed,
                coalesce(string_agg(CASE WHEN NOT cut THEN tok END,
                                    ' ' ORDER BY pos), '') AS cleaned_text
@@ -5111,9 +5111,13 @@ def _pca_oracle() -> str:
             FROM cells JOIN {prev} x ON x.j = cells.j
             GROUP BY cells.i
         )""")
+        # greatest(.., 1) guards the degenerate all-zero matvec (all
+        # embeddings identical/zero makes every cell 0): rescale(0, 1)
+        # = 0 on both engines instead of DuckDB division-by-zero vs
+        # Spark NULL (the hits_fixed guard, mirrored).
         parts.append(
-            f"mx{r} AS (SELECT CAST(max(abs(s)) AS {dec}) AS mx"
-            f" FROM u{r})"
+            f"mx{r} AS (SELECT greatest(CAST(max(abs(s)) AS {dec}),"
+            f" CAST(1 AS {dec})) AS mx FROM u{r})"
         )
         rescale = _pca_rescale("u.s", "m.mx").replace(" DIV ", " // ")
         parts.append(f"""x{r} AS MATERIALIZED (
@@ -5245,7 +5249,12 @@ def embed_pca_power_iteration(spark, sf_dir):
                 .alias("s")
             )
         )
-        mx = u.agg(F.max(F.abs(F.col("s"))).cast(dec).alias("mx"))
+        # greatest(.., 1): degenerate all-zero matvec guard (see oracle)
+        mx = u.agg(
+            F.greatest(
+                F.max(F.abs(F.col("s"))).cast(dec), F.lit(1).cast(dec)
+            ).alias("mx")
+        )
         x = (
             u.crossJoin(F.broadcast(mx))
             .select(
@@ -5283,8 +5292,13 @@ def _fpi_oracle() -> str:
         """ch0 AS (SELECT min(vid) AS vid FROM qd)""",
     ]
     outs = [
+        # vid IS NULL iff the corpus is empty (min over zero rows):
+        # suppress the ungrouped-aggregate phantom row so the empty
+        # input yields 0 rows on both engines (Spark's limit(1) on an
+        # empty frame returns nothing).
         "SELECT CAST(0 AS BIGINT) AS sel_rank, vid AS vec_id,"
         " CAST(0 AS BIGINT) AS maxmin_dist FROM ch0"
+        " WHERE vid IS NOT NULL"
     ]
     for r in range(1, _FPI_K):
         parts.append(f"""d{r} AS MATERIALIZED (

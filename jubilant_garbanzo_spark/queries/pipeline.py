@@ -1204,7 +1204,11 @@ def pipeline_temperature_mixture(spark, sf_dir):
 #: unpartitioned window touches ≤ _GS_BUCKETS rows).
 _GS_SEED = "r11"
 _GS_SHARD = 1000
-_GS_BUCKETS = 256
+#: md5-prefix hex chars that define the bucket split; the bucket count
+#: follows (16 ** chars). Raising the knob at 100 TB actually widens
+#: the split because the engine derives substring length from it.
+_GS_PREFIX_HEX = 2
+_GS_BUCKETS = 16**_GS_PREFIX_HEX
 
 
 @register(
@@ -1248,7 +1252,7 @@ def pipeline_global_shuffle(spark, sf_dir):
     unpartitioned window runs over that 256-row counts table; phase 2
     ranks within buckets (each task sorts ~N/256 rows) and adds the
     broadcast offsets. md5 ranks are uniform, so buckets are balanced
-    for free — at 100 TB raise _GS_BUCKETS so each bucket's sort fits
+    for free — at 100 TB raise _GS_PREFIX_HEX so each bucket's sort fits
     an executor.
 
     The oracle computes the same permutation with DuckDB's global
@@ -1263,7 +1267,9 @@ def pipeline_global_shuffle(spark, sf_dir):
     h = d.select(
         "doc_id",
         rk.alias("rk"),
-        F.conv(F.substring(rk, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(rk, 1, _GS_PREFIX_HEX), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
     )
     counts = h.groupBy("bucket").agg(F.count("*").alias("n"))
     w_off = Window.orderBy("bucket").rowsBetween(
@@ -1329,9 +1335,11 @@ _TB_BUDGET = 200_000
         SELECT source, avail_tokens, weight_nano, target_tokens,
                CAST((target_tokens + avail_tokens - 1) // avail_tokens
                     AS BIGINT) AS n_epochs,
-               CAST(target_tokens
-                    - ((target_tokens + avail_tokens - 1) // avail_tokens
-                       - 1) * avail_tokens AS BIGINT) AS last_epoch_tokens
+               CAST(CASE WHEN target_tokens = 0 THEN 0
+                    ELSE target_tokens
+                         - ((target_tokens + avail_tokens - 1)
+                            // avail_tokens - 1) * avail_tokens
+                    END AS BIGINT) AS last_epoch_tokens
         FROM plan
     """,
     tags=("pipeline", "mixture", "budget", "epochs"),
@@ -1388,8 +1396,13 @@ def pipeline_token_budget_plan(spark, sf_dir):
             "CAST((target_tokens + avail_tokens - 1) DIV avail_tokens"
             " AS BIGINT)"
         ).alias("n_epochs"),
+        # target_tokens = 0 (source share floors to nothing) must plan
+        # ZERO last-epoch tokens — the unguarded remainder identity
+        # degenerates to 0 - (0-1)*avail = avail, a phantom full epoch
+        # contradicting n_epochs = 0.
         F.expr(
-            "CAST(target_tokens - ((target_tokens + avail_tokens - 1)"
-            " DIV avail_tokens - 1) * avail_tokens AS BIGINT)"
+            "CAST(CASE WHEN target_tokens = 0 THEN 0"
+            " ELSE target_tokens - ((target_tokens + avail_tokens - 1)"
+            " DIV avail_tokens - 1) * avail_tokens END AS BIGINT)"
         ).alias("last_epoch_tokens"),
     )

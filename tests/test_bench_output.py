@@ -24,6 +24,13 @@ REPO = Path(__file__).resolve().parents[1]
 
 def test_bench_stdout_tail_is_compact_parseable_summary(tmp_path):
     out_file = tmp_path / "bench_probe.json"
+    # bench_out.json is untracked (commit 3bcf236) — it exists only after
+    # a default-path bench run. Snapshot its state so the --out isolation
+    # check below works on a fresh checkout too.
+    default_artifact = REPO / "bench_out.json"
+    before = (
+        default_artifact.read_bytes() if default_artifact.exists() else None
+    )
     proc = subprocess.run(
         [
             sys.executable,
@@ -75,6 +82,9 @@ def test_bench_stdout_tail_is_compact_parseable_summary(tmp_path):
     assert payload["value"] == summary["value"]
     assert payload["noise_band"].keys() == payload["queries"].keys()
 
-    # The committed artifact must be untouched by an --out run.
-    committed = json.loads((REPO / "bench_out.json").read_text())
-    assert len(committed["queries"]) >= 36
+    # The default artifact must be untouched by an --out run: not created
+    # when absent, not rewritten when present.
+    after = (
+        default_artifact.read_bytes() if default_artifact.exists() else None
+    )
+    assert after == before, "--out run touched the default bench_out.json"

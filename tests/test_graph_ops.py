@@ -216,3 +216,17 @@ def test_clustering_coefficient_matches_python_on_fixture(spark, sf_dir):
     for deg, tri, ppm in got.values():
         assert 0 <= ppm <= 1_000_000
         assert tri <= deg * (deg - 1) // 2
+
+
+def test_hits_fixed_rejects_nonpositive_iterations(spark):
+    """iterations < 1 must fail fast with a clear contract error, not
+    a TypeError from joining a None authority frame."""
+    import pytest
+
+    from jubilant_garbanzo_spark.operators.graphs import hits_fixed
+
+    edges = _edges(spark, [(1, 2, 1)])
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="iterations >= 1"):
+            hits_fixed(edges, nodes, iterations=bad)

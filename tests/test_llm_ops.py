@@ -2414,3 +2414,115 @@ def test_audio_vad_randomized_payload_parity(spark, tmp_path):
         for r in load_all()["multimodal_audio_vad"].fn(spark, sf).collect()
     }
     assert got == {i: replay(t) for i, t in docs}
+
+
+def _tmp_differential(spark, tmp_path, table, df, query_name):
+    """Differential (Spark vs the query's OWN registered DuckDB oracle)
+    on a throwaway single-table fixture: regression harness for the
+    edge-case classes the sf fixtures never produce (non-ASCII text,
+    degenerate/empty corpora)."""
+    import duckdb
+
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.testing import compare_query
+
+    sf = str(tmp_path / "sf")
+    # coalesce(1): guarantee one part file even for 0 rows, and glob —
+    # Spark writes a parquet DIRECTORY, unlike the single-file sf
+    # fixtures duckdb_connection handles.
+    df.coalesce(1).write.parquet(f"{sf}/{table}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS "
+        f"SELECT * FROM read_parquet('{sf}/{table}.parquet/*.parquet')"
+    )
+    try:
+        spec = load_all()[query_name]
+        problems = compare_query(spark, spec, sf, con=con)
+        assert not problems, f"{query_name}: " + "; ".join(problems[:3])
+        return spec.fn(spark, sf).collect()
+    finally:
+        con.close()
+
+
+def test_exactsubstr_removal_nonascii_counts_chars_not_bytes(
+    spark, tmp_path
+):
+    """A duplicated span of multibyte tokens must yield the SAME
+    n_chars_removed on both engines (regression: the oracle used
+    DuckDB strlen = BYTES against Spark length = CHARACTERS, silently
+    ASCII-only) and the count must be characters ('café' = 4)."""
+    span = "café naïve crème über señor piñata déjà vu"  # 8 tokens
+    texts = {
+        1: f"a1 b1 {span} c1",
+        2: f"x2 {span} y2 z2",
+        3: " ".join(f"u{i}" for i in range(30)),
+    }
+    df = spark.createDataFrame(
+        [(d, "src", t) for d, t in texts.items()],
+        "doc_id long, source string, text string",
+    )
+    rows = _tmp_differential(
+        spark, tmp_path, "documents", df, "dedup_exactsubstr_removal"
+    )
+    got = {r["doc_id"]: r["n_chars_removed"] for r in rows}
+    assert got[1] == 0, "canonical occurrence keeps its span"
+    assert got[2] == sum(len(t) for t in span.split(" "))  # 35 chars
+
+
+def test_pca_power_iteration_degenerate_identical_vectors(
+    spark, tmp_path
+):
+    """All-identical embeddings make every scatter cell exactly 0, so
+    each matvec is 0 and the max-abs renormalizer is 0: the greatest(
+    mx, 1) guard must yield pc1 = 0 on BOTH engines (regression:
+    DuckDB raised division-by-zero while Spark's non-ANSI DIV returned
+    NULL — the engines failed differently)."""
+    vec = [0.25] * 64
+    df = spark.createDataFrame(
+        [(i, vec, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = _tmp_differential(
+        spark, tmp_path, "embeddings", df, "embed_pca_power_iteration"
+    )
+    assert len(rows) == 64
+    assert all(r["pc1_scaled"] == 0 for r in rows)
+    assert all(r["mean_micro"] == 250000 for r in rows)
+
+
+def test_farthest_point_init_empty_corpus_yields_zero_rows(
+    spark, tmp_path
+):
+    """An empty embeddings table must select NO centers on either
+    engine (regression: the oracle's ungrouped min() aggregate emitted
+    a phantom (0, NULL, 0) first-pick row against Spark's empty
+    limit(1))."""
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    rows = _tmp_differential(
+        spark, tmp_path, "embeddings", df, "embed_farthest_point_init"
+    )
+    assert rows == []
+
+
+def test_token_budget_zero_target_plans_zero_epoch_tokens(
+    spark, sf_dir, monkeypatch
+):
+    """With a 1-token budget every source's floor share is 0 tokens:
+    the plan must report n_epochs = 0 AND last_epoch_tokens = 0
+    (regression: the unguarded remainder identity claimed a phantom
+    full epoch of avail_tokens), and the epoch-sum identity
+    (n_epochs-1)⁺·avail + last_epoch == target must hold everywhere."""
+    import jubilant_garbanzo_spark.queries.pipeline as P
+    from jubilant_garbanzo_spark.queries import load_all
+
+    monkeypatch.setattr(P, "_TB_BUDGET", 1)
+    rows = load_all()["pipeline_token_budget_plan"].fn(spark, sf_dir).collect()
+    assert rows and all(r["target_tokens"] == 0 for r in rows)
+    for r in rows:
+        t, a = r["target_tokens"], r["avail_tokens"]
+        assert r["n_epochs"] == -(-t // a)
+        assert r["last_epoch_tokens"] == 0
+        assert max(r["n_epochs"] - 1, 0) * a + r["last_epoch_tokens"] == t
