@@ -74,7 +74,10 @@ UNK_MILLI = -11500
 MAXLEN = 12
 
 
-assert len(set(_MULTI)) == len(_MULTI), "duplicate piece in _MULTI"
+# Not an assert: pricing below is index-sensitive, so this guard must
+# survive python -O / PYTHONOPTIMIZE too.
+if len(set(_MULTI)) != len(_MULTI):
+    raise ValueError("duplicate piece in _MULTI")
 
 
 def build_vocab() -> tuple[tuple[str, int], ...]:

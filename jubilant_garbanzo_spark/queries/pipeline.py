@@ -1246,14 +1246,16 @@ def pipeline_global_shuffle(spark, sf_dir):
 
     NO global single-partition window over the data: the two-phase
     bucket-offset decomposition of `ids_global_row_number`, with the
-    bucket = the first md5 byte (256 contiguous ranges of the rank
-    key, monotone in (rk, doc_id) order by construction). Phase 1
-    counts the 256 buckets (map-side combinable); the ONLY
-    unpartitioned window runs over that 256-row counts table; phase 2
-    ranks within buckets (each task sorts ~N/256 rows) and adds the
-    broadcast offsets. md5 ranks are uniform, so buckets are balanced
-    for free — at 100 TB raise _GS_PREFIX_HEX so each bucket's sort fits
-    an executor.
+    bucket = the first _GS_PREFIX_HEX hex chars of the md5 rank
+    (_GS_BUCKETS = 16**_GS_PREFIX_HEX contiguous ranges of the rank
+    key — 256 at the default width — monotone in (rk, doc_id) order
+    by construction). Phase 1 counts the buckets (map-side
+    combinable); the ONLY unpartitioned window runs over that
+    _GS_BUCKETS-row counts table; phase 2 ranks within buckets (each
+    task sorts ~N/_GS_BUCKETS rows) and adds the broadcast offsets.
+    md5 ranks are uniform, so buckets are balanced for free — at
+    100 TB raise _GS_PREFIX_HEX so each bucket's sort fits an
+    executor.
 
     The oracle computes the same permutation with DuckDB's global
     row_number window, proving the decomposition exact (bijectivity,

@@ -73,12 +73,22 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], li
     return cols, out
 
 
-def compare_query(spark, spec, sf_dir: str, con=None) -> list[str]:
-    """Run one QuerySpec both ways; return a list of mismatch messages."""
+def compare_query(
+    spark, spec, sf_dir: str, con=None, spark_result=None
+) -> list[str]:
+    """Run one QuerySpec both ways; return a list of mismatch messages.
+
+    ``spark_result=(columns, rows)`` skips re-executing the Spark side —
+    for callers that already collected the frame and want to assert on
+    the same rows without paying the heaviest stage twice."""
     problems: list[str] = []
-    sdf = spec.fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    if spark_result is None:
+        sdf = spec.fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+    else:
+        s_cols, s_rows = spark_result
+        s_rows = [tuple(r) for r in s_rows]
 
     if spec.oracle is None:
         if not isinstance(s_rows, list):

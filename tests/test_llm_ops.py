@@ -2438,9 +2438,13 @@ def _tmp_differential(spark, tmp_path, table, df, query_name):
     )
     try:
         spec = load_all()[query_name]
-        problems = compare_query(spark, spec, sf, con=con)
+        sdf = spec.fn(spark, sf)
+        rows = sdf.collect()  # collect ONCE, reused for the compare
+        problems = compare_query(
+            spark, spec, sf, con=con, spark_result=(sdf.columns, rows)
+        )
         assert not problems, f"{query_name}: " + "; ".join(problems[:3])
-        return spec.fn(spark, sf).collect()
+        return rows
     finally:
         con.close()
 
