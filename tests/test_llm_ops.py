@@ -2530,3 +2530,28 @@ def test_token_budget_zero_target_plans_zero_epoch_tokens(
         assert r["n_epochs"] == -(-t // a)
         assert r["last_epoch_tokens"] == 0
         assert max(r["n_epochs"] - 1, 0) * a + r["last_epoch_tokens"] == t
+
+
+def test_global_shuffle_bucket_width_does_not_change_permutation(
+    spark, sf_dir, monkeypatch
+):
+    """_GS_PREFIX_HEX is a parallelism knob, not a semantics knob: the
+    two-phase bucket decomposition must produce the IDENTICAL global
+    permutation at 16, 256, and 4096 buckets (the 100 TB tuning advice
+    in the docstring is only safe if widening the split can never
+    reorder anything)."""
+    import jubilant_garbanzo_spark.queries.pipeline as P
+    from jubilant_garbanzo_spark.queries import load_all
+
+    fn = load_all()["pipeline_global_shuffle"].fn
+
+    def snapshot(width):
+        monkeypatch.setattr(P, "_GS_PREFIX_HEX", width)
+        return sorted(
+            (r["doc_id"], r["global_pos"], r["shard_id"], r["shard_pos"])
+            for r in fn(spark, sf_dir).collect()
+        )
+
+    base = snapshot(2)
+    assert snapshot(1) == base
+    assert snapshot(3) == base
