@@ -106,6 +106,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_cluster_cc",
     "dedup_cluster_keep_best",
     "dedup_cluster_incremental",
+    # tied-start island-split fix (hypothesis brute-force property
+    # found the two window passes using DIFFERENT tie orders; both
+    # engines re-ordered identically, so this takes a window slot and
+    # tpch_q8_market_share's staleness refresh rolls to round 12)
+    "timeseries_interval_coverage",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -151,7 +156,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q8_market_share",
+    # tpch_q8_market_share (r3 green) evicted by the
+    # timeseries_interval_coverage correctness fix; rolls to round 12
+    # with the twelve r4 agg_* refreshes
     # -- staleness refreshes: last green r4 (oldest-first fill) ----------
     # (agg_collect_list_set / agg_cube / agg_distinct / agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
     # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to

@@ -872,21 +872,21 @@ def timeseries_ewma(spark, sf_dir):
                        + 90000000) % 90000000) + 30000000 AS e
             FROM events
         ), swept AS (
-            SELECT user_id, s, e,
+            SELECT user_id, event_id, s, e,
                    max(e) OVER (
                        PARTITION BY user_id ORDER BY s, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ) AS prev_max_e
             FROM iv
         ), flagged AS (
-            SELECT user_id, s, e,
+            SELECT user_id, event_id, s, e,
                    CASE WHEN prev_max_e IS NULL OR s > prev_max_e
                         THEN 1 ELSE 0 END AS new_island
             FROM swept
         ), islands AS (
             SELECT user_id, s, e,
                    sum(new_island) OVER (
-                       PARTITION BY user_id ORDER BY s, e
+                       PARTITION BY user_id ORDER BY s, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS island
             FROM flagged
@@ -931,12 +931,14 @@ def timeseries_interval_coverage(spark, sf_dir):
     discipline as join_interval_overlap, here with ZERO candidate
     pairs at all.
 
-    Window order is (s, event_id) — the repo-wide event_id tiebreak —
-    for the prev-max pass; the island-numbering pass orders by (s, e),
-    which is tie-safe because same-(s,e) rows land in the same island
-    regardless of order (the flag is 0 for every duplicate after the
-    first and the cumulative sum is order-insensitive across equal
-    rows).
+    BOTH window passes order by (s, event_id) — the repo-wide
+    event_id tiebreak. The orders must be IDENTICAL: the island flag
+    belongs to a specific row, so numbering the islands under a
+    different order can place a flag-0 row before the flag-1 row of
+    its own island and split it (found by the hypothesis brute-force
+    property: two intervals opening at the SAME start were reported
+    as two islands when the shorter one sorted first under the old
+    (s, e) numbering order).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -958,6 +960,7 @@ def timeseries_interval_coverage(spark, sf_dir):
     )
     swept = ev.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.max("e").over(w_prev).alias("prev_max_e"),
@@ -968,9 +971,11 @@ def timeseries_interval_coverage(spark, sf_dir):
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+    # SAME order as w_prev — the flag is row-specific, so numbering
+    # under any other order can split an island at tied starts.
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = swept.select(

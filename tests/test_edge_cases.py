@@ -919,3 +919,50 @@ def test_recursive_cte_matches_python_bfs_and_path_dp(spark, sf_dir):
         .collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_interval_coverage_tied_starts_merge_into_one_island(spark, tmp_path):
+    """Two intervals opening at the SAME instant must form ONE island
+    (regression: the island-numbering window ordered by (s, e) while
+    the flag pass ordered by (s, event_id), so the shorter tied-start
+    interval sorted ahead of the flag-carrying row and split the
+    island — found by the brute-force hypothesis property). Checked as
+    a differential too: the oracle shared the bug bit-for-bit."""
+    import datetime as dt
+
+    import duckdb
+
+    from jubilant_garbanzo_spark.queries import load_all
+    from jubilant_garbanzo_spark.testing import compare_query
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 1)
+    rows = [
+        # user 3: long interval (104.644297 s) and short (30 s), SAME ts
+        (0, base, 3, "view", 164.644297, "{}"),
+        (4, base, 3, "view", 0.0, "{}"),
+        # user 1: three identical zero-value events at one instant
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base, 1, "view", 0.0, "{}"),
+        (3, base, 1, "view", 0.0, "{}"),
+    ]
+    path = str(tmp_path)
+    _write_events(spark, path, rows)
+
+    spec = load_all()["timeseries_interval_coverage"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    try:
+        problems = compare_query(spark, spec, path, con=con)
+        assert not problems, problems
+    finally:
+        con.close()
+
+    got = {
+        r["user_id"]: (r["n_islands"], r["n_events"], r["covered_sec"])
+        for r in spec.fn(spark, path).collect()
+    }
+    assert got[3] == (1, 2, 104.644297)
+    assert got[1] == (1, 3, 30.0)
