@@ -971,3 +971,110 @@ def test_interval_coverage_tied_starts_merge_into_one_island(spark, tmp_path):
     }
     assert got[3] == (1, 2, 104.644297)
     assert got[1] == (1, 3, 30.0)
+
+
+@settings(**_PROP)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30_000_000),  # offset µs
+            st.sampled_from(["view", "click", "buy"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sliding_window_counts_matches_bruteforce(
+    spark, tmp_path_factory, data
+):
+    """sliding_window_counts == Python window-set replay on random
+    event times (10s window / 5s slide, epoch-aligned starts): every
+    event lands in exactly the two windows whose starts are the two
+    5s-grid points in (ts-10s, ts] — boundary microseconds included."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    rows = [
+        (
+            i,
+            base + dt.timedelta(microseconds=off),
+            1,
+            etype,
+            0.0,
+            "{}",
+        )
+        for i, (off, etype) in enumerate(data)
+    ]
+    path = str(tmp_path_factory.mktemp("swp"))
+    _write_events(spark, path, rows)
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in load_all()["sliding_window_counts"].fn(spark, path).collect()
+    }
+
+    expected: dict = {}
+    for off, etype in data:
+        ts = base_us + off
+        s0 = (ts // 5_000_000) * 5_000_000
+        for s in (s0, s0 - 5_000_000):
+            key = (
+                dt.datetime.fromtimestamp(
+                    s / 1_000_000, dt.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+                etype,
+            )
+            expected[key] = expected.get(key, 0) + 1
+    assert got == expected
+
+
+@settings(**_PROP)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=2400),  # ts offset s
+            st.integers(min_value=-(10**6), max_value=10**6),  # value µ-ish
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_window_range_frame_matches_bruteforce(
+    spark, tmp_path_factory, data
+):
+    """window_range_frame == Python trailing-600s replay on random
+    per-user series; RANGE frames include ALL peer rows at a tied
+    ts_sec (even later event_ids), which row-based replays get wrong —
+    the tie class the interval-coverage bug hid in."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, "view", k / 1e6, "{}")
+        for i, (u, s, k) in enumerate(data)
+    ]
+    path = str(tmp_path_factory.mktemp("wrf"))
+    _write_events(spark, path, rows)
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    got = {
+        r.event_id: (r.user_id, r.ts_sec, r.sum_last_10min, r.n_last_10min)
+        for r in load_all()["window_range_frame"].fn(spark, path).collect()
+    }
+
+    base_s = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    for i, (u, s, k) in enumerate(data):
+        cur = base_s + s
+        peers = [
+            (u2, s2, k2)
+            for (u2, s2, k2) in data
+            if u2 == u and cur - 600 <= base_s + s2 <= cur
+        ]
+        n = len(peers)
+        total = sum(round((k2 / 1e6) * 1e6) for _, _, k2 in peers) / 1e6
+        assert got[i] == (u, cur, total, n), (i, got[i], (u, cur, total, n))
