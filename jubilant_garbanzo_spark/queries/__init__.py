@@ -111,6 +111,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # engines re-ordered identically, so this takes a window slot and
     # tpch_q8_market_share's staleness refresh rolls to round 12)
     "timeseries_interval_coverage",
+    # same mismatched-tie-order pattern in the session-numbering pass,
+    # found by the follow-up repo-wide window-order audit; takes
+    # tpch_q17_small_quantity_revenue's slot (rolls to round 12)
+    "join_interval_overlap",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -155,10 +159,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q12_priority_shipping",
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    # tpch_q8_market_share (r3 green) evicted by the
-    # timeseries_interval_coverage correctness fix; rolls to round 12
-    # with the twelve r4 agg_* refreshes
+    # tpch_q8_market_share and tpch_q17_small_quantity_revenue (both
+    # r3 green) evicted by the two tie-order correctness fixes
+    # (timeseries_interval_coverage, join_interval_overlap); they roll
+    # to round 12 with the twelve r4 agg_* refreshes
     # -- staleness refreshes: last green r4 (oldest-first fill) ----------
     # (agg_collect_list_set / agg_cube / agg_distinct / agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
     # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to

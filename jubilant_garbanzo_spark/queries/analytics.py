@@ -546,7 +546,7 @@ def scd2_from_events(spark, sf_dir):
                    CAST(sum(CASE WHEN prev_us IS NULL
                                    OR us - prev_us > 1800000000
                                  THEN 1 ELSE 0 END) OVER (
-                       PARTITION BY user_id ORDER BY us
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS session_id
             FROM ordered
@@ -598,9 +598,11 @@ def join_interval_overlap(spark, sf_dir):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wsum = Window.partitionBy("user_id").orderBy("us").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # SAME order as the flag window w (the timeseries_interval_coverage
+    # tied-start lesson): numbering under ORDER BY us alone can place a
+    # tied-timestamp flag-0 row ahead of its session's flag-1 row and
+    # split the session.
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     numbered = ev.withColumn(
         "is_new",
         F.when(

@@ -1078,3 +1078,81 @@ def test_window_range_frame_matches_bruteforce(
         n = len(peers)
         total = sum(round((k2 / 1e6) * 1e6) for _, _, k2 in peers) / 1e6
         assert got[i] == (u, cur, total, n), (i, got[i], (u, cur, total, n))
+
+
+def _overlap_bruteforce(data):
+    """Python ground truth for join_interval_overlap: 30-min-gap
+    sessionization in (ts, event_id) order, then the naive quadratic
+    overlap join, ranked (overlap_s DESC, u1, u2) LIMIT 50."""
+    per_user: dict = {}
+    for i, (u, us) in enumerate(data):
+        per_user.setdefault(u, []).append((us, i))
+    sessions = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        s0 = e0 = None
+        for us, _ in evs:
+            if s0 is None or us - e0 > 1_800_000_000:
+                if s0 is not None:
+                    sessions.append((u, s0, e0))
+                s0 = us
+            e0 = us
+        sessions.append((u, s0, e0))
+    agg: dict = {}
+    for i, (u1, s1, e1) in enumerate(sessions):
+        for u2, s2, e2 in sessions[i + 1 :]:
+            if u1 == u2:
+                continue
+            lo_u, hi_u = min(u1, u2), max(u1, u2)
+            if s1 < e2 and s2 < e1:
+                ov = (min(e1, e2) - max(s1, s2)) // 1_000_000
+                k = (lo_u, hi_u)
+                n, t = agg.get(k, (0, 0))
+                agg[k] = (n + 1, t + ov)
+    rows = sorted(
+        ((u1, u2, n, t) for (u1, u2), (n, t) in agg.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:50]
+    return rows
+
+
+@settings(**_PROP)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=7200),  # ts offset s
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_interval_overlap_matches_bruteforce(spark, tmp_path_factory, data):
+    """join_interval_overlap == naive Python sessionize+overlap on
+    random event sets with frequent TIED timestamps (regression: the
+    session-numbering window ordered by us alone, splitting sessions
+    at ties exactly like the interval-coverage island bug; the oracle
+    shared it, so only an independent replay can see it)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    rows = [
+        (i, base + dt.timedelta(seconds=s), u, "view", 0.0, "{}")
+        for i, (u, s) in enumerate(data)
+    ]
+    path = str(tmp_path_factory.mktemp("ovp"))
+    _write_events(spark, path, rows)
+
+    from jubilant_garbanzo_spark.queries import load_all
+
+    got = [
+        (r.u1, r.u2, r.n_overlaps, r.overlap_s)
+        for r in load_all()["join_interval_overlap"].fn(spark, path).collect()
+    ]
+    expected = _overlap_bruteforce(
+        [(u, base_us + s * 1_000_000) for (u, s) in data]
+    )
+    # Ranking ties below the LIMIT cutoff are totally ordered
+    # (overlap_s DESC, u1, u2) on both sides; compare as sorted lists.
+    assert sorted(got) == sorted(expected), (got, expected)
