@@ -1,0 +1,156 @@
+"""Independent Python replays for the r3 text-pipeline cohort.
+
+These queries previously had ONLY the Spark-vs-DuckDB differential —
+blind to a semantic bug both engines share (the class the round-11
+tied-start island bug proved real). Each test here recomputes the
+query from scratch in plain Python on a crafted fixture (empty text,
+repeated spaces, unicode, tie-heavy vocabularies) AND runs the
+registered DuckDB oracle on the same fixture, so all three
+formulations must agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import duckdb
+
+from jubilant_garbanzo_spark.queries import load_all
+from jubilant_garbanzo_spark.testing import compare_query
+
+MOD = 1_000_000_007
+
+
+def _fixture(spark, tmp_path, texts):
+    """Write documents.parquet and return (sf_dir, duckdb con)."""
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(d, src, t) for d, (src, t) in sorted(texts.items())],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    return sf, con
+
+
+def _run(spark, tmp_path, texts, name):
+    sf, con = _fixture(spark, tmp_path, texts)
+    try:
+        spec = load_all()[name]
+        sdf = spec.fn(spark, sf)
+        rows = sdf.collect()
+        problems = compare_query(
+            spark, spec, sf, con=con, spark_result=(sdf.columns, rows)
+        )
+        assert not problems, f"{name}: " + "; ".join(problems[:3])
+        return rows
+    finally:
+        con.close()
+
+
+TEXTS = {
+    1: ("web", "café data  data déjà"),  # double space → empty token
+    2: ("web", ""),  # empty text → one empty token
+    3: ("web", "data data data query join"),
+    4: ("books", "reach me at a.b-c%d@ex-ample.co.uk or 12345 now"),
+    5: ("books", "123 4567 89012 a@b.co x@y.z not@an@email"),
+    6: ("books", "tie tie bee bee cee cee"),  # frequency ties
+    7: ("code", "join join query data café"),
+}
+
+
+def test_fingerprints_match_python_rolling_hash(spark, tmp_path):
+    """md5 + polynomial rolling hash == the from-scratch Python fold
+    (split(' ') keeps empty tokens; per-token int(md5[:15],16) % p;
+    acc = (acc*31 + h) % p from 0)."""
+    rows = _run(spark, tmp_path, TEXTS, "text_fingerprints")
+    got = {r["doc_id"]: (r["md5"], r["rolling"]) for r in rows}
+    for d, (_, text) in TEXTS.items():
+        acc = 0
+        for tok in text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MOD
+            acc = (acc * 31 + h) % MOD
+        assert got[d] == (hashlib.md5(text.encode()).hexdigest(), acc), d
+
+
+def test_pii_scrub_matches_python_re(spark, tmp_path):
+    """Email/number redaction == Python re replay: same patterns, same
+    order (emails first so their digit runs never count as numbers),
+    counts from the ORIGINAL text."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num = r"[0-9]{4,}"
+    rows = _run(spark, tmp_path, TEXTS, "text_pii_scrub")
+    got = {
+        r["doc_id"]: (r["scrubbed_md5"], r["n_emails"], r["n_nums"])
+        for r in rows
+    }
+    for d, (_, text) in TEXTS.items():
+        clean = re.sub(num, "<NUM>", re.sub(email, "<EMAIL>", text))
+        expect = (
+            hashlib.md5(clean.encode()).hexdigest(),
+            len(re.findall(email, text)),
+            len(re.findall(num, text)),
+        )
+        assert got[d] == expect, (d, got[d], expect)
+
+
+def test_robust_scale_matches_python_quantiles(spark, tmp_path):
+    """Per-source robust scaling == Python inverted-CDF quantiles
+    (index ceil(q*n)-1 over the sorted counts — the definition numpy
+    inverted_cdf and DuckDB quantile_disc share) with the IQR-floor
+    division replayed in raw IEEE."""
+    rows = _run(spark, tmp_path, TEXTS, "text_robust_scale")
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["scaled"]) for r in rows}
+
+    counts = {d: len(t.split(" ")) for d, (_, t) in TEXTS.items()}
+    by_src: dict = {}
+    for d, (src, _) in TEXTS.items():
+        by_src.setdefault(src, []).append(counts[d])
+
+    def qdisc(vals, q):
+        s = sorted(vals)
+        return s[max(math.ceil(q * len(s)) - 1, 0)]
+
+    for d, (src, _) in TEXTS.items():
+        vals = by_src[src]
+        med, q1, q3 = qdisc(vals, 0.5), qdisc(vals, 0.25), qdisc(vals, 0.75)
+        scaled = (counts[d] - med) / max(q3 - q1, 1)
+        assert got[d] == (src, counts[d], scaled), (d, got[d])
+
+
+def test_vocab_oov_matches_python_counter(spark, tmp_path):
+    """Top-100 vocabulary OOV ratios == Python Counter replay with the
+    same (freq DESC, token ASC) total order at the vocabulary cut;
+    ratios compared to the engine's round(.,6) within 5e-7."""
+    from collections import Counter
+
+    # >100 distinct tokens so the vocabulary cut actually binds, with
+    # deliberate frequency ties straddling rank 100.
+    texts = dict(TEXTS)
+    filler = " ".join(f"w{i:03d}" for i in range(130))
+    texts[8] = ("web", filler)
+    texts[9] = ("web", filler)  # every wNNN has freq 2 — tie-heavy cut
+
+    rows = _run(spark, tmp_path, texts, "text_vocab_oov")
+    got = {r["doc_id"]: (r["n_tokens"], r["oov_ratio"]) for r in rows}
+
+    freq = Counter()
+    for _, t in texts.values():
+        freq.update(t.split(" "))
+    vocab = {
+        tok
+        for tok, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :100
+        ]
+    }
+    for d, (_, t) in texts.items():
+        toks = t.split(" ")
+        ratio = sum(1 for x in toks if x not in vocab) / len(toks)
+        n, r = got[d]
+        assert n == len(toks), d
+        assert abs(r - ratio) < 5e-7, (d, r, ratio)
