@@ -154,3 +154,80 @@ def test_vocab_oov_matches_python_counter(spark, tmp_path):
         n, r = got[d]
         assert n == len(toks), d
         assert abs(r - ratio) < 5e-7, (d, r, ratio)
+
+
+def test_window_ranking_matches_python_definitions(spark, tmp_path):
+    """The six ranking functions == their textbook definitions replayed
+    in Python on crafted orders: rank/dense_rank over the FULL ordering
+    tuple (the o_orderkey tiebreak makes rank == row_number here),
+    percent_rank = (rank-1)/(n-1) with the single-row partition
+    defined as 0, cume_dist = peers-at-or-before / n, and NTILE's
+    balanced buckets with the remainder spread over the FIRST buckets
+    (7 rows -> 2,2,2,1). Also differentially checked against the
+    registered oracle on the same fixture."""
+    orders = [
+        # (o_orderkey, o_custkey, status, totalprice, date, priority)
+        # status A: 7 rows incl. a totalprice tie (keys 3 and 4)
+        (1, 1, "A", 500.0), (2, 1, "A", 400.0), (3, 1, "A", 300.0),
+        (4, 1, "A", 300.0), (5, 1, "A", 200.0), (6, 1, "A", 100.0),
+        (7, 1, "A", 50.0),
+        # status B: single row (percent_rank 0/0 edge)
+        (8, 1, "B", 10.0),
+        # status C: all tied prices
+        (9, 1, "C", 7.0), (10, 1, "C", 7.0), (11, 1, "C", 7.0),
+    ]
+    import datetime as dt
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (k, c, s, p, dt.datetime(2024, 1, 1), "1-URGENT")
+            for (k, c, s, p) in orders
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    try:
+        spec = load_all()["window_ranking"]
+        sdf = spec.fn(spark, sf)
+        rows = sdf.collect()
+        problems = compare_query(
+            spark, spec, sf, con=con, spark_result=(sdf.columns, rows)
+        )
+        assert not problems, problems
+    finally:
+        con.close()
+
+    got = {
+        r["o_orderkey"]: (
+            r["rn"], r["rnk"], r["drnk"], r["quartile"],
+            r["pct_rank"], r["cdist"],
+        )
+        for r in rows
+    }
+    by_status: dict = {}
+    for k, _, s, p in orders:
+        by_status.setdefault(s, []).append((-p, k))
+    for s, keys in by_status.items():
+        keys.sort()
+        n = len(keys)
+        base, rem = divmod(n, 4)
+        for i, (_, k) in enumerate(keys):
+            rank = i + 1  # full tuple is tie-free
+            # ntile: first `rem` buckets hold base+1 rows
+            acc, tile = 0, 0
+            for b in range(4):
+                size = base + (1 if b < rem else 0)
+                acc += size
+                if i < acc:
+                    tile = b + 1
+                    break
+            pct = 0.0 if n == 1 else (rank - 1) / (n - 1)
+            cd = rank / n
+            assert got[k] == (rank, rank, rank, tile, pct, cd), (k, got[k])
