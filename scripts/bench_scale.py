@@ -86,6 +86,10 @@ QUERIES = (
     "dedup_semantic_clusters",
     "event_attribution_last_touch",
     "timeseries_linear_interpolate",
+    # round-11 late: the sweep-line union-coverage pass, re-measured
+    # after the tied-start fix (two same-order window passes per user —
+    # the slope claim is one shuffle, per-user sort)
+    "timeseries_interval_coverage",
     # round-7 (VERDICT r6 item 6): the relational heavies on scaled
     # lineitem — the prior artifact scaled documents/embeddings/events
     # only, so the TPC-H join trees had no measured slope. q9 is the
