@@ -63,7 +63,18 @@ def export_csv(spark: SparkSession, sf_dir: str, table: str, columns) -> str:
 
     def write(path: str) -> None:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*columns)
-        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        # quote/escape must MIRROR read_csv's RFC options: Spark's
+        # default writer escape is backslash, so a value containing a
+        # double quote would round-trip corrupted under the RFC reader
+        # (and DuckDB's CSV reader, which is RFC by default).
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(path)
+        )
 
     return materialize_once(out, write)
 

@@ -17,8 +17,10 @@ be.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -41,6 +43,23 @@ class JsonlWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_sink requires option 'path'")
         self.overwrite = overwrite
+        # Driver-generated once per write job and shipped to executors
+        # inside the pickled writer: file names are (job, partition,
+        # attempt)-unique, so a later job writing the same path can
+        # never collide with files an earlier job's manifest references
+        # (taskAttemptId alone restarts near 0 in a new application).
+        # Only the NAME is random — the data bytes stay deterministic.
+        self.job_token = uuid.uuid4().hex[:12]
+        if overwrite:
+            # Truncate at job-plan time, like Spark's own static
+            # overwrite: stale part files must not survive under the
+            # fresh manifest/_SUCCESS, or glob readers see old ∪ new.
+            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(p)
+            for m in ("_MANIFEST.json", "_SUCCESS"):
+                mp = os.path.join(self.path, m)
+                if os.path.exists(mp):
+                    os.remove(mp)
 
     def write(self, iterator):
         # Executor-side: one file per task attempt. The attempt-unique
@@ -53,7 +72,7 @@ class JsonlWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
-        name = f"part-{pid:05d}-{attempt}.jsonl"
+        name = f"part-{self.job_token}-{pid:05d}-{attempt}.jsonl"
         n = 0
         with open(os.path.join(self.path, name), "w") as f:
             for row in iterator:
@@ -83,18 +102,25 @@ class JsonlWriter(DataSourceWriter):
 
 class JsonlStreamWriter(DataSourceStreamWriter):
     """Streaming flavor: one commit per micro-batch. Files are named
-    (batch, partition, attempt)-unique; the per-batch manifest is the
-    exactly-once seam — a replayed batch (restart between executor
-    write and checkpoint commit) overwrites its OWN manifest with the
-    same deterministic content rather than double-publishing, which is
-    precisely the sink-side idempotence Structured Streaming's commit
-    log expects of a V2 sink.
+    (query-run, partition, attempt)-unique — the Python DataSource API
+    does not pass batchId into write(), so a driver-generated run token
+    (fresh per query start, i.e. per restart) is what guarantees a
+    replayed batch can never overwrite a file an earlier run's batch
+    manifest references. The per-batch _BATCH_<n>.json manifest is the
+    exactly-once seam: a replayed batch re-publishes batch n's manifest
+    listing its NEW files (same deterministic row content), superseding
+    the old list, so a manifest-honoring reader sees each batch exactly
+    once. A reader that GLOBS stream-part-*.jsonl instead of honoring
+    the manifests would double-count replayed batches — acceptable for
+    the repo's single-run availableNow fixtures, and queued for a
+    manifest-reading consumer (round 12).
     """
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires option 'path'")
+        self.run_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -103,7 +129,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
-        name = f"stream-part-{pid:05d}-{attempt}.jsonl"
+        name = f"stream-part-{self.run_token}-{pid:05d}-{attempt}.jsonl"
         n = 0
         with open(os.path.join(self.path, name), "w") as f:
             for row in iterator:

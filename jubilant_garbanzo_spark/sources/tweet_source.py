@@ -88,8 +88,19 @@ class TweetBatchReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", "1000"))
         self.n_partitions = int(options.get("partitions", "4"))
+        if self.n_rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.n_rows}")
+        if self.n_partitions < 1:
+            raise ValueError(
+                f"partitions must be >= 1, got {self.n_partitions}"
+            )
 
     def partitions(self):
+        if self.n_rows == 0:
+            # Empty feed: ONE empty slice — the planner calls read(None)
+            # if the partition list itself is empty, and range() rejects
+            # the old step-0 arithmetic.
+            return [_Slice(0, 0)]
         step = (self.n_rows + self.n_partitions - 1) // self.n_partitions
         return [
             _Slice(lo, min(lo + step, self.n_rows))
@@ -127,9 +138,22 @@ class TweetStreamReader(DataSourceStreamReader):
         # Restart safety: a fresh reader instance starts with _head=0,
         # but Spark replans from the CHECKPOINTED start offset — clamp
         # the head forward so the next latestOffset() never reports an
-        # offset behind a committed start (which would stall/rewind the
-        # stream). The source stays deterministic: ids are a pure
-        # function of offset, so replanned batches are byte-identical.
+        # offset behind a committed start. The source stays
+        # deterministic: ids are a pure function of offset, so
+        # replanned batches are byte-identical.
+        #
+        # Measured clean-restart behavior (no in-flight batch, so this
+        # clamp hasn't run when latestOffset() first fires): the engine
+        # sees latest < committed, plans NO batch (no rewind, no
+        # duplicates — pinned by test_tweet_stream_clean_restart_
+        # resumes_exactly_once), and the head re-advances one
+        # rows_per_batch per trigger until it passes the checkpoint —
+        # a transient stall of ceil(committed/rows_per_batch) triggers.
+        # Under Trigger.AvailableNow the single latest snapshot can
+        # therefore under-drain after a clean restart; production
+        # sources avoid this by deriving latestOffset from the external
+        # system (kafka end offsets), which is exactly the seam this
+        # stand-in's _head models.
         self._head = max(self._head, start["offset"], end["offset"])
         return [_Slice(start["offset"], end["offset"])]
 

@@ -37,6 +37,13 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 _query_counter = itertools.count()
 
 
+#: (sf_dir -> physical events.ts dtype) — the probe result is a pure
+#: function of the fixture directory; see read_events_stream. Test
+#: fixtures that REWRITE events.parquet in place within one session
+#: don't exist (tmp dirs are fresh per test), so no fingerprinting.
+_TS_DTYPE_MEMO: dict[str, str | None] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet.
 
@@ -57,9 +64,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events table out of the shared sf dir. Probe the batch reader for
     # the physical ts layout (mirrors catalog.load_table's guard —
     # dividing a valid timestamp by 1000 would silently corrupt event
-    # time, so each branch is pinned to the observed dtype).
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_dtype = dict(probe.dtypes).get("ts")
+    # time, so each branch is pinned to the observed dtype). The probe
+    # is one driver-side footer read, deterministic per fixture dir —
+    # memoized so the ~25 streaming queries (stream-stream joins call
+    # this twice each) don't re-pay it per invocation.
+    ts_dtype = _TS_DTYPE_MEMO.get(sf_dir)
+    if ts_dtype is None:
+        probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_dtype = dict(probe.dtypes).get("ts")
+        _TS_DTYPE_MEMO[sf_dir] = ts_dtype
     if ts_dtype == "bigint":
         ts_type: T.DataType = T.LongType()
         normalize = F.timestamp_micros(F.expr("ts DIV 1000"))

@@ -671,3 +671,146 @@ def test_full_outer_eviction_boundaries(spark, tmp_path):
         (3, None, 30),  # purchase past its bound
         (5, None, 50),  # purchase just inside
     }, got
+
+
+def test_tweet_batch_reader_rejects_degenerate_options(spark):
+    """rows=0 must yield an EMPTY frame (not range(0,0,0) ValueError);
+    partitions<1 and rows<0 must fail fast with clear errors."""
+    import pytest
+
+    from jubilant_garbanzo_spark.sources.tweet_source import (
+        TweetBatchReader,
+        register_tweet_source,
+    )
+
+    register_tweet_source(spark)
+    empty = (
+        spark.read.format("tweet_firehose").option("rows", "0").load()
+    )
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="partitions"):
+        TweetBatchReader({"partitions": "0"})
+    with pytest.raises(ValueError, match="rows"):
+        TweetBatchReader({"rows": "-5"})
+
+
+def test_tweet_stream_clean_restart_resumes_exactly_once(spark, tmp_path):
+    """CLEAN checkpointed restart (last batch committed, so the
+    partitions() clamp has NOT run when the fresh reader's
+    latestOffset() first fires): the engine must neither rewind nor
+    duplicate — measured behavior is a transient no-data stall while
+    the head re-advances, then exact resumption. End state: all 1000
+    feed rows exactly once across the two runs."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from jubilant_garbanzo_spark.sources.tweet_source import (
+        register_tweet_source,
+    )
+
+    register_tweet_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_until(min_rows, timeout_s=90):
+        q = (
+            spark.readStream.format("tweet_firehose")
+            .option("rows_per_batch", "100")
+            .option("rows", "1000")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= min_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_until(300)  # run 1: commit a few batches, stop cleanly
+    run_until(1000)  # run 2: fresh reader must catch up past checkpoint
+    df = spark.read.parquet(out)
+    n = df.count()
+    assert n == df.select("tweet_id").distinct().count(), "duplicates"
+    assert n == 1000, f"expected full drain, got {n}"
+    assert df.agg(F.max("tweet_id")).first()[0] == 999
+
+
+def test_jsonl_sink_overwrite_replaces_stale_files(spark, tmp_path):
+    """mode('overwrite') must leave ONLY the new job's files: stale
+    part files from a previous write at the same path may not survive
+    under the fresh manifest/_SUCCESS (regression: the overwrite flag
+    was stored but never acted on, so glob readers saw old UNION new),
+    and job-token file names mean the two jobs can never collide."""
+    import json
+    import os
+
+    from jubilant_garbanzo_spark.sources.jsonl_sink import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = str(tmp_path / "sink")
+
+    def write(vals, mode):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        df.coalesce(1).write.format("jsonl_sink").mode(mode).option(
+            "path", path
+        ).save()
+
+    write([1, 2, 3], "append")
+    write([10, 20], "overwrite")
+
+    back = spark.read.json(f"{path}/part-*.jsonl")
+    assert sorted(r["x"] for r in back.collect()) == [10, 20]
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".jsonl")
+    )
+    assert files == manifest["files"], "stale files survived overwrite"
+    assert manifest["n_rows"] == 2
+
+
+def test_csv_export_roundtrips_embedded_quotes(spark, tmp_path, monkeypatch):
+    """export_csv's writer options must MIRROR read_csv's RFC quoting:
+    a value containing a double quote has to survive the write→read
+    roundtrip byte-for-byte (regression: the writer used Spark's
+    default backslash escape against the RFC reader)."""
+    import pyspark.sql.types as T
+
+    from jubilant_garbanzo_spark.sources import formats as FMT
+
+    monkeypatch.setattr(FMT, "EXPORT_ROOT", str(tmp_path / "exports"))
+    sf = str(tmp_path / "sf")
+    rows = [
+        (1, 'say "hello" twice'),
+        (2, 'quote,comma "x,y" mix'),
+        (3, "plain"),
+        (4, ""),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = FMT.export_csv(spark, sf, "documents", ["doc_id", "text"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in FMT.read_csv(spark, out, schema).collect()
+    }
+    expect = dict(rows)
+    expect[4] = None  # empty string reads back as NULL in Spark CSV
+    assert got == expect, got
