@@ -115,6 +115,13 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # found by the follow-up repo-wide window-order audit; takes
     # tpch_q17_small_quantity_revenue's slot (rolls to round 12)
     "join_interval_overlap",
+    # verified cross-engine divergences from the quality.py review:
+    # strlen (BYTES) vs F.length (CHARS) in the profiler oracle, and
+    # the KS statistic's NULL-value ordering (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST shifts both CDFs) + tc*tv=0 ANSI crash. They
+    # take tpch_q13/q15's slots (roll to round 12).
+    "profile_table_stats",
+    "profile_ks_two_sample",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -157,12 +164,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_robust_scale",
     "text_vocab_oov",
     "tpch_q12_priority_shipping",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    # tpch_q8_market_share and tpch_q17_small_quantity_revenue (both
-    # r3 green) evicted by the two tie-order correctness fixes
-    # (timeseries_interval_coverage, join_interval_overlap); they roll
-    # to round 12 with the twelve r4 agg_* refreshes
+    # tpch_q8_market_share, tpch_q17_small_quantity_revenue,
+    # tpch_q13_order_distribution, and tpch_q15_top_supplier (all r3
+    # green) evicted by the four correctness fixes this session (two
+    # tie-order windows, the profiler strlen/length divergence, the KS
+    # NULL-ordering divergence); they roll to round 12 with the twelve
+    # r4 agg_* refreshes
     # -- staleness refreshes: last green r4 (oldest-first fill) ----------
     # (agg_collect_list_set / agg_cube / agg_distinct / agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
     # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to

@@ -308,8 +308,13 @@ def _profile_branch_sql(col: str, metric: str) -> str:
             _profile_branch_sql("o_orderkey", "o_orderkey"),
             _profile_branch_sql("o_custkey", "o_custkey"),
             _profile_branch_sql("o_totalprice", "o_totalprice"),
-            _profile_branch_sql("o_orderstatus", "strlen(o_orderstatus)"),
-            _profile_branch_sql("o_orderpriority", "strlen(o_orderpriority)"),
+            # length(), NOT strlen(): Spark F.length counts CHARACTERS
+            # and DuckDB strlen counts BYTES — equal only on all-ASCII
+            # data (the dedup_exactsubstr_removal regression class).
+            _profile_branch_sql("o_orderstatus", "length(o_orderstatus)"),
+            _profile_branch_sql(
+                "o_orderpriority", "length(o_orderpriority)"
+            ),
         ]
     ),
     tags=("quality", "profiling"),
@@ -1333,6 +1338,7 @@ def quality_benford_digits(spark, sf_dir):
         WITH s AS (
             SELECT value, event_type FROM events
             WHERE event_type IN ('click', 'view')
+              AND value IS NOT NULL
         ), g AS (
             SELECT value,
                    CAST(sum(CASE WHEN event_type = 'click'
@@ -1387,8 +1393,13 @@ def profile_ks_two_sample(spark, sf_dir):
     spectrum is quantile-compressed first; the sup over a grouped
     window is the same plan either way.
     """
+    # value IS NOT NULL on BOTH engines: a NULL sample point is
+    # meaningless for a CDF, and the two engines ORDER NULLs on
+    # opposite ends (Spark NULLS FIRST asc, DuckDB NULLS LAST), which
+    # would shift every cumulative count differently.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     g = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -1422,9 +1433,14 @@ def profile_ks_two_sample(spark, sf_dir):
         .select(
             F.col("tc").alias("n_click"),
             F.col("tv").alias("n_view"),
+            # try_divide: with only one event type present tc*tv = 0 —
+            # ANSI Spark would throw where DuckDB's x/0 yields NULL;
+            # both engines must return the NULL-ks_stat row.
             F.round(
-                F.col("dnum").cast("double")
-                / (F.col("tc").cast("double") * F.col("tv").cast("double")),
+                F.try_divide(
+                    F.col("dnum").cast("double"),
+                    F.col("tc").cast("double") * F.col("tv").cast("double"),
+                ),
                 6,
             ).alias("ks_stat"),
             F.round(F.col("value"), 6).alias("ks_at_value"),

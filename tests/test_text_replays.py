@@ -231,3 +231,101 @@ def test_window_ranking_matches_python_definitions(spark, tmp_path):
             pct = 0.0 if n == 1 else (rank - 1) / (n - 1)
             cd = rank / n
             assert got[k] == (rank, rank, rank, tile, pct, cd), (k, got[k])
+
+
+def test_profile_table_stats_nonascii_lengths(spark, tmp_path):
+    """String-column min/max LENGTH must be characters on BOTH engines
+    (regression: the oracle used DuckDB strlen = BYTES, equal to
+    Spark's F.length only on all-ASCII data)."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "Ö", 10.0),  # 1 char, 2 bytes
+        (2, 1, "ŘŮŽ", 20.0),  # 3 chars, 6 bytes
+        (3, 1, "plain", 30.0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (k, c, s, p, dt.datetime(2024, 1, 1), "přílíš-1")
+            for (k, c, s, p) in rows
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    try:
+        spec = load_all()["profile_table_stats"]
+        sdf = spec.fn(spark, sf)
+        out = sdf.collect()
+        problems = compare_query(
+            spark, spec, sf, con=con, spark_result=(sdf.columns, out)
+        )
+        assert not problems, problems
+    finally:
+        con.close()
+    stats = {r["col_name"]: (r["min_val"], r["max_val"]) for r in out}
+    assert stats["o_orderstatus"] == (1.0, 5.0)  # chars, not bytes
+    assert stats["o_orderpriority"] == (8.0, 8.0)
+
+
+def test_ks_two_sample_null_values_and_single_type(spark, tmp_path):
+    """KS drift edge classes (regression pair): NULL sample values must
+    be excluded on BOTH engines (they sort to OPPOSITE ends of the two
+    engines' cumulative windows), and a corpus with only one event
+    type must yield the NULL-ks_stat row instead of a Spark ANSI
+    division-by-zero."""
+    import datetime as dt
+
+    def events(rows):
+        return [
+            (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), 1, et, v, "{}")
+            for i, (et, v) in enumerate(rows)
+        ]
+
+    def run(rows, sub):
+        sf = str(sub / "sf")
+        spark.createDataFrame(
+            events(rows),
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+        )
+        try:
+            spec = load_all()["profile_ks_two_sample"]
+            sdf = spec.fn(spark, sf)
+            out = sdf.collect()
+            problems = compare_query(
+                spark, spec, sf, con=con, spark_result=(sdf.columns, out)
+            )
+            assert not problems, problems
+            return out
+        finally:
+            con.close()
+
+    mixed = run(
+        [
+            ("click", 1.0), ("click", None), ("click", 3.0),
+            ("view", 2.0), ("view", None), ("view", 4.0),
+            ("error", 9.9),
+        ],
+        tmp_path / "a",
+    )
+    assert mixed[0]["n_click"] == 2 and mixed[0]["n_view"] == 2
+    # D = sup|F_c - F_v| over {1,2,3,4}: F_c=(.5,.5,1,1), F_v=(0,.5,.5,1)
+    assert mixed[0]["ks_stat"] == 0.5 and mixed[0]["ks_at_value"] == 1.0
+
+    only_clicks = run(
+        [("click", 1.0), ("click", 2.0)], tmp_path / "b"
+    )
+    assert only_clicks[0]["n_view"] == 0
+    assert only_clicks[0]["ks_stat"] is None
