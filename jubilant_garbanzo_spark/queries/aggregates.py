@@ -10,9 +10,10 @@ reproducible across any partial-aggregation tree (functions/money.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from jubilant_garbanzo_spark.catalog import load_table, register_views
+from jubilant_garbanzo_spark.catalog import load_table
 from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
 from jubilant_garbanzo_spark.queries import register
 
@@ -170,9 +171,10 @@ def agg_cube(spark, sf_dir):
 )
 def agg_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS via the SQL entry point (SURVEY §3.3) —
-    engine registers catalog views so SQL and DataFrame paths are
-    interchangeable."""
-    register_views(spark, sf_dir)
+    engine registers a catalog view so SQL and DataFrame paths are
+    interchangeable (only the one table this query reads: registering
+    all ten forced nine needless parquet-footer reads per run)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
         SELECT coalesce(c_mktsegment, 'ALL') AS segment,
@@ -693,7 +695,6 @@ def agg_mode_deterministic(spark, sf_dir):
     aggregate's hash partitioning prefix).
     """
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
 
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count("*").cast("bigint").alias("cnt")
@@ -763,7 +764,6 @@ def agg_exact_median_histogram(spark, sf_dir):
     touches histogram cells only; phase 3 sorts ≤ one bucket per
     group. Same offsets discipline as ids_global_row_number.
     """
-    from pyspark.sql import Window
 
     q = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -1114,6 +1114,24 @@ def agg_welch_ttest(spark, sf_dir):
     )
 
 
+def _type_hour_grid(spark, sf_dir):
+    """Shared (event_type × hour-of-day) contingency grid: the bounded
+    ≤(types × 24)-cell partial-agg collapse plus both marginals, used
+    by ``agg_mutual_information`` AND ``agg_cramers_v`` (extracted per
+    the round-11 review so the grid definition lives in one place).
+
+    Returns ``(cells, marg_t, marg_h)`` with INTEGER counts only —
+    each consumer builds its own quantized float terms on top."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    marg_t = cells.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
+    marg_h = cells.groupBy("h").agg(F.sum("c").cast("bigint").alias("ch"))
+    return cells, marg_t, marg_h
+
+
 @register(
     "agg_mutual_information",
     oracle="""
@@ -1175,14 +1193,8 @@ def agg_mutual_information(spark, sf_dir):
     (type × hour) grid; marginals and terms are joins over that grid
     only. At 100 TB the grid is still 120 cells.
     """
-    ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.hour("ts").cast("bigint").alias("h"),
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    cells, marg_t, marg_h = _type_hour_grid(spark, sf_dir)
     m = cells.agg(F.sum("c").cast("bigint").alias("n"))
-    marg_t = cells.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
-    marg_h = cells.groupBy("h").agg(F.sum("c").cast("bigint").alias("ch"))
     cd = F.col("c").cast("double")
     nd = F.col("n").cast("double")
     miq = F.round(
@@ -1281,18 +1293,12 @@ def agg_cramers_v(spark, sf_dir):
     (type × hour) grid, marginal joins over the grid, one scalar
     reduction.
     """
-    ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.hour("ts").cast("bigint").alias("h"),
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    cells, marg_t, marg_h = _type_hour_grid(spark, sf_dir)
     m = cells.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.countDistinct("t").cast("bigint").alias("r"),
         F.countDistinct("h").cast("bigint").alias("k"),
     )
-    marg_t = cells.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
-    marg_h = cells.groupBy("h").agg(F.sum("c").cast("bigint").alias("ch"))
     e = (
         F.col("ct").cast("double")
         * F.col("ch").cast("double")
@@ -1384,7 +1390,6 @@ def agg_pareto_share(spark, sf_dir):
             .alias("cents")
         )
     )
-    from pyspark.sql import Window
 
     w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
     ranked = per_cust.select(

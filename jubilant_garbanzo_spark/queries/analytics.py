@@ -219,6 +219,38 @@ def timeseries_gapfill(spark, sf_dir):
     )
 
 
+def sessionized_events(spark, sf_dir, *, with_value: bool = False):
+    """Shared 30-min-gap sessionizer (the repo's single session
+    definition, used by ``sessionize_events`` AND
+    ``join_interval_overlap`` — extracted per the round-11 review so
+    the gap rule and its tie order live in exactly one place).
+
+    Returns the per-event frame with ``user_id, ts, event_id, us,
+    session_id`` (+ ``value`` when requested). Both window passes order
+    by ``(ts, event_id)`` — the tied-start island lesson: the flag pass
+    and the numbering pass MUST share one total tie order or a
+    tied-timestamp flag-0 row can sort ahead of its session's flag-1
+    row and split the session."""
+
+    cols = ["user_id", "ts", "event_id"] + (["value"] if with_value else [])
+    ev = load_table(spark, sf_dir, "events").select(
+        *cols,
+        # NTZ→TS cast is wall-clock identity under the UTC session tz,
+        # so this epoch equals DuckDB's epoch_us over the naive ts.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(wsum).cast("bigint"))
+
+
 @register(
     "sessionize_events",
     oracle=f"""
@@ -271,32 +303,7 @@ def sessionize_events(spark, sf_dir):
     day boundaries; at fixture scale (and for any human-generated
     event stream) per-user volumes are bounded and the plain window
     is the right plan."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        # NTZ→TS cast is wall-clock identity under the UTC session tz,
-        # so this epoch equals DuckDB's epoch_us over the naive ts.
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn(
-        "session_id",
-        F.sum("is_new")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint"),
-    )
+    numbered = sessionized_events(spark, sf_dir, with_value=True)
     return numbered.groupBy("user_id", "session_id").agg(
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "session_start"
@@ -417,7 +424,6 @@ def timeseries_time_weighted_avg(spark, sf_dir):
     Scale shape: one shuffle on user_id serves both the lead() window
     and the final per-user agg (same partitioning reused); narrow
     3-column scan. Same hot-entity skew note as sessionize_events."""
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -502,7 +508,6 @@ def scd2_from_events(spark, sf_dir):
     window functions, one partitioning. Output is bounded by the
     number of TRANSITIONS (≪ events for low-cardinality status
     domains)."""
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
@@ -589,28 +594,7 @@ def join_interval_overlap(spark, sf_dir):
     explode factor; match it to the typical interval length. The DuckDB oracle runs the naive quadratic form (its
     IEJoin handles the fixture scale), so blocking is proven lossless
     end-to-end. Total order under LIMIT: (overlap_s DESC, u1, u2)."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # SAME order as the flag window w (the timeseries_interval_coverage
-    # tied-start lesson): numbering under ORDER BY us alone can place a
-    # tied-timestamp flag-0 row ahead of its session's flag-1 row and
-    # split the session.
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    numbered = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    ).withColumn("session_id", F.sum("is_new").over(wsum).cast("bigint"))
+    numbered = sessionized_events(spark, sf_dir)
     sessions = numbered.groupBy("user_id", "session_id").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
     )

@@ -15,6 +15,7 @@ ITERATIVE algorithm, something float-based formulations cannot offer.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -615,7 +616,6 @@ def graph_degree_distribution(spark, sf_dir):
         F.sum("n_nodes").cast("bigint").alias("nn"),
         F.sum(F.col("degree") * F.col("n_nodes")).cast("bigint").alias("ne"),
     )
-    from pyspark.sql import Window
 
     w = (
         Window.orderBy(F.col("degree").desc())

@@ -9,6 +9,7 @@ semantics are pinned by unit tests instead (tests/test_llm_ops.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -1803,7 +1804,6 @@ def text_tfidf_top_terms(spark, sf_dir):
     second agg on token; the doc count joins in as a broadcast scalar;
     ranking is a per-doc window. Note DuckDB ``log`` = log10 — both
     sides use natural log explicitly (verify gotcha list)."""
-    from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = d.select(
@@ -3650,7 +3650,6 @@ def text_winnowing_fingerprints(spark, sf_dir):
     codes = kg.select(
         "doc_id", "idx", (F.col("h") * 1048576 + F.col("idx")).alias("code")
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 4)
     wins = (
@@ -3739,7 +3738,6 @@ def dedup_winnowing_overlap(spark, sf_dir):
         ).alias("h"),
     )
     sized = kg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(0, 4)
     wins = (
@@ -3861,7 +3859,6 @@ def text_bpe_pack(spark, sf_dir):
     context windows overflow in production). Same scale shape: the
     tokenizer is a map stage, then one groupBy(doc) and one window
     cumsum partitioned by source."""
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     inst = d.select(

@@ -1185,7 +1185,6 @@ def pipeline_temperature_mixture(spark, sf_dir):
         .cast("bigint")
         .alias("target"),
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

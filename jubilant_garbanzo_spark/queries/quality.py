@@ -1365,9 +1365,15 @@ def quality_benford_digits(spark, sf_dir):
             FROM cum c, tot t
         )
         SELECT tc AS n_click, tv AS n_view,
-               round(CAST(dnum AS DOUBLE)
-                     / (CAST(tc AS DOUBLE) * CAST(tv AS DOUBLE)), 6)
-                   AS ks_stat,
+               -- explicit zero-divisor guard (ADVICE r11): the parity
+               -- with Spark's try_divide must not depend on DuckDB's
+               -- division-by-zero default (NULL in 1.0, IEEE inf from
+               -- 1.1 on)
+               CASE WHEN tc * tv = 0 THEN NULL
+                    ELSE round(CAST(dnum AS DOUBLE)
+                               / (CAST(tc AS DOUBLE) * CAST(tv AS DOUBLE)),
+                               6)
+               END AS ks_stat,
                round(value, 6) AS ks_at_value
         FROM d ORDER BY dnum DESC, value ASC LIMIT 1
     """,

@@ -14,6 +14,7 @@ tokenize hashtags → count per sliding 10s/5s window → top-10
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -491,7 +492,6 @@ def stream_stateful_running_count(spark, sf_dir):
     across restarts."""
     import tempfile
 
-    from pyspark.sql import Window
 
     from jubilant_garbanzo_spark.streaming.stateful import running_count_per_user
 

@@ -12,6 +12,7 @@ skew, aggregates are two-phase hash aggregates.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
@@ -891,7 +892,6 @@ def tpch_q2(spark, sf_dir):
     shuffle of the 4-rows-per-part partsupp. Total order under LIMIT:
     (s_acctbal DESC, n_name, s_name, p_partkey) — (s_name, p_partkey)
     is unique per row."""
-    from pyspark.sql import Window
 
     ps = _partsupp(spark, sf_dir)
     part = (

@@ -57,9 +57,19 @@ def materialize_once(path: str, write) -> str:
     return path
 
 
+#: Writer-option version baked into the CSV export path: bump it
+#: whenever the writer options change so stale materialized exports
+#: self-invalidate (ADVICE r11 — the RFC quote/escape fix was gated
+#: behind materialize_once, so an environment holding a pre-fix export
+#: kept serving backslash-escaped files until manually deleted).
+_CSV_EXPORT_VERSION = "rfc1"
+
+
 def export_csv(spark: SparkSession, sf_dir: str, table: str, columns) -> str:
     """Deterministic single-file CSV export of selected fixture columns."""
-    out = os.path.join(EXPORT_ROOT, _sf_tag(sf_dir), f"{table}_csv")
+    out = os.path.join(
+        EXPORT_ROOT, _sf_tag(sf_dir), f"{table}_csv_{_CSV_EXPORT_VERSION}"
+    )
 
     def write(path: str) -> None:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*columns)

@@ -50,16 +50,13 @@ class JsonlWriter(DataSourceWriter):
         # (taskAttemptId alone restarts near 0 in a new application).
         # Only the NAME is random — the data bytes stay deterministic.
         self.job_token = uuid.uuid4().hex[:12]
-        if overwrite:
-            # Truncate at job-plan time, like Spark's own static
-            # overwrite: stale part files must not survive under the
-            # fresh manifest/_SUCCESS, or glob readers see old ∪ new.
-            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                os.remove(p)
-            for m in ("_MANIFEST.json", "_SUCCESS"):
-                mp = os.path.join(self.path, m)
-                if os.path.exists(mp):
-                    os.remove(mp)
+        # Overwrite deletion is DEFERRED to commit() (ADVICE r11):
+        # truncating at plan time emptied the sink before any new data
+        # existed, so a job that failed after planning left no
+        # manifest AND no data — weaker than the stage-then-commit
+        # atomicity this module advertises. Job-token file names
+        # guarantee the staged new files can never collide with the
+        # stale ones deleted at commit time.
 
     def write(self, iterator):
         # Executor-side: one file per task attempt. The attempt-unique
@@ -82,9 +79,26 @@ class JsonlWriter(DataSourceWriter):
         return _FileCommit(file=name, n_rows=n)
 
     def commit(self, messages):
-        # Driver-side, runs once after every task succeeded: publish
-        # the manifest. Readers that honor the manifest see all-or-
-        # nothing output.
+        # Driver-side, runs once after every task succeeded: first (in
+        # overwrite mode) clear stale files from PRIOR jobs — batch
+        # parts, stream parts, and their manifests — then publish this
+        # job's manifest. Until this point the old dataset was intact
+        # (old files + old _SUCCESS), so a failure anywhere earlier
+        # leaves readers on the previous committed state; the brief
+        # non-atomic window is delete-then-republish, same as Spark's
+        # own static-overwrite commit.
+        if self.overwrite:
+            keep = {m.file for m in messages}
+            for pat in ("part-*.jsonl", "stream-part-*.jsonl"):
+                for p in glob.glob(os.path.join(self.path, pat)):
+                    if os.path.basename(p) not in keep:
+                        os.remove(p)
+            for p in glob.glob(os.path.join(self.path, "_BATCH_*.json")):
+                os.remove(p)
+            for m in ("_MANIFEST.json", "_SUCCESS"):
+                mp = os.path.join(self.path, m)
+                if os.path.exists(mp):
+                    os.remove(mp)
         manifest = {
             "files": sorted(m.file for m in messages),
             "n_rows": sum(m.n_rows for m in messages),

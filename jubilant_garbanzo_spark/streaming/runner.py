@@ -38,9 +38,13 @@ _query_counter = itertools.count()
 
 
 #: (sf_dir -> physical events.ts dtype) — the probe result is a pure
-#: function of the fixture directory; see read_events_stream. Test
-#: fixtures that REWRITE events.parquet in place within one session
-#: don't exist (tmp dirs are fresh per test), so no fingerprinting.
+#: function of the fixture directory; see read_events_stream. A None
+#: VALUE (no ts column) is a legitimate memoized result, so misses are
+#: detected by key membership, not .get() (ADVICE r11). HAZARD: the
+#: memo is never invalidated — rewriting events.parquet in place with
+#: a different ts dtype in the same process would mis-normalize event
+#: time (fingerprint the dir like operators/dedup._dir_fingerprint if
+#: such a fixture ever exists; today tmp dirs are fresh per test).
 _TS_DTYPE_MEMO: dict[str, str | None] = {}
 
 
@@ -68,8 +72,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one driver-side footer read, deterministic per fixture dir —
     # memoized so the ~25 streaming queries (stream-stream joins call
     # this twice each) don't re-pay it per invocation.
-    ts_dtype = _TS_DTYPE_MEMO.get(sf_dir)
-    if ts_dtype is None:
+    if sf_dir in _TS_DTYPE_MEMO:
+        ts_dtype = _TS_DTYPE_MEMO[sf_dir]
+    else:
         probe = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_dtype = dict(probe.dtypes).get("ts")
         _TS_DTYPE_MEMO[sf_dir] = ts_dtype

@@ -24,7 +24,17 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: Schema source for the empty tables (layout must match the driver's).
-TEMPLATE_SF = "/root/testdata/sf0.001"
+#: Overridable via --template / $SPARK_GRAFT_SF_DIR for checkouts
+#: without the driver fixture tree (ADVICE r11).
+TEMPLATE_SF = os.environ.get(
+    "SPARK_GRAFT_TEMPLATE_SF",
+    os.path.join(
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        ),
+        "sf0.001",
+    ),
+)
 
 
 def build_empty_fixture(dest: str, template: str = TEMPLATE_SF) -> None:
@@ -43,7 +53,19 @@ def main() -> int:
     ap.add_argument(
         "--changed", action="store_true", help="only CHANGED_THIS_ROUND"
     )
+    ap.add_argument(
+        "--template",
+        default=TEMPLATE_SF,
+        help="directory whose parquet schemas seed the 0-row tables",
+    )
     args = ap.parse_args()
+    if not os.path.isdir(args.template):
+        print(
+            f"template fixture dir not found: {args.template!r} — pass "
+            "--template or set SPARK_GRAFT_TEMPLATE_SF/SPARK_GRAFT_SF_DIR",
+            file=sys.stderr,
+        )
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -68,7 +90,7 @@ def main() -> int:
 
     bad = 0
     with tempfile.TemporaryDirectory(prefix="empty_sf_") as sf:
-        build_empty_fixture(sf)
+        build_empty_fixture(sf, template=args.template)
         for name in names:
             try:
                 problems = compare_query(spark, specs[name], sf)
