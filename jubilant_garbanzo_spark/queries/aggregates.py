@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.emptysafe import empty_fallback
 from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
 from jubilant_garbanzo_spark.queries import register
 
@@ -111,11 +112,13 @@ def agg_approx_count_distinct(spark, sf_dir):
     tags=("agg", "rollup"),
 )
 def agg_rollup(spark, sf_dir):
-    """ROLLUP hierarchy region→nation→grand-total."""
+    """ROLLUP hierarchy region→nation→grand-total. The grand-total row
+    survives empty input via :func:`empty_fallback` (ANSI emits the
+    ungrouped row where Spark's Expand emits nothing)."""
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
+    rolled = (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
@@ -129,6 +132,15 @@ def agg_rollup(spark, sf_dir):
             "n_customers",
             "total_balance",
         )
+    )
+    return empty_fallback(
+        rolled,
+        [
+            F.lit("ALL").alias("region"),
+            F.lit("ALL").alias("nation"),
+            F.lit(0).cast("bigint").alias("n_customers"),
+            F.lit(None).cast("double").alias("total_balance"),
+        ],
     )
 
 
@@ -144,9 +156,10 @@ def agg_rollup(spark, sf_dir):
     tags=("agg", "cube"),
 )
 def agg_cube(spark, sf_dir):
-    """CUBE: all 2^2 grouping combinations."""
+    """CUBE: all 2^2 grouping combinations; grand total rescued on
+    empty input by :func:`empty_fallback`."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    cubed = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
         .select(
@@ -154,6 +167,14 @@ def agg_cube(spark, sf_dir):
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             "n_orders",
         )
+    )
+    return empty_fallback(
+        cubed,
+        [
+            F.lit("ALL").alias("status"),
+            F.lit("ALL").alias("priority"),
+            F.lit(0).cast("bigint").alias("n_orders"),
+        ],
     )
 
 
@@ -173,9 +194,11 @@ def agg_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS via the SQL entry point (SURVEY §3.3) —
     engine registers a catalog view so SQL and DataFrame paths are
     interchangeable (only the one table this query reads: registering
-    all ten forced nine needless parquet-footer reads per run)."""
+    all ten forced nine needless parquet-footer reads per run). The
+    empty ``()`` set's row survives empty input via
+    :func:`empty_fallback` (GROUPING(c_mktsegment) = 1 there)."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
+    sets = spark.sql(
         """
         SELECT coalesce(c_mktsegment, 'ALL') AS segment,
                coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
@@ -184,6 +207,15 @@ def agg_grouping_sets(spark, sf_dir):
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
+    )
+    return empty_fallback(
+        sets,
+        [
+            F.lit("ALL").alias("segment"),
+            F.lit("ALL").alias("nation"),
+            F.lit(0).cast("bigint").alias("n_customers"),
+            F.lit(1).cast("int").alias("is_seg_total"),
+        ],
     )
 
 
@@ -910,18 +942,30 @@ def agg_hll_intersection(spark, sf_dir):
         .groupBy("side")
         .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
     )
+    # coalesce(0): over an EMPTY cohort the sketch aggregates are NULL
+    # and every downstream comparison would be NULL instead of the
+    # oracle's TRUE bound verdict (round-11 empty-input audit) — an
+    # empty cohort's estimate is 0, exactly like its exact count.
     ests = sk.agg(
-        F.sum(
-            F.when(
-                F.col("side") == "a", F.hll_sketch_estimate(F.col("sk"))
-            ).otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("side") == "a", F.hll_sketch_estimate(F.col("sk"))
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).alias("est_a"),
-        F.sum(
-            F.when(
-                F.col("side") == "b", F.hll_sketch_estimate(F.col("sk"))
-            ).otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("side") == "b", F.hll_sketch_estimate(F.col("sk"))
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).alias("est_b"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")), F.lit(0)
+        ).alias("est_union"),
     )
     ea = a.select("user_id").distinct()
     eb = b.select("user_id").distinct()
@@ -1091,11 +1135,27 @@ def agg_welch_ttest(spark, sf_dir):
             .alias("md"),
         )
     )
-    c = m.filter(F.col("event_type") == "click").select(
-        F.col("nd").alias("n1"), F.col("sxd").alias("sx1"), F.col("md").alias("m1")
+    # Each side collapses to EXACTLY one row (max over the 0-or-1-row
+    # group) — the DataFrame twin of the oracle's scalar subqueries,
+    # which yield a NULL scalar when the group is absent. A plain
+    # filter-then-crossJoin emits ZERO rows the day either cohort is
+    # empty (round-11 empty-input audit), where ANSI scalar semantics
+    # demand one all-NULL row.
+    c = (
+        m.filter(F.col("event_type") == "click")
+        .agg(
+            F.max("nd").alias("n1"),
+            F.max("sxd").alias("sx1"),
+            F.max("md").alias("m1"),
+        )
     )
-    v = m.filter(F.col("event_type") == "view").select(
-        F.col("nd").alias("n2"), F.col("sxd").alias("sx2"), F.col("md").alias("m2")
+    v = (
+        m.filter(F.col("event_type") == "view")
+        .agg(
+            F.max("nd").alias("n2"),
+            F.max("sxd").alias("sx2"),
+            F.max("md").alias("m2"),
+        )
     )
     j = c.crossJoin(F.broadcast(v))
     se1 = F.col("m1") / (F.col("n1") * F.col("n1") * (F.col("n1") - 1.0))

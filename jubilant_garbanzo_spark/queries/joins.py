@@ -427,16 +427,17 @@ def join_dpp_partitioned(spark, sf_dir):
         FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_by_year"
     )
 
+    partitioned = o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+
     def write(path: str) -> None:
-        (
-            o.withColumn("o_year", F.year("o_orderdate").cast("int"))
-            .write.mode("overwrite")
-            .partitionBy("o_year")
-            .parquet(path)
-        )
+        partitioned.write.mode("overwrite").partitionBy("o_year").parquet(path)
 
     FMT.materialize_once(out, write)
-    fact = spark.read.parquet(out)
+    # Explicit schema: an all-empty input writes no data files and
+    # inference throws UNABLE_TO_INFER_SCHEMA (round-11 empty-input
+    # audit). Partition discovery (and hence DPP) is unaffected —
+    # test_plans pins the dynamicpruning subquery.
+    fact = spark.read.schema(partitioned.schema).parquet(out)
     dim = (
         o.select(F.year("o_orderdate").cast("int").alias("yr"))
         .distinct()

@@ -4473,13 +4473,16 @@ def text_quality_calibration(spark, sf_dir):
         )
         rows = feat.crossJoin(F.broadcast(beta_df)).select(
             "xm",
-            "beta0",
-            "beta1",
             pmu.alias("pmu"),
             (pmu * (F.lit(1000000) - pmu)).alias("w12"),
             (F.col("y") * 1000000 - pmu).alias("ru"),
         )
-        m = rows.groupBy("beta0", "beta1").agg(
+        # UNGROUPED aggregate (always exactly one row — NULL moments on
+        # an empty corpus, like the oracle's scalar sums); the previous
+        # groupBy(beta0, beta1) carried beta through the agg but emitted
+        # ZERO rows on empty input and the whole beta chain vanished
+        # (round-11 empty-input audit). Beta rejoins via crossJoin.
+        m = rows.agg(
             (
                 F.sum(F.col("w12").cast("decimal(38,0)")).cast("double")
                 / 1e12
@@ -4503,7 +4506,7 @@ def text_quality_calibration(spark, sf_dir):
             ).alias("srxd"),
         )
         det = F.col("swd") * F.col("swxxd") - F.col("swxd") * F.col("swxd")
-        return m.select(
+        return m.crossJoin(F.broadcast(beta_df)).select(
             (
                 F.col("beta0")
                 + (F.col("swxxd") * F.col("srd") - F.col("swxd") * F.col("srxd"))
@@ -4704,12 +4707,16 @@ _HEAPS_POINTS = 8
                     WHERE firstdoc.fd < g.doc_cut) AS vocab
             FROM grid g
         ), logs AS (
+            -- degenerate grid points (empty prefix: 0 tokens or 0
+            -- types) carry no log-log information and ln(0) is an
+            -- ERROR here / NULL in Spark (round-11 empty-input audit)
             SELECT pt, n_tokens, vocab,
                    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000000.0)
                         AS BIGINT) AS lx,
                    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000000.0)
                         AS BIGINT) AS ly
             FROM pts
+            WHERE n_tokens > 0 AND vocab > 0
         ), fit AS (
             SELECT CAST(count(*) AS BIGINT) AS k,
                    CAST(sum(CAST(lx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
@@ -4721,11 +4728,15 @@ _HEAPS_POINTS = 8
             FROM logs
         )
         SELECT l.pt, l.n_tokens, l.vocab,
-               round((f.k * f.sxy - f.sx * f.sy)
-                     / (f.k * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
-               round(exp(((f.sy - ((f.k * f.sxy - f.sx * f.sy)
-                                   / (f.k * f.sxx - f.sx * f.sx)) * f.sx)
-                          / f.k) / 1000000000.0), 6) AS heaps_k
+               CASE WHEN f.k * f.sxx - f.sx * f.sx = 0 THEN NULL
+                    ELSE round((f.k * f.sxy - f.sx * f.sy)
+                               / (f.k * f.sxx - f.sx * f.sx), 6)
+               END AS heaps_beta,
+               CASE WHEN f.k * f.sxx - f.sx * f.sx = 0 THEN NULL
+                    ELSE round(exp(((f.sy - ((f.k * f.sxy - f.sx * f.sy)
+                                    / (f.k * f.sxx - f.sx * f.sx)) * f.sx)
+                               / f.k) / 1000000000.0), 6)
+               END AS heaps_k
         FROM logs l CROSS JOIN fit f
         ORDER BY l.pt
     """,
@@ -4805,7 +4816,13 @@ def text_heaps_law(spark, sf_dir):
     )
     lx = F.round(F.log(F.col("n_tokens").cast("double")) * 1e9).cast("bigint")
     ly = F.round(F.log(F.col("vocab").cast("double")) * 1e9).cast("bigint")
-    logs = pts.select("pt", "n_tokens", "vocab", lx.alias("lx"), ly.alias("ly"))
+    # Drop degenerate grid points (0 tokens or 0 types: empty prefixes
+    # on a tiny/empty corpus) BEFORE the logs — ln(0) is NULL here but
+    # an ERROR in the oracle, and a zero point carries no fit signal.
+    logs = (
+        pts.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select("pt", "n_tokens", "vocab", lx.alias("lx"), ly.alias("ly"))
+    )
     fit = logs.groupBy().agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum(F.col("lx").cast("decimal(38,0)")).cast("double").alias("sx"),
@@ -4817,8 +4834,12 @@ def text_heaps_law(spark, sf_dir):
             F.col("lx").cast("decimal(38,0)") * F.col("lx").cast("decimal(38,0)")
         ).cast("double").alias("sxx"),
     )
-    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Zero-denominator guard (k = 1 point, or collinear degenerate
+    # grids): both engines emit NULL rather than NaN/Inf divergence.
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        den != 0,
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     kconst = F.exp(
         ((F.col("sy") - beta * F.col("sx")) / F.col("k")) / 1e9

@@ -705,10 +705,13 @@ def validate_referential_integrity(spark, sf_dir):
         )
 
     def domain(name, table, bad_cond):
+        # count(when(...)) not sum(when(...)): over an EMPTY table the
+        # sum is NULL (and the verdict NULL) where the oracle's
+        # filtered count(*) is 0/TRUE — round-11 empty-input audit.
         return table.agg(
             F.lit(name).alias("check_name"),
             F.count("*").cast("bigint").alias("total_rows"),
-            F.sum(F.when(bad_cond, 1).otherwise(0))
+            F.count(F.when(bad_cond, F.lit(1)))
             .cast("bigint")
             .alias("violations"),
         )
@@ -1173,16 +1176,17 @@ def validate_order_totals(spark, sf_dir):
     return joined.agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.count("recomputed_cents").cast("bigint").alias("n_with_lines"),
-        F.sum(
-            F.when(F.col("recomputed_cents") == F.col("stated_cents"), 1)
-            .otherwise(0)
+        # count(when(...)) not sum(when(...)): 0 on an empty audit,
+        # matching the oracle's FILTER counts (round-11 empty audit).
+        F.count(
+            F.when(F.col("recomputed_cents") == F.col("stated_cents"), F.lit(1))
         )
         .cast("bigint")
         .alias("n_exact_match"),
-        F.sum(
+        F.count(
             F.when(
-                F.col("recomputed_cents").isNotNull() & (diff <= 100), 1
-            ).otherwise(0)
+                F.col("recomputed_cents").isNotNull() & (diff <= 100), F.lit(1)
+            )
         )
         .cast("bigint")
         .alias("n_within_one_unit"),

@@ -152,7 +152,12 @@ def sink_parquet_partitioned(spark, sf_dir):
         FMT.EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")), "events_daily_pq"
     )
     FMT.write_parquet_partitioned(daily, out, ["event_type"])
-    back = spark.read.parquet(out)
+    # Explicit schema on the read-back: with ZERO input rows the
+    # partitioned write produces no data files and schema inference
+    # throws UNABLE_TO_INFER_SCHEMA (round-11 empty-input audit); the
+    # writer's schema is authoritative either way, and skipping
+    # inference is also the right call at scale.
+    back = spark.read.schema(daily.schema).parquet(out)
     return back.select("event_type", "day", "cnt")
 
 
@@ -751,17 +756,20 @@ def table_time_travel(spark, sf_dir):
     r2 = read_version(spark, table_dir)  # latest-resolution path
     a = r1.select(F.col("k"), F.col("cents").alias("c1"))
     b = r2.select(F.col("k"), F.col("cents").alias("c2"))
+    # count(when(...)) not sum(when(...)): over an EMPTY diff a sum is
+    # NULL where the oracle's filtered count(*) is 0 (round-11
+    # empty-input audit); count of a conditional is 0 on empty input.
     diff = a.join(b, "k", "full_outer").agg(
-        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0))
+        F.count(F.when(F.col("c2").isNull(), F.lit(1)))
         .cast("bigint")
         .alias("n_deleted"),
-        F.sum(
+        F.count(
             F.when(
                 F.col("c1").isNotNull()
                 & F.col("c2").isNotNull()
                 & (F.col("c1") != F.col("c2")),
-                1,
-            ).otherwise(0)
+                F.lit(1),
+            )
         )
         .cast("bigint")
         .alias("n_updated"),
