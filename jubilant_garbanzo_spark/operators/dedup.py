@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jubilant_garbanzo_spark.functions.hashing import hex_slice_bigint
+
 N_PERM = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -95,10 +97,9 @@ def minhash_signatures(
     # into all n_perm mix expressions would evaluate it 32×.
     halves = exploded.select(
         id_col,
-        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        hex_slice_bigint(md5c, 1, 15).alias("h1"),
         F.pmod(
-            F.conv(F.substring(md5c, 17, 15), 16, 10).cast("bigint"),
-            F.lit(MINHASH_MODULUS),
+            hex_slice_bigint(md5c, 17, 15), F.lit(MINHASH_MODULUS)
         ).alias("h2m"),
     )
     hashed = halves.select(
@@ -401,8 +402,8 @@ def simhash_fingerprints(
     m = F.md5("t")
     hashed = ex.select(
         "id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("v1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("v2"),
+        hex_slice_bigint(m, 1, 8).alias("v1"),
+        hex_slice_bigint(m, 9, 8).alias("v2"),
     )
     sums = hashed.groupBy("id").agg(
         *[

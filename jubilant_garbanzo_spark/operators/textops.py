@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately minimal + deterministic (mirrored in the
 #: DuckDB oracle); a production system would plug a real model in via
@@ -90,7 +92,7 @@ def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Colum
     2^30 and acc·31 + h < 2^35: no 64-bit overflow in either engine."""
     toks = ws_tokens(col)
     token_hash = lambda t: F.pmod(  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"), F.lit(mod)
+        md5_hex_bigint(t), F.lit(mod)
     )
     return F.aggregate(
         toks,
@@ -121,9 +123,7 @@ BIAS_MILLI = -37
 def feature_hash_bucket(col: Column, dim: int = HASH_DIM) -> Column:
     """md5-derived hashing-trick bucket in [0, dim) — portable (same
     first-8-hex-digits idiom as the sampling/bootstrap queries)."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % dim
-    )
+    return md5_hex_bigint(col, length=8) % dim
 
 
 def bucket_weight_sql(bucket_expr: str) -> str:

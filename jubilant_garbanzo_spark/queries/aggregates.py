@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
 from jubilant_garbanzo_spark.functions.emptysafe import empty_fallback
+from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
 from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
 from jubilant_garbanzo_spark.queries import register
 
@@ -593,15 +594,10 @@ def _cms_bucket_sql(depth_expr: str, key_expr: str) -> str:
 def _cms_bucket_spark(depth, key):
     """md5-derived bucket for one CMS hash row — Spark side."""
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(depth.cast("string"), F.lit(":"), key.cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_hex_bigint(
+            F.concat(depth.cast("string"), F.lit(":"), key.cast("string")),
+            length=8,
+        )
         % _CMS_WIDTH
     )
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.hashing import hex_slice_bigint
 from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
 from jubilant_garbanzo_spark.operators.asof import asof_join
 from jubilant_garbanzo_spark.queries import register
@@ -518,9 +519,7 @@ def _bloom_pos(key, i: int):
     ``('0x' || substr(md5(...), 1, 15))::BIGINT % m``.
     """
     h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(i))))
-    return (
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % _BLOOM_BITS
-    )
+    return hex_slice_bigint(h, 1, 15) % _BLOOM_BITS
 
 
 @register(

@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
 from jubilant_garbanzo_spark.operators import dedup as D
 from jubilant_garbanzo_spark.operators import multimodal as M
 from jubilant_garbanzo_spark.operators import similarity as S
@@ -3640,11 +3641,7 @@ def text_winnowing_fingerprints(spark, sf_dir):
     ).select(
         "doc_id",
         F.col("idx").cast("bigint").alias("idx"),
-        (
-            F.conv(F.substring(F.md5(F.col("kgram")), 1, 15), 16, 10)
-            .cast("bigint")
-            % 1000000007
-        ).alias("h"),
+        (md5_hex_bigint(F.col("kgram")) % 1000000007).alias("h"),
     )
     sized = kg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
     codes = kg.select(
@@ -3731,11 +3728,7 @@ def dedup_winnowing_overlap(spark, sf_dir):
     ).select(
         "doc_id",
         F.col("idx").cast("bigint").alias("idx"),
-        (
-            F.conv(F.substring(F.md5(F.col("kgram")), 1, 15), 16, 10)
-            .cast("bigint")
-            % 1000000007
-        ).alias("h"),
+        (md5_hex_bigint(F.col("kgram")) % 1000000007).alias("h"),
     )
     sized = kg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("m"))
 

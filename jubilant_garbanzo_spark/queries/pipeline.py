@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.hashing import hex_slice_bigint
 from jubilant_garbanzo_spark.operators import dedup as D
 from jubilant_garbanzo_spark.operators import similarity as S
 from jubilant_garbanzo_spark.queries import register
@@ -1103,7 +1104,7 @@ def pipeline_shard_binpack(spark, sf_dir):
         "doc_id",
         "n_chars",
         hx.alias("hx"),
-        F.conv(F.substring(hx, 1, 1), 16, 10).cast("bigint").alias("bucket"),
+        hex_slice_bigint(hx, 1, 1).alias("bucket"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -1268,9 +1269,7 @@ def pipeline_global_shuffle(spark, sf_dir):
     h = d.select(
         "doc_id",
         rk.alias("rk"),
-        F.conv(F.substring(rk, 1, _GS_PREFIX_HEX), 16, 10)
-        .cast("bigint")
-        .alias("bucket"),
+        hex_slice_bigint(rk, 1, _GS_PREFIX_HEX).alias("bucket"),
     )
     counts = h.groupBy("bucket").agg(F.count("*").alias("n"))
     w_off = Window.orderBy("bucket").rowsBetween(

@@ -29,6 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
 from jubilant_garbanzo_spark.queries import register
 
 #: Per-stratum keep rates (percent) for the stratified sample: keep a
@@ -40,9 +41,7 @@ _DEFAULT_RATE = 10
 def _bucket_spark(col):
     """md5-derived uniform bucket in [0, 100) — Spark side."""
     return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
+        md5_hex_bigint(col.cast("string"), length=8) % 100
     )
 
 
@@ -227,12 +226,20 @@ def quality_repetition_filter(spark, sf_dir):
                    count(*)                             AS n
             FROM c GROUP BY o_orderpriority
         )
-        SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
-               round((c.cents - s / n)
-                     / sqrt((sq - (s / n) * s) / (n - 1)), 4) AS zscore
-        FROM c JOIN stats USING (o_orderpriority)
-        WHERE abs((c.cents - s / n)
-                  / sqrt((sq - (s / n) * s) / (n - 1))) > 1.7
+        , z AS (
+            -- explicit degenerate-group guards (round-11 ANSI review):
+            -- n = 1 has no sample variance, and a zero-variance group
+            -- has no z — NULL on both engines, never DIVIDE_BY_ZERO
+            SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
+                   CASE WHEN n > 1 THEN
+                       (c.cents - s / n)
+                       / NULLIF(sqrt((sq - (s / n) * s) / (n - 1)), 0)
+                   END AS zval
+            FROM c JOIN stats USING (o_orderpriority)
+        )
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round(zval, 4) AS zscore
+        FROM z WHERE abs(zval) > 1.7
     """,
     tags=("quality", "outlier", "stats"),
 )
@@ -271,9 +278,14 @@ def anomaly_zscore_outliers(spark, sf_dir):
         F.count("*").alias("n"),
     )
     mean = F.col("s") / F.col("n")
-    z = (F.col("cents") - mean) / F.sqrt(
-        (F.col("sq") - mean * F.col("s")) / (F.col("n") - 1)
+    # try_divide twice (round-11 ANSI review): an n = 1 group divides
+    # the variance by zero and a zero-variance group divides z by
+    # zero — both are SparkArithmeticException under ANSI where the
+    # oracle's guards yield NULL (and the filter then drops the row).
+    var = F.try_divide(
+        F.col("sq") - mean * F.col("s"), (F.col("n") - 1).cast("double")
     )
+    z = F.try_divide(F.col("cents") - mean, F.sqrt(var))
     return (
         c.join(F.broadcast(stats), "o_orderpriority")
         .filter(F.abs(z) > 1.7)
@@ -581,7 +593,11 @@ _U_DOMAIN = float(1 << 60)
                      (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
                         ::BIGINT + 0.5) / {_U_DOMAIN}
                    ) AS e
-            FROM orders
+            -- positive weights only (round-11 ANSI review): A-ES is
+            -- defined for w > 0 — a zero-weight row has priority
+            -- Exp/0 (a Spark ANSI DIVIDE_BY_ZERO) and by definition
+            -- zero probability of selection, so it is excluded
+            FROM orders WHERE o_totalprice > 0
         )
         SELECT o_orderkey, o_totalprice,
                round(e, 6) AS exp_draw,
@@ -603,11 +619,13 @@ def sample_weighted_priority(spark, sf_dir):
 
     Scale shape: narrow scan + per-row hash → global top-k
     (TakeOrderedAndProject — per-partition heaps, no full sort).
-    Total order under LIMIT: (priority, o_orderkey)."""
-    o = load_table(spark, sf_dir, "orders")
+    Total order under LIMIT: (priority, o_orderkey). A-ES is defined
+    for w > 0 only: zero-weight rows are excluded up front (their
+    priority Exp/0 is a Spark ANSI DIVIDE_BY_ZERO, and their selection
+    probability is zero by definition)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     u = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
+        md5_hex_bigint(F.col("o_orderkey").cast("string"))
         .cast("double")
         + F.lit(0.5)
     ) / F.lit(_U_DOMAIN)
@@ -924,7 +942,7 @@ def validate_table_checksum(spark, sf_dir):
 
     def one(table: str, canon) -> "F.DataFrame":
         t = load_table(spark, sf_dir, table)
-        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        h = md5_hex_bigint(canon)
         return t.select(h.alias("h")).agg(
             F.lit(table).alias("table_name"),
             F.count("*").cast("bigint").alias("n_rows"),
@@ -1213,9 +1231,12 @@ def validate_order_totals(spark, sf_dir):
         )
         SELECT event_type, rep,
                CAST(sum(w) AS BIGINT) AS resampled_n,
-               round(CAST(sum(w * micros) AS DOUBLE)
-                     / (1000000.0 * CAST(sum(w) AS DOUBLE)), 6)
-                   AS resampled_mean
+               -- explicit all-zero-weights guard: parity with Spark's
+               -- try_divide must not depend on DuckDB's /0 default
+               CASE WHEN sum(w) = 0 THEN NULL
+                    ELSE round(CAST(sum(w * micros) AS DOUBLE)
+                               / (1000000.0 * CAST(sum(w) AS DOUBLE)), 6)
+               END AS resampled_mean
         FROM weighted
         GROUP BY event_type, rep
     """,
@@ -1241,21 +1262,14 @@ def sample_bootstrap_means(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     reps = spark.range(0, 5).select(F.col("id").cast("bigint").alias("rep"))
     draw = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("event_id").cast("string"),
-                        F.col("rep").cast("string"),
-                    )
-                ),
-                1,
-                8,
+        md5_hex_bigint(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("rep").cast("string"),
             ),
-            16,
-            10,
-        ).cast("bigint")
+            length=8,
+        )
         % 1000
     )
     weighted = ev.crossJoin(F.broadcast(reps)).select(
@@ -1266,9 +1280,15 @@ def sample_bootstrap_means(spark, sf_dir):
     )
     return weighted.groupBy("event_type", "rep").agg(
         F.sum("w").cast("bigint").alias("resampled_n"),
+        # try_divide (round-11 ANSI review): a replicate whose md5
+        # draws all land on w = 0 resamples NOTHING — its mean is
+        # NULL, not a Spark ANSI DIVIDE_BY_ZERO. Reachable whenever a
+        # group is small (P ≈ 0.368^n).
         F.round(
-            F.sum(F.col("w") * F.col("micros")).cast("double")
-            / (1000000.0 * F.sum("w").cast("double")),
+            F.try_divide(
+                F.sum(F.col("w") * F.col("micros")).cast("double"),
+                1000000.0 * F.sum("w").cast("double"),
+            ),
             6,
         ).alias("resampled_mean"),
     )
@@ -1278,10 +1298,15 @@ def sample_bootstrap_means(spark, sf_dir):
     "quality_benford_digits",
     oracle="""
         WITH digits AS (
+            -- cents > 0, not price > 0 (round-11 ANSI review): a
+            -- sub-half-cent positive price rounds to 0 cents, whose
+            -- leading digit 0 divides Benford's 1/d by zero (Spark
+            -- ANSI crash); Benford is defined over digits 1-9 only
             SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
                                           AS BIGINT) AS VARCHAR), 1, 1)
                         AS BIGINT) AS d
-            FROM orders WHERE o_totalprice > 0
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) > 0
         ), counts AS (
             SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
         ), tot AS (
@@ -1316,10 +1341,15 @@ def quality_benford_digits(spark, sf_dir):
     identical single IEEE expressions rounded once; the 9-row digit
     table and 1-row total travel as broadcast scalars.
     """
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # cents > 0, not price > 0: a sub-half-cent positive price rounds
+    # to 0 cents whose leading digit 0 would divide Benford's 1/d by
+    # zero — a Spark ANSI DIVIDE_BY_ZERO (round-11 ANSI review).
+    o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
-    digits = o.select(
-        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("d")
+    digits = o.select(cents.alias("cents")).filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("d")
     )
     counts = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n"))
     tot = counts.agg(F.sum("n").cast("bigint").alias("total"))

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
 from jubilant_garbanzo_spark.queries import register
 
 #: Oracle twin of a Spark sliding window: a record at time t belongs to
@@ -1222,11 +1223,7 @@ def stream_kmv_bottomk(spark, sf_dir):
     from pyspark.sql import Window as W
 
     partials_dir = tempfile.mkdtemp(prefix="jg_kmv_partials_")
-    h = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h")
-    )
+    h = md5_hex_bigint(F.col("event_id").cast("string")).alias("h")
 
     def sketch_batch(batch_df, batch_id):
         (
