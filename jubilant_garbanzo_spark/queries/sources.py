@@ -597,11 +597,14 @@ def sink_python_datasource_writer(spark, sf_dir):
         ).save()
 
     FMT.materialize_once(out, write)
+    # Manifest-honoring read (round-11 sources review): only the files
+    # the commit manifest lists — a glob would double-count files left
+    # by aborted/retried task attempts.
+    from jubilant_garbanzo_spark.sources.jsonl_sink import read_jsonl_sink
+
     schema = "status string, n_orders bigint, total_cents bigint"
-    return (
-        spark.read.schema(schema)
-        .json(f"{out}/part-*.jsonl")
-        .select("status", "n_orders", "total_cents")
+    return read_jsonl_sink(spark, out, schema).select(
+        "status", "n_orders", "total_cents"
     )
 
 
@@ -676,10 +679,17 @@ def stream_python_datasource_sink(spark, sf_dir):
             f.write("")
 
     FMT.materialize_once(out, write)
+    # Per-batch-manifest-honoring read (round-11 sources review): a
+    # replayed micro-batch's commit rewrites _BATCH_<n>.json with its
+    # new files, so stale attempt files on disk are unreferenced — the
+    # old stream-part glob would double-count them.
+    from jubilant_garbanzo_spark.sources.jsonl_sink import (
+        read_jsonl_stream_sink,
+    )
+
     schema = "event_id bigint, user_id bigint, cents bigint"
     return (
-        spark.read.schema(schema)
-        .json(f"{out}/stream-part-*.jsonl")
+        read_jsonl_stream_sink(spark, out, schema)
         .agg(
             F.count("*").cast("bigint").alias("n_purchases"),
             F.count_distinct("user_id").cast("bigint").alias("n_users"),

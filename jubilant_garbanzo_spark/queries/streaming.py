@@ -1062,7 +1062,12 @@ def stream_chained_agg(spark, sf_dir):
                CASE WHEN sess < max_sess THEN 'gap' ELSE 'timeout' END
                    AS closed_by
         FROM sessions, wm
-        WHERE sess < max_sess OR last_ms + 1800000 <= w_ms
+        -- STRICTLY greater (round-11 streaming review): Spark's
+        -- EventTimeTimeout fires when the watermark advances BEYOND
+        -- the set timestamp, so a watermark landing exactly on
+        -- last + gap leaves the session open; '<=' here claimed a
+        -- timeout row the engine never emits
+        WHERE sess < max_sess OR last_ms + 1800000 < w_ms
     """,
     tags=("streaming", "stateful", "session", "ttl"),
 )

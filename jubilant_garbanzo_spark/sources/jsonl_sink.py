@@ -167,6 +167,40 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         pass
 
 
+def read_jsonl_sink(spark, path: str, schema: str):
+    """Manifest-honoring BATCH read of a jsonl_sink directory: load
+    exactly the files ``_MANIFEST.json`` lists (none other). A glob
+    over ``part-*.jsonl`` would also pick up files from aborted task
+    attempts or an interrupted overwrite job and double-count — the
+    manifest is what makes the commit protocol exactly-once for
+    READERS, not just writers (round-11 sources review)."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        files = json.load(f)["files"]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(
+        [os.path.join(path, name) for name in files]
+    )
+
+
+def read_jsonl_stream_sink(spark, path: str, schema: str):
+    """Manifest-honoring read of a jsonl_sink STREAMING directory: the
+    union of every ``_BATCH_<n>.json``'s file list. A replayed batch's
+    commit REWRITES its batch manifest with the new attempt's files,
+    so the stale attempt's ``stream-part-*`` files remain on disk but
+    are unreferenced — globbing them would double-count the replayed
+    batch; honoring the manifests yields each batch exactly once."""
+    files: list[str] = []
+    for m in sorted(glob.glob(os.path.join(path, "_BATCH_*.json"))):
+        with open(m) as f:
+            files.extend(json.load(f)["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(
+        [os.path.join(path, name) for name in files]
+    )
+
+
 class JsonlSinkDataSource(DataSource):
     @classmethod
     def name(cls):

@@ -104,13 +104,20 @@ def timeout_session_summary(events: DataFrame) -> DataFrame:
     ``events`` must already carry ``withWatermark("ts", ...)``.
     Sessions still open when a bounded drain ends are deliberately
     withheld (their timeout never fired) — the append-mode contract.
+    Sessions are split on >gap idle stretches WITHIN a batch too
+    (round-11 streaming review: the first cut lumped a user's whole
+    batch into one session, so two bursts hours apart arriving in the
+    same micro-batch summarized as one — the timeout only bounds the
+    LAST burst; intra-batch gaps close immediately as 'gap' rows,
+    same machine as ttl_sessionize).
     """
     def _update_session(
         key: tuple[Any, ...],
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        """Close a session when the watermark passes last-event + gap."""
+        """Close a session when the watermark passes last-event + gap;
+        split immediately on in-batch gaps."""
         (user_id,) = key
         if state.hasTimedOut:
             n, _last = state.get
@@ -123,18 +130,29 @@ def timeout_session_summary(events: DataFrame) -> DataFrame:
                 }
             )
             return
-        n, last_ms = (state.get if state.exists else (0, 0))
+        ts_ms: list[int] = []
         for pdf in pdf_iter:
-            n += len(pdf)
             if len(pdf):
-                batch_max = int(pdf["ts"].max().value // 1_000_000)
-                last_ms = max(last_ms, batch_max)
+                ts_ms.extend(int(v.value // 1_000_000) for v in pdf["ts"])
+        ts_ms.sort()
+        n, last_ms = (state.get if state.exists else (0, 0))
+        closed_counts: list[int] = []
+        for t_ in ts_ms:
+            if n and t_ - last_ms > SESSION_GAP_MS:
+                closed_counts.append(n)
+                n = 0
+            n += 1
+            last_ms = max(last_ms, t_)
         state.update((n, last_ms))
         # Event-time timeout: fires once the WATERMARK (not wall clock)
         # passes last event + gap — deterministic under availableNow.
         state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
         yield pd.DataFrame(
-            {"user_id": [], "n_events": [], "closed_by": []}
+            {
+                "user_id": [user_id] * len(closed_counts),
+                "n_events": closed_counts,
+                "closed_by": ["gap"] * len(closed_counts),
+            }
         ).astype({"user_id": "int64", "n_events": "int64", "closed_by": "object"})
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -173,9 +191,12 @@ def ttl_sessionize(events: DataFrame) -> DataFrame:
 
     The differential contract (stream_session_ttl): every session
     except a user's last is gap-closed; the last closes by timeout iff
-    final_watermark ≥ last_event + gap — both mirrored exactly in
-    batch SQL, making a custom applyInPandasWithState operator fully
-    value-oracled (not just smoke-tested).
+    final_watermark is STRICTLY past last_event + gap (Spark's
+    EventTimeTimeout fires when the watermark advances beyond the set
+    timestamp — equality leaves the session open; round-11 review) —
+    both mirrored exactly in batch SQL, making a custom
+    applyInPandasWithState operator fully value-oracled (not just
+    smoke-tested).
     """
     def _update_ttl_sessions(
         key: tuple[Any, ...],
@@ -303,7 +324,21 @@ def attribute_last_touch(events: DataFrame) -> DataFrame:
                 if touch is None or (tus, eid) > (touch[0], touch[1]):
                     touch = (tus, eid, etype)
             elif etype == "purchase" and touch is not None:
-                if touch[0] >= tus - ATTRIBUTION_LOOKBACK_US:
+                # touch-before-purchase ordering check (round-11
+                # streaming review): under multi-batch arrival a touch
+                # with a LATER event time can reach the state store in
+                # an earlier micro-batch; without the lexicographic
+                # guard this purchase would be attributed to a touch
+                # that happened AFTER it. With the guard the purchase
+                # goes unattributed instead — identical to the batch
+                # form whenever per-user arrival is event-time-ordered
+                # (the watermarked production contract); an
+                # out-of-order LATER touch can still mask an earlier
+                # one in the single-struct state, which is the
+                # documented state-size/exactness trade.
+                if (touch[0], touch[1]) < (tus, eid) and touch[
+                    0
+                ] >= tus - ATTRIBUTION_LOOKBACK_US:
                     out.append(
                         (eid, tus, touch[1], touch[2], (tus - touch[0]) // 1_000_000)
                     )

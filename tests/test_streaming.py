@@ -458,8 +458,14 @@ def test_event_time_timeout_closes_quiet_sessions(spark, tmp_path):
         (t0 + dt.timedelta(minutes=10), 1),
         # user 2: active just before the stream's max ts -> stays open
         (t0 + dt.timedelta(hours=3), 2),
+        # user 4: TWO bursts 2h apart in the SAME batch — the first
+        # must gap-close immediately with its own count (round-11
+        # review: the first cut lumped both bursts into one summary)
+        (t0, 4),
+        (t0 + dt.timedelta(minutes=1), 4),
+        (t0 + dt.timedelta(hours=2), 4),
         # watermark driver: pushes the final watermark far past
-        # user 1's last_event + 30min gap
+        # user 1's and user 4's last_event + 30min gap
         (t0 + dt.timedelta(hours=3, minutes=5), 3),
     ]
     path = str(tmp_path / "sess_to")
@@ -477,12 +483,14 @@ def test_event_time_timeout_closes_quiet_sessions(spark, tmp_path):
         output_mode="append",
         name_prefix="sess_to",
     )
-    got = {
-        r.user_id: (r.n_events, r.closed_by)
-        for r in out.collect()
-    }
-    assert got.get(1) == (3, "timeout"), got
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r.user_id, []).append((r.n_events, r.closed_by))
+    assert got.get(1) == [(3, "timeout")], got
     assert 2 not in got, got  # still inside the gap at final watermark
+    # two distinct sessions: burst 1 gap-closes in-batch, burst 2
+    # times out once the watermark passes
+    assert sorted(got.get(4, [])) == [(1, "timeout"), (2, "gap")], got
 
 
 def test_ttl_session_state_survives_checkpoint_restart(spark, tmp_path):
@@ -598,6 +606,103 @@ def test_attribution_state_carries_across_batches(spark, tmp_path):
         for r in out.collect()
     ]
     assert rows == [(7, 3, 1, 1800)], rows
+
+
+def test_attribution_refuses_future_touch_from_earlier_batch(spark, tmp_path):
+    """Touch-before-purchase ordering under multi-batch arrival
+    (round-11 streaming review): a touch whose EVENT TIME is after the
+    purchase can reach the state store in an earlier micro-batch; the
+    purchase must NOT be attributed to that future touch (the batch
+    oracle's join requires t before p lexicographically)."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from jubilant_garbanzo_spark.streaming.runner import run_available_now
+    from jubilant_garbanzo_spark.streaming.stateful import attribute_last_touch
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = str(tmp_path / "attr_future")
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m, 0)  # noqa: E731
+    # batch 1 carries the FUTURE touch (event time 09:45); batch 2 the
+    # purchase at 09:30 — out-of-order arrival across batches
+    b1 = [(11, t(45), 7, "click")]
+    b2 = [(12, t(30), 7, "purchase")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = run_available_now(
+        attribute_last_touch(stream),
+        output_mode="append",
+        name_prefix="attr_f",
+    )
+    assert out.collect() == [], "purchase attributed to a FUTURE touch"
+
+
+def test_ttl_timeout_boundary_strictly_after_watermark(spark, tmp_path):
+    """Spark's EventTimeTimeout fires only when the watermark advances
+    STRICTLY beyond the set timestamp: a final watermark landing
+    exactly on last_event + gap must leave the session open (round-11
+    streaming review — the oracle previously claimed a timeout row at
+    equality)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from jubilant_garbanzo_spark.streaming.runner import run_available_now
+    from jubilant_garbanzo_spark.streaming.stateful import ttl_sessionize
+
+    schema = T2.StructType(
+        [
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("user_id", T2.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def drain(rows, prefix):
+        path = str(tmp_path / prefix)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+            .withWatermark("ts", "1 minute")
+        )
+        out = run_available_now(
+            ttl_sessionize(stream), output_mode="append", name_prefix=prefix
+        )
+        return {r.user_id for r in out.collect()}
+
+    # driver at +31 min: wm = +30 min == last + gap exactly -> held
+    on_bound = drain(
+        [(t0, 1), (t0 + dt.timedelta(minutes=31), 9)], "ttl_on_bound"
+    )
+    assert 1 not in on_bound, "timeout fired AT the watermark boundary"
+    # one second past the bound -> fires
+    past_bound = drain(
+        [(t0, 1), (t0 + dt.timedelta(minutes=31, seconds=1), 9)],
+        "ttl_past_bound",
+    )
+    assert 1 in past_bound, "timeout missing strictly past the boundary"
 
 
 def test_full_outer_eviction_boundaries(spark, tmp_path):
@@ -779,6 +884,95 @@ def test_jsonl_sink_overwrite_replaces_stale_files(spark, tmp_path):
     )
     assert files == manifest["files"], "stale files survived overwrite"
     assert manifest["n_rows"] == 2
+
+
+def test_jsonl_sink_manifest_reader_ignores_orphan_files(spark, tmp_path):
+    """read_jsonl_sink must load EXACTLY the manifest's files: a part
+    file left by an aborted/retried task attempt (name matches the
+    glob, absent from _MANIFEST.json) may not be double-counted
+    (round-11 sources review — glob readers broke reader-side
+    exactly-once)."""
+    from jubilant_garbanzo_spark.sources.jsonl_sink import (
+        read_jsonl_sink,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    df.coalesce(1).write.format("jsonl_sink").mode("append").option(
+        "path", path
+    ).save()
+    # orphan from a hypothetical failed attempt: same naming shape,
+    # not in the manifest
+    with open(f"{path}/part-deadbeef0000-00000-99.jsonl", "w") as f:
+        f.write('{"x": 999}\n')
+
+    back = read_jsonl_sink(spark, path, "x long")
+    assert sorted(r["x"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_jsonl_stream_sink_manifest_reader_survives_batch_replay(
+    spark, tmp_path
+):
+    """read_jsonl_stream_sink unions per-batch manifests; a REPLAYED
+    batch rewrites _BATCH_<n>.json with its new attempt's files, so
+    the stale attempt's stream-part file must be ignored even though
+    it still matches the glob on disk."""
+    import json
+    import os
+
+    from jubilant_garbanzo_spark.sources.jsonl_sink import (
+        JsonlStreamWriter,
+        read_jsonl_stream_sink,
+    )
+
+    path = str(tmp_path / "ssink")
+    os.makedirs(path)
+
+    # driver-side write() sees no TaskContext (pid/attempt pin to 0);
+    # real executors get monotonically unique taskAttemptIds, so stub
+    # one per simulated task to keep file names attempt-unique
+    attempt_counter = iter(range(100))
+
+    def fake_batch(writer, rows, batch_id):
+        class Ctx:
+            def partitionId(self):
+                return 0
+
+            def taskAttemptId(self):
+                return next(attempt_counter)
+
+        class R:
+            def __init__(self, x):
+                self._x = x
+
+            def asDict(self):
+                return {"x": self._x}
+
+        import unittest.mock as mock
+
+        import pyspark
+
+        with mock.patch.object(pyspark.TaskContext, "get", return_value=Ctx()):
+            msg = writer.write(iter([R(x) for x in rows]))
+        writer.commit([msg], batch_id)
+
+    w1 = JsonlStreamWriter({"path": path})
+    fake_batch(w1, [1, 2], 0)
+    fake_batch(w1, [3], 1)
+    # restart: a new run token replays batch 1 (same deterministic
+    # rows), superseding its manifest; the old file stays on disk
+    w2 = JsonlStreamWriter({"path": path})
+    fake_batch(w2, [3], 1)
+
+    n_files = len([f for f in os.listdir(path) if f.endswith(".jsonl")])
+    assert n_files == 3, "replay should leave the stale file on disk"
+    m1 = json.load(open(os.path.join(path, "_BATCH_1.json")))
+    assert len(m1["files"]) == 1 and w2.run_token in m1["files"][0]
+
+    back = read_jsonl_stream_sink(spark, path, "x long")
+    assert sorted(r["x"] for r in back.collect()) == [1, 2, 3]
 
 
 def test_csv_export_roundtrips_embedded_quotes(spark, tmp_path, monkeypatch):
