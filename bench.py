@@ -118,6 +118,10 @@ HEADLINE: tuple[str, ...] = (
     "embed_pca_power_iteration",
     "sql_recursive_cte_reachability",
     "text_unigram_train",
+    # Round-12 addition: the new WordPiece apply joins its two sibling
+    # tokenizer appliers (BPE, unigram) already in the set — same
+    # distinct-word fold shape, third segmentation semantics.
+    "text_wordpiece_tokenize",
 )
 
 

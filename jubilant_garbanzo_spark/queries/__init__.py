@@ -63,65 +63,70 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-11 contents: the operators born this round — the early wave
-#: (deterministic global corpus shuffle; perceptual-hash image dedup;
-#: EXACTSUBSTR duplicated-span removal; unigram-LM / SentencePiece
-#: Viterbi tokenizer; hybrid RRF retrieval fusion; CCNet per-segment
-#: perplexity bucketing; BPE fertility report; repeat-epochs token
-#: budget planner; integer-exact HITS) and the late wave (unigram-LM
-#: Viterbi-EM TRAINING; exact-integer PCA power iteration; Gonzalez
-#: farthest-point seeding; local clustering coefficient; CUSUM
-#: change-point; Spark 4 recursive-CTE reachability, whose body also
-#: changed again for the UnionLoop loop-body fix; audio VAD) — plus
-#: the suffix-array pair whose round-0 bucket expression changed
-#: (ADVICE r10: capped leading-codepoint buckets — results identical,
-#: body changed), and the five MinHash-index consumers touched by the
-#: recursive _dir_fingerprint fix (same adjudication as the round-10
-#: cache-fingerprint change: session-cache keying only, results can't
-#: differ, fresh greens anyway per the rotation discipline).
+#: Round-12 contents — the correctness-debt round (VERDICT r11): the
+#: 12 empty-input audit fixes, the 4 ANSI crash-vs-NULL guard queries,
+#: the 4 streaming/connector semantic fixes, the KS oracle's explicit
+#: zero-divisor guard, the new WordPiece tokenizer, the 4 hygiene
+#: refactors that restructured query bodies (shared sessionizer /
+#: contingency grid), and every query whose expression path now routes
+#: through the extracted md5-hash helper (functions/hashing.py —
+#: results provably identical, fresh greens anyway per the r11
+#: _dir_fingerprint precedent).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-11 new operators (windowed the round they are born)
-    "pipeline_global_shuffle",
-    "multimodal_phash_dedup",
-    "dedup_exactsubstr_removal",
-    "text_unigram_tokenize",
-    "retrieval_rrf_fusion",
-    "text_ccnet_bucket_filter",
-    "text_bpe_fertility",
-    "pipeline_token_budget_plan",
-    "graph_hits",
-    "text_unigram_train",
-    "embed_pca_power_iteration",
-    "embed_farthest_point_init",
-    "graph_clustering_coefficient",
-    "timeseries_cusum_changepoint",
-    "sql_recursive_cte_reachability",
-    "multimodal_audio_vad",
-    # suffix-array round-0 bucket cap (ADVICE r10)
-    "text_suffix_array",
-    "text_longest_dup_substring",
-    # recursive dir-fingerprint in the shared index memos (ADVICE r10)
+    # born this round: the third standard tokenizer family
+    "text_wordpiece_tokenize",
+    # the 12 empty-input audit fixes (tests/test_empty_inputs.py)
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_welch_ttest",
+    "agg_hll_intersection",
+    "table_time_travel",
+    "validate_order_totals",
+    "validate_referential_integrity",
+    "sink_parquet_partitioned",
+    "join_dpp_partitioned",
+    "text_heaps_law",
+    "text_quality_calibration",
+    # ANSI crash-vs-NULL guards (tests/test_ansi_guards.py)
+    "anomaly_zscore_outliers",
+    "quality_benford_digits",
+    "sample_weighted_priority",
+    "sample_bootstrap_means",
+    # streaming/connector semantic fixes
+    "stream_session_ttl",
+    "stream_attribution_last_touch",
+    "sink_python_datasource_writer",
+    "stream_python_datasource_sink",
+    # KS oracle zero-divisor guard made explicit (ADVICE r11)
+    "profile_ks_two_sample",
+    # hygiene refactors that restructured bodies (shared sessionizer,
+    # shared contingency grid — results identical, bodies changed)
+    "sessionize_events",
+    "join_interval_overlap",
+    "agg_mutual_information",
+    "agg_cramers_v",
+    # md5-hash-idiom extraction (functions/hashing.py): every query
+    # whose expression path routes through the refactored helpers
+    "text_fingerprints",
+    "text_quality_classifier",
+    "text_dsir_resample",
     "dedup_minhash_lsh",
     "dedup_minhash_accuracy",
     "dedup_cluster_cc",
     "dedup_cluster_keep_best",
     "dedup_cluster_incremental",
-    # tied-start island-split fix (hypothesis brute-force property
-    # found the two window passes using DIFFERENT tie orders; both
-    # engines re-ordered identically, so this takes a window slot and
-    # tpch_q8_market_share's staleness refresh rolls to round 12)
-    "timeseries_interval_coverage",
-    # same mismatched-tie-order pattern in the session-numbering pass,
-    # found by the follow-up repo-wide window-order audit; takes
-    # tpch_q17_small_quantity_revenue's slot (rolls to round 12)
-    "join_interval_overlap",
-    # verified cross-engine divergences from the quality.py review:
-    # strlen (BYTES) vs F.length (CHARS) in the profiler oracle, and
-    # the KS statistic's NULL-value ordering (Spark NULLS FIRST vs
-    # DuckDB NULLS LAST shifts both CDFs) + tc*tv=0 ANSI crash. They
-    # take tpch_q13/q15's slots (roll to round 12).
-    "profile_table_stats",
-    "profile_ks_two_sample",
+    "dedup_simhash",
+    "sample_stratified_hash",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_overlap",
+    "agg_countmin_heavy_hitters",
+    "stream_countmin_topk",
+    "stream_kmv_bottomk",
+    "join_bloom_prefilter",
+    "pipeline_shard_binpack",
+    "pipeline_global_shuffle",
+    "validate_table_checksum",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -132,51 +137,25 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 11 (VERDICT r10 #1): CHANGED_THIS_ROUND + the ENTIRE
-#: remaining r2/r3 evidence tail (27 queries — the full tier-4 head of
-#: `scripts/next_window.py --slots 50`), then the oldest r4 greens up
-#: to the 50-slot cap. After this round's driver pass the oldest
-#: driver evidence anywhere in the registry becomes r4.
+#: Round 12: the 45 CHANGED queries + the rolled-over r3 TPC-H tail
+#: (q8/q13/q15/q17, evicted in r11 for correctness fixes) + the oldest
+#: r4 green (agg_collect_list_set) fill the 50 slots exactly. The
+#: remaining r4 agg block (agg_distinct, agg_groupby_basic,
+#: agg_having, agg_percentiles, agg_pivot, agg_skewness_kurtosis,
+#: agg_statistics, agg_unpivot) rolls to round 13 — each displaced
+#: slot traded for a verified correctness fix or changed body, the
+#: r11 precedent; all eight hold r4 greens AND passed this round's
+#: local 3-SF strict sweeps, so this is evidence freshness, not
+#: correctness.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: last green r2 (the final r2 remainder) -----
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_ranking",
-    "window_running_frames",
-    "window_topn_per_group",
-    # -- staleness refreshes: last green r3 (the full r3 cohort) ---------
-    "array_functions",
-    "join_left_anti",
-    "join_left_semi",
-    "sliding_window_counts",
-    "source_orc",
-    "text_decontamination",
-    "text_fingerprints",
-    "text_normalize_pandas_udf",
-    "text_pack_sequences",
-    "text_pii_scrub",
-    "text_robust_scale",
-    "text_vocab_oov",
-    "tpch_q12_priority_shipping",
-    # tpch_q8_market_share, tpch_q17_small_quantity_revenue,
-    # tpch_q13_order_distribution, and tpch_q15_top_supplier (all r3
-    # green) evicted by the four correctness fixes this session (two
-    # tie-order windows, the profiler strlen/length divergence, the KS
-    # NULL-ordering divergence); they roll to round 12 with the twelve
-    # r4 agg_* refreshes
-    # -- staleness refreshes: last green r4 (oldest-first fill) ----------
-    # (agg_collect_list_set / agg_cube / agg_distinct / agg_groupby_basic / agg_grouping_sets / agg_having / agg_percentiles / agg_pivot / agg_rollup /
-    # agg_skewness_kurtosis / agg_statistics / agg_unpivot roll to
-    # round 12: the late-round stretch operators take their slots,
-    # per the pin test's new-query-must-be-windowed invariant; all
-    # twelve hold r4 greens, so this is evidence freshness, not
-    # correctness)
+    # -- staleness refreshes: last green r3 (rolled from round 11) -------
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    # -- staleness refreshes: oldest r4 green ----------------------------
+    "agg_collect_list_set",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -4035,6 +4035,54 @@ def text_url_canonical_dedup(spark, sf_dir):
 
 
 from jubilant_garbanzo_spark.operators import unigram as UG  # noqa: E402
+from jubilant_garbanzo_spark.operators import wordpiece as WP  # noqa: E402
+
+
+@register(
+    "text_wordpiece_tokenize",
+    oracle=WP.oracle_sql(),
+    tags=("llm", "text", "tokenize", "wordpiece", "bert"),
+)
+def text_wordpiece_tokenize(spark, sf_dir):
+    """WORDPIECE tokenizer apply — BERT's greedy longest-match-first
+    segmentation with ``##`` continuation pieces and whole-word
+    ``[UNK]`` fallback (Devlin et al. NAACL'19; operators/wordpiece.py)
+    — the third standard tokenizer family beside BPE
+    (``text_bpe_tokenize``: greedy merge RANKS) and unigram-LM
+    (``text_unigram_tokenize``: global Viterbi optimum). The three
+    genuinely disagree: greedy longest-match maximizes each step's
+    piece, not the whole word's segmentation.
+
+    Spark shape: vocabulary-bound like the other two appliers —
+    tokenization depends only on the word, so the greedy loop runs
+    once per DISTINCT word (never per occurrence), as ONE
+    constant-size ``aggregate`` fold per row over a plan-literal
+    vocabulary map (a production 30k BERT vocab swaps in a broadcast
+    join). The only shuffle is the word-count aggregation feeding the
+    map stage. The DuckDB oracle replays the loop as unrolled
+    relational rounds (longest match per round via a ROW_NUMBER over
+    the k-join) — an independent formulation; a Python loop with
+    HuggingFace semantics pins both in tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= WP.MAXLEN))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    st = words.withColumn("st", F.expr(WP.wordpiece_expr()))
+    return st.select(
+        "word",
+        "cnt",
+        F.when(F.col("st.bad"), F.lit(1))
+        .otherwise(F.col("st.np"))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.when(F.col("st.bad"), F.lit("[UNK]"))
+        .otherwise(F.expr("substring(st.seg, 2)"))
+        .alias("segmentation"),
+        F.col("st.bad").alias("is_unk"),
+    )
 
 
 @register(

@@ -516,6 +516,12 @@ def main() -> int:
     # session memo would otherwise serve run 1's checkpoint to runs
     # 2..N and fake the median at ~0 s).
     ap.add_argument("--suffix-probe", action="store_true")
+    # Tiered perceptual-hash probe (VERDICT r11 #7): run the
+    # exact-group-collapse tier (operators/multimodal.dhash_tiered_dedup)
+    # and record distinct-hash counts + rep-level candidate mass — the
+    # numbers that show candidates stay flat on duplicated corpora
+    # once exact groups collapse before the banded join.
+    ap.add_argument("--phash-probe", action="store_true")
     # Steady-state increment probe: fixed batch vs growing corpus with
     # pre-materialized key-partitioned corpus indexes (VERDICT r10 #7).
     ap.add_argument("--incremental-probe", action="store_true")
@@ -589,6 +595,50 @@ def main() -> int:
                 f"# x{scale} suffix_build: {entry['suffix_build']}",
                 file=sys.stderr,
             )
+        if args.phash_probe:
+            from jubilant_garbanzo_spark.catalog import load_table
+            from jubilant_garbanzo_spark.operators import multimodal as MM
+
+            docs = load_table(spark, dest, "documents")
+            payloads = docs.select(
+                "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+            )
+
+            def run_tiered():
+                groups, near = MM.dhash_tiered_dedup(payloads)
+                g = groups.cache()
+                stats = g.agg(
+                    F.count("*").alias("n_groups"),
+                    F.sum("n_members").alias("n_images"),
+                    F.sum(
+                        F.col("n_members") * (F.col("n_members") - 1) / 2
+                    ).alias("exact_pair_mass"),
+                ).first()
+                n_near = near.count()
+                g.unpersist()
+                return {
+                    "n_images": int(stats["n_images"]),
+                    "n_groups": int(stats["n_groups"]),
+                    "exact_pair_mass": int(stats["exact_pair_mass"]),
+                    "rep_near_pairs": n_near,
+                }
+
+            counters = run_tiered()  # warm-up + counters
+            walls = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                run_tiered()
+                walls.append(time.perf_counter() - t0)
+            walls.sort()
+            entry["phash_tiered"] = {
+                "wall_sec": round(walls[len(walls) // 2], 3),
+                "noise_band": round(walls[-1] - walls[0], 3),
+                **counters,
+            }
+            print(
+                f"# x{scale} phash_tiered: {entry['phash_tiered']}",
+                file=sys.stderr,
+            )
         if args.incremental_probe:
             entry["incremental_probe"] = incremental_probe(
                 spark, dest, args.runs
@@ -638,6 +688,8 @@ def main() -> int:
                     merged["suffix_build"] = entry["suffix_build"]
                 if "incremental_probe" in entry:
                     merged["incremental_probe"] = entry["incremental_probe"]
+                if "phash_tiered" in entry:
+                    merged["phash_tiered"] = entry["phash_tiered"]
                 merged["n_docs"] = entry["n_docs"]
                 merged["n_vecs"] = entry["n_vecs"]
         result = prior
