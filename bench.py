@@ -118,10 +118,11 @@ HEADLINE: tuple[str, ...] = (
     "embed_pca_power_iteration",
     "sql_recursive_cte_reachability",
     "text_unigram_train",
-    # Round-12 addition: the new WordPiece apply joins its two sibling
-    # tokenizer appliers (BPE, unigram) already in the set — same
-    # distinct-word fold shape, third segmentation semantics.
+    # Round-12 additions: the new WordPiece apply + likelihood-scored
+    # training join their sibling tokenizer entries (BPE apply/train,
+    # unigram apply/train) already in the set.
     "text_wordpiece_tokenize",
+    "text_wordpiece_train",
 )
 
 

@@ -73,8 +73,10 @@ def register(
 #: results provably identical, fresh greens anyway per the r11
 #: _dir_fingerprint precedent).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # born this round: the third standard tokenizer family
+    # born this round: the third standard tokenizer family,
+    # apply AND likelihood-scored training
     "text_wordpiece_tokenize",
+    "text_wordpiece_train",
     # the 12 empty-input audit fixes (tests/test_empty_inputs.py)
     "agg_cube",
     "agg_rollup",
@@ -154,8 +156,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
-    # -- staleness refreshes: oldest r4 green ----------------------------
-    "agg_collect_list_set",
+    # (agg_collect_list_set's r4 refresh rolls to round 13 with the
+    # rest of the r4 agg block — its slot went to the late-round
+    # text_wordpiece_train, per the new-query-must-be-windowed pin)
 )
 
 def load_all() -> dict[str, QuerySpec]:

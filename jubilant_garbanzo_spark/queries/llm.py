@@ -4086,6 +4086,43 @@ def text_wordpiece_tokenize(spark, sf_dir):
 
 
 @register(
+    "text_wordpiece_train",
+    oracle=WP.train_oracle_sql(),
+    tags=("llm", "text", "tokenize", "wordpiece", "training", "iterative"),
+)
+def text_wordpiece_train(spark, sf_dir):
+    """WORDPIECE merge-loop TRAINING — the likelihood-scored twin of
+    ``text_bpe_train`` (HuggingFace WordPiece trainer / Schuster &
+    Nakajima 2012 semantics): each round merges the adjacent symbol
+    pair maximizing count(ab)/(count(a)·count(b)) instead of the raw
+    pair count, so frequent-but-expected pairs lose to genuinely
+    associated ones. Completes train+apply coverage for all three
+    standard tokenizer families (BPE, unigram-LM, WordPiece).
+
+    Exactness: symbol and pair counts are BIGINT sums over the
+    distinct-word dict; the score is ONE integral division
+    (pair·1e9 DIV cnt_a·cnt_b — Spark DECIMAL(38,0) ``div`` ==
+    DuckDB HUGEINT ``//``, probed bit-equal), so the per-round argmax
+    is deterministic under (score DESC, count DESC, a, b). Learned
+    state lives in 1-row broadcast frames, localCheckpointed per
+    round; no driver data path. The oracle replays all 8 rounds as
+    positional relational CTEs (the bpe train oracle's shape with the
+    likelihood argmax swapped in); a pure-Python trainer loop pins the
+    semantics in tests/test_llm_ops.py.
+
+    Scale shape: identical to BPE training — vocabulary-sized
+    aggregations over the distinct-word dict, never corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return WP.train_wordpiece_merges(words)
+
+
+@register(
     "text_unigram_tokenize",
     oracle=UG.oracle_sql(),
     tags=("llm", "text", "tokenize", "unigram", "sentencepiece"),

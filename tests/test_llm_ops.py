@@ -2373,6 +2373,55 @@ def test_wordpiece_randomized_corpus_parity(spark, tmp_path):
     assert n_unk > 10, "alphabet failed to plant whole-word UNKs"
 
 
+def test_wordpiece_train_matches_python_reference(spark, tmp_path):
+    """text_wordpiece_train must reproduce the pure-Python
+    likelihood-scored merge loop — identical pairs, counts, and
+    nano-quantized scores per round — on a corpus engineered so the
+    likelihood argmax genuinely DIVERGES from the raw-count argmax
+    (the rare-but-associated pair must win a round)."""
+    from jubilant_garbanzo_spark.operators import wordpiece as W
+    from jubilant_garbanzo_spark.queries import load_all
+
+    # 'qz' appears 4x and q/z appear ONLY together -> likelihood 1/cnt;
+    # 'th' appears 12x but t and h are everywhere -> low likelihood.
+    word_counts = {
+        "the": 8,
+        "that": 4,
+        "tath": 3,
+        "qz": 4,
+        "hat": 5,
+        "data": 6,
+        "taq": 1,
+    }
+    text_parts = []
+    for w, c in word_counts.items():
+        text_parts.extend([w] * c)
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "src", " ".join(text_parts))],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    ref = W.python_train_reference(word_counts)
+    got = [
+        (
+            r["merge_rank"],
+            r["a"],
+            r["b"],
+            r["merged"],
+            r["pair_count"],
+            r["score_nano"],
+        )
+        for r in load_all()["text_wordpiece_train"].fn(spark, sf).collect()
+    ]
+    assert got == ref, (got, ref)
+    # the likelihood score must have diverged from raw-count order at
+    # least once: 'th' has the max raw pair count in round 0 but must
+    # NOT be the first merge
+    counts_argmax = ("t", "h")
+    assert (ref[0][1], ref[0][2]) != counts_argmax, ref[0]
+
+
 def test_dhash_tiered_dedup_equivalent_to_flat_pairs(spark, tmp_path):
     """The exact-group-collapse tier (operators/multimodal.
     dhash_tiered_dedup) must be a lossless refactor of the flat banded
