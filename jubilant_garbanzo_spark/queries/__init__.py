@@ -102,6 +102,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stream_python_datasource_sink",
     # KS oracle zero-divisor guard made explicit (ADVICE r11)
     "profile_ks_two_sample",
+    # round-12 single-row audit finds (scripts/audit_single_row.py):
+    # n=1 / constant-group divisions crashed ANSI Spark where the
+    # oracle yields NULL (agg_cramers_v also sits in the hygiene set)
+    "agg_regression_exact_moments",
     # hygiene refactors that restructured bodies (shared sessionizer,
     # shared contingency grid — results identical, bodies changed)
     "sessionize_events",
@@ -155,8 +159,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    # (agg_collect_list_set's r4 refresh rolls to round 13 with the
+    # (tpch_q17_small_quantity_revenue's and agg_collect_list_set's
+    # refreshes roll to round 13 with the
     # rest of the r4 agg block — its slot went to the late-round
     # text_wordpiece_train, per the new-query-must-be-windowed pin)
 )

@@ -470,18 +470,28 @@ def agg_unpivot(spark, sf_dir):
         )
         SELECT event_type,
                CAST(n AS BIGINT) AS n_points,
-               round(86400.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6)
-                   AS slope_units_per_day,
-               round((CAST(sy AS DOUBLE)
-                      - (CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE))
-                        * CAST(sx AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * 100.0), 6) AS intercept_units,
-               round((CAST(n * sxy - sx * sy AS DOUBLE)
-                      * CAST(n * sxy - sx * sy AS DOUBLE))
-                     / (CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+               -- explicit degenerate-group guards (round-12
+               -- single-row audit): a 1-point / constant-regressor
+               -- group has no slope; NULL on both engines, never
+               -- DIVIDE_BY_ZERO and never DuckDB-version-dependent
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round(86400.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6)
+               END AS slope_units_per_day,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * 100.0), 6)
+               END AS intercept_units,
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                    THEN NULL
+                    ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               END AS r2
         FROM m
         ORDER BY event_type
     """,
@@ -518,7 +528,11 @@ def agg_regression_exact_moments(spark, sf_dir):
     dxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope = dxy / dxx
+    # try_divide (round-12 single-row audit): a 1-point group (or one
+    # with a constant regressor) has dxx = 0 — no slope exists. ANSI
+    # Spark crashed where the oracle's guard yields NULL; r2's second
+    # factor dyy = 0 likewise for constant responses.
+    slope = F.try_divide(dxy, dxx)
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_points"),
@@ -530,7 +544,7 @@ def agg_regression_exact_moments(spark, sf_dir):
             / (F.col("n").cast("double") * F.lit(100.0)),
             6,
         ).alias("intercept_units"),
-        F.round((dxy * dxy) / (dxx * dyy), 6).alias("r2"),
+        F.round(F.try_divide(dxy * dxy, dxx * dyy), 6).alias("r2"),
     ).orderBy("event_type")
 
 
@@ -1326,11 +1340,15 @@ def agg_mutual_information(spark, sf_dir):
         SELECT m.n AS n_events, m.r AS n_types, m.k AS n_hours,
                round((SELECT CAST(sum(cq) AS BIGINT) FROM terms)
                      / 1000000000.0, 6) AS chi2,
-               round(sqrt(((SELECT CAST(sum(cq) AS BIGINT) FROM terms)
-                           / 1000000000.0)
-                          / (CAST(m.n AS DOUBLE)
-                             * CAST(least(m.r, m.k) - 1 AS DOUBLE))), 6)
-                   AS cramers_v
+               -- explicit 1x1-grid guard (round-12 single-row audit):
+               -- with a single type or hour min(r,k)-1 = 0 and V is
+               -- undefined; NULL on both engines, never DIVIDE_BY_ZERO
+               CASE WHEN least(m.r, m.k) = 1 THEN NULL
+                    ELSE round(sqrt(((SELECT CAST(sum(cq) AS BIGINT)
+                                      FROM terms) / 1000000000.0)
+                               / (CAST(m.n AS DOUBLE)
+                                  * CAST(least(m.r, m.k) - 1 AS DOUBLE))), 6)
+               END AS cramers_v
         FROM m
     """,
     tags=("agg", "stats", "association"),
@@ -1378,12 +1396,15 @@ def agg_cramers_v(spark, sf_dir):
             F.col("r").alias("n_types"),
             F.col("k").alias("n_hours"),
             F.round(F.col("chi2q") / 1000000000.0, 6).alias("chi2"),
+            # try_divide (round-12 single-row audit): a degenerate
+            # 1-type or 1-hour grid has min(r,k)-1 = 0 — V is
+            # undefined (NULL), not a Spark ANSI DIVIDE_BY_ZERO.
             F.round(
                 F.sqrt(
-                    (F.col("chi2q") / 1000000000.0)
-                    / (
+                    F.try_divide(
+                        F.col("chi2q") / 1000000000.0,
                         F.col("n").cast("double")
-                        * (F.least(F.col("r"), F.col("k")) - 1).cast("double")
+                        * (F.least(F.col("r"), F.col("k")) - 1).cast("double"),
                     )
                 ),
                 6,
