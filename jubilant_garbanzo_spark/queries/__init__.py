@@ -102,10 +102,13 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stream_python_datasource_sink",
     # KS oracle zero-divisor guard made explicit (ADVICE r11)
     "profile_ks_two_sample",
-    # round-12 single-row audit finds (scripts/audit_single_row.py):
-    # n=1 / constant-group divisions crashed ANSI Spark where the
-    # oracle yields NULL (agg_cramers_v also sits in the hygiene set)
+    # round-12 single-row + constant-value audit finds
+    # (scripts/audit_single_row.py / audit_constant.py): n=1 and
+    # zero-variance divisions — including Spark's own corr aggregate —
+    # crashed ANSI Spark where the oracle yields NULL (agg_cramers_v
+    # and agg_welch_ttest already hold slots in the sets above)
     "agg_regression_exact_moments",
+    "agg_statistics",
     # hygiene refactors that restructured bodies (shared sessionizer,
     # shared contingency grid — results identical, bodies changed)
     "sessionize_events",
@@ -158,9 +161,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- staleness refreshes: last green r3 (rolled from round 11) -------
     "tpch_q8_market_share",
     "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    # (tpch_q17_small_quantity_revenue's and agg_collect_list_set's
-    # refreshes roll to round 13 with the
+    # (tpch_q15_top_supplier's, tpch_q17_small_quantity_revenue's and
+    # agg_collect_list_set's refreshes roll to round 13 with the
     # rest of the r4 agg block — its slot went to the late-round
     # text_wordpiece_train, per the new-query-must-be-windowed pin)
 )

@@ -260,11 +260,24 @@ def agg_statistics(spark, sf_dir):
     Engine accumulation orders differ → round absorbs the 1e-12 noise
     (values are far from decimal ties)."""
     o = load_table(spark, sf_dir, "orders")
+    # corr composed as covar/(sx*sy) under try_divide (round-12
+    # constant-value audit): Spark's native corr aggregate ITSELF
+    # raises DIVIDE_BY_ZERO under ANSI when either side has zero
+    # variance, where DuckDB's corr yields NULL. The composition is
+    # the same Pearson estimator (the n-1 factors cancel), rounds
+    # identically at 6 decimals, and try_divide returns the oracle's
+    # NULL on degenerate groups.
     return o.groupBy("o_orderstatus").agg(
         F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("o_totalprice"), 2).alias("price_var"),
         F.round(F.var_pop("o_totalprice"), 2).alias("price_var_pop"),
-        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("o_totalprice", "o_custkey"),
+                F.stddev_samp("o_totalprice") * F.stddev_samp("o_custkey"),
+            ),
+            6,
+        ).alias("price_cust_corr"),
         F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
             "price_cust_covar"
         ),
@@ -1092,18 +1105,29 @@ def agg_bitmap_exact_distinct(spark, sf_dir):
         )
         SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
                round((sx1 / n1 - sx2 / n2) / 100.0, 6) AS mean_diff_units,
-               round((sx1 / n1 - sx2 / n2)
-                     / sqrt(m1 / (n1 * n1 * (n1 - 1.0))
-                            + m2 / (n2 * n2 * (n2 - 1.0))), 6) AS t_stat,
-               round((m1 / (n1 * n1 * (n1 - 1.0))
-                      + m2 / (n2 * n2 * (n2 - 1.0)))
-                     * (m1 / (n1 * n1 * (n1 - 1.0))
-                        + m2 / (n2 * n2 * (n2 - 1.0)))
-                     / ((m1 / (n1 * n1 * (n1 - 1.0)))
-                        * (m1 / (n1 * n1 * (n1 - 1.0))) / (n1 - 1.0)
-                        + (m2 / (n2 * n2 * (n2 - 1.0)))
-                          * (m2 / (n2 * n2 * (n2 - 1.0))) / (n2 - 1.0)),
-                     6) AS welch_df
+               -- explicit degenerate guards (round-12 constant-value
+               -- audit): a 1-sample cohort has no variance term and
+               -- two zero-variance cohorts have t = 0/0 — NULL on
+               -- both engines, never DIVIDE_BY_ZERO and never
+               -- DuckDB-/0-default-dependent
+               CASE WHEN n1 <= 1 OR n2 <= 1 OR (m1 = 0 AND m2 = 0)
+                    THEN NULL
+                    ELSE round((sx1 / n1 - sx2 / n2)
+                         / sqrt(m1 / (n1 * n1 * (n1 - 1.0))
+                                + m2 / (n2 * n2 * (n2 - 1.0))), 6)
+               END AS t_stat,
+               CASE WHEN n1 <= 1 OR n2 <= 1 OR (m1 = 0 AND m2 = 0)
+                    THEN NULL
+                    ELSE round((m1 / (n1 * n1 * (n1 - 1.0))
+                          + m2 / (n2 * n2 * (n2 - 1.0)))
+                         * (m1 / (n1 * n1 * (n1 - 1.0))
+                            + m2 / (n2 * n2 * (n2 - 1.0)))
+                         / ((m1 / (n1 * n1 * (n1 - 1.0)))
+                            * (m1 / (n1 * n1 * (n1 - 1.0))) / (n1 - 1.0)
+                            + (m2 / (n2 * n2 * (n2 - 1.0)))
+                              * (m2 / (n2 * n2 * (n2 - 1.0))) / (n2 - 1.0)),
+                         6)
+               END AS welch_df
         FROM w
     """,
     tags=("agg", "stats", "hypothesis-test"),
@@ -1168,17 +1192,28 @@ def agg_welch_ttest(spark, sf_dir):
         )
     )
     j = c.crossJoin(F.broadcast(v))
-    se1 = F.col("m1") / (F.col("n1") * F.col("n1") * (F.col("n1") - 1.0))
-    se2 = F.col("m2") / (F.col("n2") * F.col("n2") * (F.col("n2") - 1.0))
+    # try_divide throughout the variance chain (round-12 constant-value
+    # audit): a 1-sample cohort divides its variance term by zero, and
+    # two zero-variance cohorts give t = 0/0 and df = 0/0 — all ANSI
+    # crashes where the oracle's explicit guards yield NULL.
+    se1 = F.try_divide(
+        F.col("m1"), F.col("n1") * F.col("n1") * (F.col("n1") - 1.0)
+    )
+    se2 = F.try_divide(
+        F.col("m2"), F.col("n2") * F.col("n2") * (F.col("n2") - 1.0)
+    )
     diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
     return j.select(
         F.col("n1").cast("bigint").alias("n_click"),
         F.col("n2").cast("bigint").alias("n_view"),
         F.round(diff / 100.0, 6).alias("mean_diff_units"),
-        F.round(diff / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(F.try_divide(diff, F.sqrt(se1 + se2)), 6).alias("t_stat"),
         F.round(
-            (se1 + se2) * (se1 + se2)
-            / (se1 * se1 / (F.col("n1") - 1.0) + se2 * se2 / (F.col("n2") - 1.0)),
+            F.try_divide(
+                (se1 + se2) * (se1 + se2),
+                F.try_divide(se1 * se1, F.col("n1") - 1.0)
+                + F.try_divide(se2 * se2, F.col("n2") - 1.0),
+            ),
             6,
         ).alias("welch_df"),
     )
