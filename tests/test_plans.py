@@ -1063,3 +1063,96 @@ def test_recursive_cte_collapses_facts_before_recursion(spark, sf_dir):
     assert "UnionLoop" in plan, plan[:2000]
     for t in ("lineitem", "orders", "customer", "supplier"):
         assert t not in plan, f"fact scan {t} re-entered the loop"
+
+
+def test_wordpiece_tokenize_single_shuffle_jvm_side(spark, sf_dir):
+    """The greedy longest-match loop is a plan-constant JVM fold over
+    the word dict (same discipline as the unigram gate): exactly the
+    word-count aggregation shuffles, and no Python stage exists —
+    the third tokenizer family's hot path stays inside codegen."""
+    df = q(spark, sf_dir, "text_wordpiece_tokenize")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+    assert has_partial_aggregate(df)
+
+
+def test_wordpiece_train_round_is_vocabulary_sized(spark, sf_dir):
+    """One WordPiece training round must aggregate map-side (the
+    pair/symbol counts are vocabulary-sized partials, never a raw
+    token shuffle) and join the two symbol-count sides by broadcast —
+    a shuffle join there would co-shuffle every distinct pair per
+    round."""
+    from pyspark.sql import functions as F
+
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.operators import wordpiece as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # train_wordpiece_merges localCheckpoints each round (truncating
+    # the inspectable plan), so gate the round's aggregate structure
+    # as the operator builds it: token explode -> pair counts, then
+    # the symbol-count joins.
+    toks = words.select(
+        F.expr("filter(split(word, ''), c -> c <> '')").alias("t"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    pairs = toks.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (x, y) -> struct(x AS pa, y AS pb))"
+            )
+        ).alias("p"),
+    )
+    pc = pairs.groupBy(
+        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+    ).agg(F.sum("cnt").cast("bigint").alias("pcount"))
+    sym = (
+        toks.select(F.explode("t").alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("bigint").alias("sc"))
+    )
+    scored = pc.join(
+        F.broadcast(sym.select(F.col("sym").alias("pa"), F.col("sc").alias("sa"))),
+        "pa",
+    ).join(
+        F.broadcast(sym.select(F.col("sym").alias("pb"), F.col("sc").alias("sb"))),
+        "pb",
+    )
+    assert has_partial_aggregate(pc)
+    assert has_partial_aggregate(sym)
+    strategies = join_strategies(scored)
+    assert strategies and all("Broadcast" in s for s in strategies), strategies
+    # and the end-to-end operator stays cartesian-free
+    df = W.train_wordpiece_merges(words, rounds=2)
+    assert "CartesianProduct" not in join_strategies(df), join_strategies(df)
+
+
+def test_phash_tiered_join_runs_on_distinct_hashes(spark, sf_dir):
+    """The exact-group-collapse tier's near-pair join must be a hash
+    join over the band key (never cartesian/nested-loop), with the
+    groupBy collapse partial-aggregated — the structure that keeps
+    candidate mass content-bounded on duplicated corpora."""
+    from pyspark.sql import functions as F
+
+    from jubilant_garbanzo_spark.catalog import load_table
+    from jubilant_garbanzo_spark.operators import multimodal as M
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    groups, near = M.dhash_tiered_dedup(payloads)
+    assert has_partial_aggregate(groups)
+    strategies = join_strategies(near)
+    assert strategies, "no joins found in plan"
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
