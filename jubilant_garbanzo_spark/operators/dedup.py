@@ -60,7 +60,17 @@ def shingles(col: Column, n: int = 3) -> Column:
         zipped = F.zip_with(
             zipped, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(F.when(m >= 1, zipped).otherwise(F.array(col)))
+    # NULL text ⇒ EMPTY shingle set, never array(NULL): the round-12
+    # NULL-payload audit caught the short-doc fallback emitting one
+    # NULL shingle per NULL doc — md5(NULL) minhashes to an all-NULL
+    # signature, every band key concat_ws-collapses to the SAME string,
+    # and an all-NULL-text crawl batch (fetch failures) declared every
+    # pair a duplicate (C(n,2) pairs at jaccard 1.0). An empty set
+    # drops the doc from the signature table on both engines — the
+    # semantics the oracle (string_split(NULL) → no rows) always had.
+    return F.when(col.isNull(), F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.when(m >= 1, zipped).otherwise(F.array(col)))
+    )
 
 
 #: Modulus of the 2-universal permutation family: 2^31 − 1 (Mersenne

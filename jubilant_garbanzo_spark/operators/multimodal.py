@@ -47,12 +47,17 @@ except ImportError:
     REAL_DECODERS_AVAILABLE = False
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+def _fake_decode(payload: bytes) -> tuple[int, int, int] | None:
     """Deterministic stand-in for an image/video header parse.
 
     Mirrors the SQL in queries/llm.py::multimodal_decode's oracle —
-    change both together.
+    change both together. ``None`` payloads (fetch-failure rows) decode
+    to ``None`` metadata, matching the oracle's NULL propagation
+    through ``octet_length(encode(NULL))`` (round-12 NULL-payload
+    audit: ``len(None)`` crashed the Arrow batch and failed the task).
     """
+    if payload is None:
+        return None
     n = len(payload)
     return (n % 64 + 1, n % 48 + 1, n % 8 + 1)
 
@@ -122,13 +127,23 @@ def decode_metadata(
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = pdf[bin_col].map(decode)
+            # nullable Int32 (capital I): a None payload's metadata is
+            # NULL, and numpy int32 cannot carry it (round-12 audit)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pdf[bin_col].map(len).astype("int32"),
-                    "width": meta.map(lambda m: m[0]).astype("int32"),
-                    "height": meta.map(lambda m: m[1]).astype("int32"),
-                    "n_frames": meta.map(lambda m: m[2]).astype("int32"),
+                    "n_bytes": pdf[bin_col]
+                    .map(lambda b: len(b) if b is not None else None)
+                    .astype("Int32"),
+                    "width": meta.map(
+                        lambda m: m[0] if m is not None else None
+                    ).astype("Int32"),
+                    "height": meta.map(
+                        lambda m: m[1] if m is not None else None
+                    ).astype("Int32"),
+                    "n_frames": meta.map(
+                        lambda m: m[2] if m is not None else None
+                    ).astype("Int32"),
                 }
             )
 
@@ -157,9 +172,13 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes | None:
     """Deterministic stand-in for an image resample: nearest-neighbor
-    over the raw byte stream to exactly width*height output bytes."""
+    over the raw byte stream to exactly width*height output bytes.
+    ``None`` payloads resize to ``None`` (round-12 NULL-payload
+    audit) — a fetch-failure row has nothing to resample."""
+    if payload is None:
+        return None
     n, target = len(payload), width * height
     if n == 0:
         return b""
@@ -287,6 +306,8 @@ def _dhash_kernel(payload: bytes, width: int = DHASH_W, height: int = DHASH_H):
     the gradient-bit stage is identical, which is the point: the
     Spark-side plumbing and the banded join are real either way.
     """
+    if payload is None:
+        return None
     n = len(payload)
     if n == 0:
         return None

@@ -1471,7 +1471,12 @@ def multimodal_frame_sample(spark, sf_dir):
         SELECT doc_id,
                8  AS width,
                6  AS height,
-               CASE WHEN strlen(text) = 0 THEN 0 ELSE 48 END AS n_bytes,
+               -- NULL payloads resize to NULL (round-12 NULL-payload
+               -- audit); the old ELSE claimed 48 bytes for a row that
+               -- has nothing to resample
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN strlen(text) = 0 THEN 0
+                    ELSE 48 END AS n_bytes,
                substr(hex(encode(text)), 1, 2) AS first_byte_hex
         FROM documents
     """,
@@ -2380,6 +2385,11 @@ def udtf_ngram_explode(spark, sf_dir):
     @udtf(returnType="pos int, ngram string")
     class TriGrams:
         def eval(self, text: str):
+            # NULL text yields no rows (round-12 NULL-payload audit:
+            # None.split crashed the worker; the oracle's
+            # string_split(NULL) unnests to nothing)
+            if text is None:
+                return
             toks = text.split(" ")
             for i in range(len(toks) - 2):
                 yield i, " ".join(toks[i : i + 3])

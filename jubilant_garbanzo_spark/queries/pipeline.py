@@ -686,11 +686,17 @@ def text_vocab_oov(spark, sf_dir):
     "dedup_incremental",
     oracle="""
         WITH fps AS (
+            -- NULL text is excluded EXPLICITLY (round-12 NULL-payload
+            -- audit): a fetch-failure row is not a dedupable document.
+            -- Unguarded, the two engines disagreed doubly — Spark's
+            -- concat_ws('', NULL) fingerprinted every NULL doc as
+            -- md5('') while DuckDB's NULL fp slipped past NOT EXISTS
+            -- (NULL = NULL is never true) and came back as "novel".
             SELECT doc_id,
                    md5(array_to_string(
                        list_sort(list_distinct(string_split(text, ' '))),
                        ' ')) AS fp
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), corpus AS (
             SELECT DISTINCT fp FROM fps WHERE doc_id % 5 < 4
         ), incoming AS (
@@ -726,8 +732,11 @@ def dedup_incremental(spark, sf_dir):
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", fp.alias("fp")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text excluded on both engines — see the oracle comment
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", fp.alias("fp"))
     )
     corpus_fp = docs.filter(F.col("doc_id") % 5 < 4).select("fp").distinct()
     incoming = (

@@ -1570,10 +1570,14 @@ _GOPHER_STOPWORD_SQL = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS) + "]
     # display).
     oracle="""
         WITH w AS MATERIALIZED (
+            -- NULL text excluded explicitly (round-12 NULL-payload
+            -- audit): a fetch-failure row cannot be rule-graded, and
+            -- unguarded the engines' NULL propagation through the
+            -- flag CASEs diverged (Spark NULL flags vs DuckDB zeros)
             SELECT doc_id, text,
                    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
                    string_split(text, chr(10)) AS ls
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), f AS MATERIALIZED (
             SELECT
                 len(ws) AS n_w,
@@ -1660,7 +1664,10 @@ def text_gopher_rules(spark, sf_dir):
     [3,10] is `sum_chars BETWEEN 3·n AND 10·n`), so rule flags are
     engine-exact; only the display frac divides.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text excluded on both engines — see the oracle comment
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     text = F.col("text")
     ws = F.filter(F.split(text, " "), lambda w: w != "")
     ls = F.split(text, "\n")

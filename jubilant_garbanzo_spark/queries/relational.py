@@ -337,22 +337,29 @@ def array_functions(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+
+    def joined(arr):
+        # NULL-in, NULL-out: Spark's concat_ws SKIPS null arguments
+        # and returns '' where DuckDB's array_to_string(NULL) is NULL
+        # (round-12 NULL-payload audit) — the guard restores standard
+        # NULL propagation for fetch-failure rows.
+        return F.when(
+            F.col("text").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(",", arr))
+
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.concat_ws(",", F.sort_array(F.array_distinct(toks))).alias(
-            "vocab_sorted"
-        ),
-        F.concat_ws(",", F.slice(toks, 1, 3)).alias("first3"),
-        F.concat_ws(
-            ",",
+        joined(F.sort_array(F.array_distinct(toks))).alias("vocab_sorted"),
+        joined(F.slice(toks, 1, 3)).alias("first3"),
+        joined(
             F.sort_array(
                 F.transform(
                     F.filter(toks, lambda t: F.length(t) > 4),
                     lambda t: F.upper(t),
                 )
-            ),
+            )
         ).alias("long_toks_upper"),
     )
 

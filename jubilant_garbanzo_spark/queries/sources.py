@@ -76,7 +76,9 @@ def scan_json(spark, sf_dir):
     oracle="""
         SELECT doc_id, strlen(text) AS n_bytes
         FROM documents
-        WHERE doc_id % 50 = 0
+        -- text IS NOT NULL mirrors the blob export: a fetch-failure
+        -- row writes no file (round-12 NULL-payload audit)
+        WHERE doc_id % 50 = 0 AND text IS NOT NULL
     """,
     tags=("source", "binary", "multimodal"),
 )

@@ -121,9 +121,12 @@ def export_text_blobs(
         os.makedirs(path, exist_ok=True)
         # limit(cap+1) bounds the transfer BEFORE the collect; the
         # raise below means an over-cap sample never silently truncates.
+        # NULL text ⇒ no blob file at all (round-12 NULL-payload
+        # audit): a fetch-failure row has nothing to write — an empty
+        # .txt would fabricate a 0-byte asset that never existed.
         rows = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .filter(f"doc_id % {modulus} = 0")
+            .filter(f"doc_id % {modulus} = 0 AND text IS NOT NULL")
             .select("doc_id", "text")
             .limit(row_cap + 1)
             .collect()
@@ -136,7 +139,7 @@ def export_text_blobs(
             )
         for r in rows:
             with open(os.path.join(path, f"{r['doc_id']}.txt"), "wb") as f:
-                f.write((r["text"] or "").encode("utf-8"))
+                f.write(r["text"].encode("utf-8"))
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("")
 

@@ -139,6 +139,11 @@ QUERIES = (
     "text_unigram_train",
     "multimodal_audio_vad",
     "sql_recursive_cte_reachability",
+    # round-12: the WordPiece pair — both vocabulary-bound (distinct-
+    # word dict), so walls should stay FLAT like the BPE/unigram
+    # tokenizer rows as the replica corpus grows
+    "text_wordpiece_tokenize",
+    "text_wordpiece_train",
 )
 ID_STRIDE = 10_000_000
 
