@@ -141,10 +141,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # grid extraction (sessionize_events, join_interval_overlap,
 # agg_mutual_information). Evidence standing in for driver slots:
 # every one passed BOTH full-registry strict sweeps this round
-# (sf0.001 + sf0.01 + sf0.1) AND all four degenerate-input audits on
-# the final tree — stronger verification than one driver row, traded
-# so the round's 15 SEMANTIC fixes and nine staleness refreshes fit
-# the window (BASELINE.md round-12 record).
+# (sf0.001 + sf0.01 + sf0.1), all FIVE degenerate-input audits on the
+# final tree, AND a dedicated vanilla-session rehearsal
+# (drive_entry.py --names <tier>: 20/20, the exact harness the driver
+# runs) — stronger verification than one driver row, traded so the
+# round's 15 SEMANTIC fixes and nine staleness refreshes fit the
+# window (BASELINE.md round-12 record).
 
 #: Names promoted to the head of the registry. The driver's correctness
 #: check covers the FIRST 50 registry entries per round; queries already
