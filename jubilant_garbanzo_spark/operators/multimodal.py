@@ -62,13 +62,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int] | None:
     return (n % 64 + 1, n % 48 + 1, n % 8 + 1)
 
 
-def _real_decode(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover
+def _real_decode(
+    payload: bytes,
+) -> tuple[int, int, int] | None:  # pragma: no cover
     """Real header parse via Pillow (worker-side import so the kernel
     works under any executor deployment, not just local mode).
 
     Empty payloads return the ``(0, 0, 0)`` sentinel instead of letting
     ``PIL.Image.open`` raise inside the executor and fail the whole
-    task — mirrors the fake kernel's total-function contract."""
+    task — mirrors the fake kernel's total-function contract, including
+    the ``None``-payload ⇒ ``None``-metadata fetch-failure rule (ADVICE
+    r12: without it a None payload yielded (0,0,0) under kernel='real',
+    contradicting both the fake kernel and the oracle's NULL
+    propagation). The None check precedes the Pillow import so the
+    shared contract stays unit-testable in Pillow-less containers."""
+    if payload is None:
+        return None
+
     import io
 
     import PIL.Image
@@ -185,11 +195,19 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes | None:
     return bytes(payload[(i * n) // target] for i in range(target))
 
 
-def _real_resize(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
+def _real_resize(
+    payload: bytes, width: int, height: int
+) -> bytes | None:  # pragma: no cover
     """Real resample via Pillow: decode, grayscale, nearest-neighbor
     resize, raw bytes out — exactly ``width*height`` bytes, matching
     the fake kernel's output contract (including ``b""`` for empty
-    payloads, which PIL would otherwise raise on inside the executor)."""
+    payloads, which PIL would otherwise raise on inside the executor,
+    and ``None`` for None payloads — the shared fetch-failure contract,
+    ADVICE r12; checked before the Pillow import so it stays
+    unit-testable in Pillow-less containers)."""
+    if payload is None:
+        return None
+
     import io
 
     import PIL.Image
@@ -376,6 +394,17 @@ def dhash_tiered_dedup(
     - ``near_pairs``: ``(rep_a, rep_b, hamming)`` between DISTINCT
       hashes within the Hamming radius, via the same banded equi-join
       geometry as ``multimodal_phash_dedup``.
+
+    Recall bound (ADVICE r12): the ``bands``-way equi-join GUARANTEES a
+    candidate only when the differing bits leave at least one band
+    untouched — i.e. exact recall holds for Hamming distance ≤
+    ``bands - 1`` (3 at the defaults). Pairs at distance
+    ``bands..hamming_max`` are found iff their differing bits cluster
+    into ≤ ``bands - 1`` bands — standard LSH behavior, identical to
+    the flat ``multimodal_phash_dedup`` path (the equivalence test
+    proves parity with that path, not exhaustive recall at the radius).
+    Callers needing exact recall at radius ``r`` must pass
+    ``bands >= r + 1``.
     """
     fps = dhash_fingerprints(payloads, id_col, bin_col).filter(
         F.col("dhash").isNotNull()

@@ -106,6 +106,15 @@ def export_json(spark: SparkSession, sf_dir: str, table: str, columns) -> str:
 #: tool (use a distributed write instead) — fail loudly, don't OOM.
 BLOB_EXPORT_ROW_CAP = 10_000
 
+#: Semantics version baked into the blob export path — same
+#: self-invalidation contract as :data:`_CSV_EXPORT_VERSION` (ADVICE
+#: r12): "v2" = NULL-text docs write NO blob file (the round-12
+#: NULL-payload audit fix). An environment holding the pre-fix
+#: unversioned ``doc_blobs`` export (which wrote 0-byte .txt files for
+#: NULL text) is abandoned in place rather than served stale against
+#: the updated source_binaryfile oracle.
+_BLOB_EXPORT_VERSION = "v2"
+
 
 def export_text_blobs(
     spark: SparkSession,
@@ -115,7 +124,9 @@ def export_text_blobs(
 ) -> str:
     """Write a deterministic sample of ``documents`` as one UTF-8 file
     per doc (named ``<doc_id>.txt``) — the binaryFile fixture."""
-    out = os.path.join(EXPORT_ROOT, _sf_tag(sf_dir), "doc_blobs")
+    out = os.path.join(
+        EXPORT_ROOT, _sf_tag(sf_dir), f"doc_blobs_{_BLOB_EXPORT_VERSION}"
+    )
 
     def write(path: str) -> None:
         os.makedirs(path, exist_ok=True)

@@ -84,3 +84,17 @@ def test_minhash_all_null_corpus_no_pairs(spark):
     )
     docs = spark.createDataFrame([(i, None) for i in range(40)], schema)
     assert D.minhash_lsh_pairs(docs).count() == 0
+
+
+def test_real_kernels_share_none_payload_contract():
+    """ADVICE r12: the real Pillow kernels must honor the same
+    None-payload ⇒ None contract as the fake kernels (and the oracles'
+    NULL propagation). The None check precedes the Pillow import, so
+    this pins the contract even in Pillow-less containers."""
+    from jubilant_garbanzo_spark.operators import multimodal as mm
+
+    assert mm._real_decode(None) is None
+    assert mm._real_resize(None, 8, 6) is None
+    # parity with the fake family (the contract both sides share)
+    assert mm._fake_decode(None) is None
+    assert mm._fake_resize(None, 8, 6) is None
