@@ -126,6 +126,45 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+#: Canary-normalized reporting (VERDICT r12 #3): the committed
+#: median-of-3 rows for three queries whose code is essentially never
+#: touched round-to-round, taken from BASELINE.md's latest "committed
+#: headline baseline" section (round 13 tree, sf0.1). The driver's box
+#: carries a 1.1-1.5× ambient load factor some rounds (BENCH_r12: 98.4 s
+#: driver vs 64.6 s committed on the IDENTICAL tree, canaries inflated
+#: 1.3-2.5×); dividing the run's canary medians by these rows yields an
+#: inflation estimate that separates host load from real regressions.
+#: Update these whenever the committed baseline is re-recorded.
+CANARY_REF: dict[str, float] = {
+    "trending_topk": 0.61,
+    "tpch_q1_pricing_summary": 0.97,
+    "tpch_q6_forecast_revenue": 0.29,
+}
+#: The scale factor the canary rows were committed at — ratios against
+#: a different SF would measure data volume, not host load.
+CANARY_REF_SF = 0.1
+
+
+def canary_inflation(timings: dict[str, float], sf: float | None):
+    """Median measured/committed ratio over the canaries present in
+    ``timings`` — an ambient host-load estimate for this run. Returns
+    ``(inflation, per_canary_ratios)`` or ``(None, {})`` when the run
+    doesn't cover the canaries at the committed SF."""
+    if sf != CANARY_REF_SF:
+        return None, {}
+    ratios = {
+        n: round(timings[n] / ref, 3)
+        for n, ref in CANARY_REF.items()
+        if n in timings
+    }
+    if len(ratios) < len(CANARY_REF):  # partial runs can't adjudicate
+        return None, {}
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    return round(med, 3), ratios
+
+
 def run_one(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
@@ -193,15 +232,29 @@ def main() -> int:
         if args.runs % 2
         else f"midpoint-of-{args.runs}"
     )
-    payload = {
-        "metric": "headline_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "noise_band": spreads,
-        "method": method,
-        "sf": float(sf) if sf else None,
-    }
+    sf_val = float(sf) if sf else None
+    inflation, canary_ratios = canary_inflation(timings, sf_val)
+    payload = {"metric": "headline_total_wall", "value": total}
+    if inflation is not None:
+        # Self-adjudicating host-load record (VERDICT r12 #3): raw total
+        # stays authoritative; the normalized twin says what the same
+        # run would read on the baseline-recording box. A real
+        # regression moves value_canary_normalized; ambient load on the
+        # measuring box moves only canary_inflation. Placed BEFORE the
+        # per-query dict so a truncated stdout tail still carries the
+        # adjudication scalars.
+        payload["value_canary_normalized"] = round(total / inflation, 3)
+        payload["canary_inflation"] = inflation
+        payload["canary_ratios"] = canary_ratios
+    payload.update(
+        {
+            "unit": "sec",
+            "queries": timings,
+            "noise_band": spreads,
+            "method": method,
+            "sf": sf_val,
+        }
+    )
     # The driver records a bounded stdout TAIL; round 6's single pretty
     # JSON line (with the noise-band twin dict) outgrew the window and
     # the recorded artifact lost its head (VERDICT r6 "What's wrong" #1).

@@ -88,3 +88,30 @@ def test_bench_stdout_tail_is_compact_parseable_summary(tmp_path):
         default_artifact.read_bytes() if default_artifact.exists() else None
     )
     assert after == before, "--out run touched the default bench_out.json"
+
+
+def test_canary_inflation_math_and_gating():
+    """VERDICT r12 #3: the canary-normalization helper must (a) compute
+    the median measured/committed ratio over the full canary trio, (b)
+    refuse to adjudicate partial runs or off-baseline scale factors —
+    a ratio at a different SF measures data volume, not host load."""
+    import bench
+
+    ref = bench.CANARY_REF
+    # Uniform 1.5x ambient inflation → inflation exactly 1.5.
+    timings = {n: v * 1.5 for n, v in ref.items()}
+    infl, ratios = bench.canary_inflation(timings, bench.CANARY_REF_SF)
+    assert infl == 1.5
+    assert set(ratios) == set(ref)
+    # Median, not mean: one outlier canary must not drag the estimate.
+    skewed = dict(timings)
+    first = next(iter(ref))
+    skewed[first] = ref[first] * 10.0
+    infl_s, _ = bench.canary_inflation(skewed, bench.CANARY_REF_SF)
+    assert infl_s == 1.5
+    # Partial run (a canary missing) → no adjudication.
+    partial = dict(timings)
+    del partial[first]
+    assert bench.canary_inflation(partial, bench.CANARY_REF_SF) == (None, {})
+    # Wrong SF → no adjudication.
+    assert bench.canary_inflation(timings, 0.001) == (None, {})
