@@ -291,10 +291,20 @@ def agg_statistics(spark, sf_dir):
             SELECT event_type, avg(value) AS m FROM events GROUP BY event_type
         )
         SELECT e.event_type,
-               round(avg(pow(value - m, 3))
-                     / pow(avg(pow(value - m, 2)), 1.5), 5) AS skew,
-               round(avg(pow(value - m, 4))
-                     / pow(avg(pow(value - m, 2)), 2) - 3, 5) AS kurt
+               -- explicit zero-variance guard (round-13 div-zero
+               -- sweep): Spark's skewness()/kurtosis() return NULL on
+               -- a constant group; saying so via CASE instead of
+               -- relying on DuckDB's x/0 default keeps the oracle
+               -- DuckDB-version-independent (1.0 gives NULL, newer
+               -- IEEE-mode builds give inf)
+               CASE WHEN avg(pow(value - m, 2)) = 0 THEN NULL
+                    ELSE round(avg(pow(value - m, 3))
+                         / pow(avg(pow(value - m, 2)), 1.5), 5)
+               END AS skew,
+               CASE WHEN avg(pow(value - m, 2)) = 0 THEN NULL
+                    ELSE round(avg(pow(value - m, 4))
+                         / pow(avg(pow(value - m, 2)), 2) - 3, 5)
+               END AS kurt
         FROM events e JOIN mu ON e.event_type = mu.event_type
         GROUP BY e.event_type
     """,

@@ -2807,14 +2807,22 @@ def text_langid_eval(spark, sf_dir):
             FROM pts
         )
         SELECT n AS n_terms,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
-               round((CAST(sy AS DOUBLE)
-                      - (CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE))
-                        * CAST(sx AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * 1000000000.0), 6)
-                   AS log_intercept
+               -- explicit degenerate-fit guard (round-13 div-zero
+               -- sweep): a single-rank-point corpus (one distinct
+               -- token) has no slope; Spark's division yields NULL —
+               -- say so via CASE instead of DuckDB's version-dependent
+               -- x/0 default
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               END AS zipf_slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * 1000000000.0), 6)
+               END AS log_intercept
         FROM m
     """,
     tags=("llm", "text", "corpus-stats", "zipf"),
@@ -4490,10 +4498,20 @@ def _irls_round_sql(i: int, prev_beta: str) -> str:
             )
         ), b{i} AS (
             SELECT
-              bb.beta0 + (m.swxxd * m.srd - m.swxd * m.srxd)
-                  / (m.swd * m.swxxd - m.swxd * m.swxd) AS beta0,
-              bb.beta1 + (m.swd * m.srxd - m.swxd * m.srd)
-                  / (m.swd * m.swxxd - m.swxd * m.swxd) AS beta1
+              -- explicit singular-system guard (round-13 div-zero
+              -- sweep): zero weighted x-variance (all docs share one
+              -- feature value) makes the 2x2 solve singular; Spark's
+              -- division yields NULL betas, which then cascade NULL
+              -- through the remaining rounds on both engines — the
+              -- CASE says so without leaning on DuckDB's x/0 default
+              CASE WHEN m.swd * m.swxxd - m.swxd * m.swxd = 0 THEN NULL
+                   ELSE bb.beta0 + (m.swxxd * m.srd - m.swxd * m.srxd)
+                        / (m.swd * m.swxxd - m.swxd * m.swxd)
+              END AS beta0,
+              CASE WHEN m.swd * m.swxxd - m.swxd * m.swxd = 0 THEN NULL
+                   ELSE bb.beta1 + (m.swd * m.srxd - m.swxd * m.srd)
+                        / (m.swd * m.swxxd - m.swxd * m.swxd)
+              END AS beta1
             FROM m{i} m CROSS JOIN {prev_beta} bb
         )"""
 

@@ -1,0 +1,248 @@
+"""Standing oracle division audit (VERDICT r12 #6, round 13).
+
+The class this guards: an oracle that divides by an expression which
+can be ZERO on some legal input, and passes today only because the
+installed DuckDB (1.0.0) defines x/0 = NULL for EVERY numeric type —
+the same answer Spark's non-ANSI division gives. Newer DuckDB builds
+flip float division to IEEE semantics (1.0/0.0 = inf), so such an
+oracle is silently DuckDB-VERSION-dependent: nothing fails here, and a
+rerun on another box diverges. ``profile_ks_two_sample`` (round 12)
+was the first confirmed member; this sweep adjudicates the whole
+registry so the class can't regrow unnoticed.
+
+Mechanics: extract every ``/`` division in every oracle whose divisor
+is NOT a pure numeric literal, then require the query to appear in
+:data:`ADJUDICATIONS` with a stated reason the division is safe
+(explicit CASE/NULLIF/WHERE guard, divisor provably nonzero by
+construction, NULL numerator dominating, or a parser false positive on
+a string literal). A query with non-literal divisors and no
+adjudication FAILS the audit — forcing every new oracle's divisions
+through this review.
+
+Usage: PYTHONPATH=. python scripts/audit_divzero.py [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from jubilant_garbanzo_spark.queries import load_all  # noqa: E402
+
+#: Pure numeric literal (possibly parenthesized / signed / scientific).
+_LITERAL = re.compile(r"^\s*\(?\s*-?\d+(\.\d+)?(e[+-]?\d+)?\s*\)?\s*$", re.I)
+
+# Shorthand reasons, composed per query below.
+GUARDED = "explicit CASE WHEN / NULLIF / WHERE guard around the division"
+GROUP_COUNT = (
+    "divisor is a per-group count(*) or group size — a group only "
+    "exists with >= 1 row"
+)
+SIZE_GE_1 = (
+    "divisor is a set/array/token size that is >= 1 by construction "
+    "(shingles() falls back to [text]; string_split never returns [])"
+)
+UNION_GE_1 = (
+    "divisor is |A|+|B|-|A∩B| >= max(|A|,|B|) >= 1 over non-empty "
+    "shingle sets (NULL-text docs are dropped upstream)"
+)
+SHIFTED = "divisor is shifted by a positive constant (x + c, c > 0)"
+CONSTANT_DOMAIN = (
+    "divisor ranges over a fixed nonzero domain (digits 1-9, ln(10), "
+    "1+exp(x) >= 1, band/window constants)"
+)
+NULL_NUMERATOR = (
+    "a zero divisor forces a NULL numerator over the same rows, and "
+    "NULL/x is NULL under BOTH DuckDB semantics generations"
+)
+STRING_SLASH = "parser false positive: the '/' sits inside a string literal"
+SCALED_INT = (
+    "divisor is an exact scaled-integer quantity that is nonzero on "
+    "every surviving row (verified by an upstream filter or join)"
+)
+
+#: query -> (reason, detail). Every query the extractor flags must
+#: appear here. When ADDING an oracle with a new non-literal division,
+#: either guard it explicitly or justify it below — 'it passes the
+#: driver today' is exactly the evidence this audit rejects.
+ADJUDICATIONS: dict[str, str] = {
+    # --- explicitly guarded (CASE WHEN / NULLIF / WHERE) -------------
+    "agg_welch_ttest": GUARDED + " (round-12 constant audit)",
+    "agg_regression_exact_moments": GUARDED + " (round-12 single-row audit)",
+    "text_heaps_law": GUARDED + " (round-12)",
+    "anomaly_zscore_outliers": GUARDED + " (NULLIF(stddev, 0))",
+    "embed_quantize_int8": GUARDED + " (CASE WHEN mx = 0, zero vector)",
+    "event_spike_detection": GUARDED + " (WHERE n >= 12 AND variance > 0)",
+    "sample_weighted_priority": GUARDED + " (WHERE o_totalprice > 0, both engines)",
+    "profile_ks_two_sample": GUARDED + " (round-12 zero-divisor fix)",
+    "agg_skewness_kurtosis": GUARDED + " (round-13: CASE on zero variance)",
+    "text_zipf_slope": GUARDED + " (round-13: CASE on singular fit)",
+    "text_quality_calibration": GUARDED + " (round-13: CASE on singular 2x2 solve)",
+    "text_robust_scale": "greatest(q3 - q1, 1) floors the IQR at 1",
+    "agg_groupby_basic": GROUP_COUNT,
+    "tpch_q1_pricing_summary": GROUP_COUNT,
+    "tpch_q17_small_quantity_revenue": GROUP_COUNT,
+    "tpch_q22_global_sales_opportunity": GROUP_COUNT,
+    "window_running_frames": GROUP_COUNT + " (frame includes CURRENT ROW)",
+    "text_vocab_oov": GROUP_COUNT,
+    "timeseries_seasonal_decompose": GROUP_COUNT,
+    "text_unigram_logprob": GROUP_COUNT
+    + "; n_uni is the corpus token total, >= 1 when any doc groups",
+    "multimodal_feature_extract": GROUP_COUNT,
+    "event_markov_transitions": GROUP_COUNT + " (t.total sums group counts)",
+    "graph_degree_distribution": GROUP_COUNT + " (t.nn counts nodes)",
+    "assoc_copurchase_lift": GROUP_COUNT + " (item counts from groupBy)",
+    "agg_gini_concentration": GROUP_COUNT
+    + "; tot > 0 enforced by the revenue-positive filter",
+    "agg_pareto_share": GROUP_COUNT + " (m.tot sums positive revenue)",
+    "text_langid_eval": GROUP_COUNT + " (per-language partition count)",
+    "profile_key_skew": GROUP_COUNT + " (sum over () of per-key counts)",
+    "profile_length_histogram": GROUP_COUNT + " (sum over () of bucket counts)",
+    "pipeline_temperature_mixture": "t.z sums pow(share, 1/T) > 0 terms",
+    "sql_group_by_all_lateral_alias": GROUP_COUNT + " (n_events lateral alias)",
+    "pandas_grouped_agg_seam": "trimmed-count >= 1: rn > n//10 AND "
+    "rn <= n - n//10 keeps >= 1 row for every n >= 1",
+    "text_bpe_fertility": GROUP_COUNT + " (sum of word counts >= 1)",
+    "text_duplicated_ngram_coverage": GROUP_COUNT
+    + " (sum(d.m) counts a doc's n-grams, present only for docs with rows)",
+    "text_bigram_avg_nll": GROUP_COUNT
+    + "; add-1 smoothing: c1.n1 + vsize >= 1",
+    "text_ccnet_bucket_filter": GROUP_COUNT
+    + "; add-1 smoothing + per-segment bigram count >= 1 via WHERE",
+    "text_kneser_ney_nll": "4 * n1 * tt: continuation totals >= 1 on any "
+    "corpus with >= 1 bigram; docs without bigrams are excluded upstream",
+    "text_unigram_train": SHIFTED + " (tot + nv, nv = vocab size >= 1)",
+    "timeseries_time_weighted_avg": "span_s > 0: WHERE clause keeps only "
+    "users with >= 2 distinct timestamps",
+    "timeseries_linear_interpolate": "d1n - d0n >= 1: bracketing days are "
+    "DISTINCT by construction; n0/n1 are per-day counts >= 1",
+    "dedup_shingle_containment": SIZE_GE_1 + " (x.n = containee set size)",
+    "text_ngram_novelty": SIZE_GE_1 + " (t.n_shingles)",
+    "quality_repetition_filter": SIZE_GE_1 + " (n_tok, len(g2) per doc)",
+    "text_stats": SIZE_GE_1,
+    "text_quality_score": SIZE_GE_1,
+    "embed_label_centroids": GROUP_COUNT + " (per-label vector counts)",
+    # --- jaccard family: union >= 1 ----------------------------------
+    "dedup_minhash_lsh": UNION_GE_1,
+    "dedup_minhash_accuracy": UNION_GE_1 + "; /32 is a constant",
+    "dedup_cluster_cc": UNION_GE_1,
+    "dedup_cluster_keep_best": UNION_GE_1,
+    "dedup_cluster_incremental": UNION_GE_1,
+    "dedup_ngram_jaccard": UNION_GE_1,
+    # --- +constant shifts ---------------------------------------------
+    "text_tfidf_top_terms": SHIFTED + " (df + 1.0)",
+    "text_dsir_resample": SHIFTED + " (tot + 64 hash buckets)",
+    "profile_psi_drift": SHIFTED + " (n + 6.0, c + 0.5 Laplace smoothing)",
+    "text_bm25_rank": SHIFTED
+    + " (df + 0.5, k1*(...) + tf with tf >= 1, sum_dl/n_docs per-group)",
+    "retrieval_rrf_fusion": SHIFTED + " (same BM25 arm as text_bm25_rank)",
+    "text_bigram_pmi": GROUP_COUNT + " (n_big, unigram counts >= 1)",
+    "text_chi2_terms": SHIFTED
+    + " (contingency margins (a+b),(c+d),(a+c),(b+d) >= 1 per emitted term)",
+    "text_sparse_tfidf_cosine": "df >= 1 per posted term; sqrt(nn) > 0 — "
+    "a doc posts only terms it contains, so its norm has >= 1 positive term",
+    # --- fixed nonzero domains ----------------------------------------
+    "quality_benford_digits": CONSTANT_DOMAIN + " (digits 1-9, ln(10))",
+    "text_quality_classifier": CONSTANT_DOMAIN + " (1 + exp(x)); "
+    + SIZE_GE_1 + " (n_tokens)",
+    "agg_cramers_v": GROUP_COUNT + " (m.n totals the grid; a 1x1 grid is "
+    "CASE-guarded since round 12)",
+    "agg_mutual_information": GROUP_COUNT + " (m.n, t.ct, h.ch grid margins)",
+    # --- NULL numerator dominates --------------------------------------
+    "timeseries_backtest_seasonal_naive": NULL_NUMERATOR
+    + " (count(forecast_cents) = 0 forces sum(|err|) = NULL)",
+    "text_gopher_rules": NULL_NUMERATOR
+    + " (n_docs = 0 only on an empty gradeable corpus, where every "
+    "sum(CASE...) numerator is NULL); n_docs >= 1 otherwise",
+    "tpch_q8_market_share": "denominator sums strictly positive revenue "
+    "terms — zero rows make it NULL (x/NULL = NULL both engines), "
+    "never 0",
+    "tpch_q14_promo_revenue": "same positive-revenue-sum shape as q8: "
+    "NULL on empty match set, nonzero otherwise",
+    "sample_bootstrap_means": GUARDED
+    + " (CASE WHEN sum(w) = 0, round-12 ANSI guard)",
+    # --- scaled-int / domain-bounded ------------------------------------
+    "stream_kmv_bottomk": "kth.hk is the k-th smallest 60-bit hash; hk = 0 "
+    "needs an exact zero hash (p ~ k/2^60) — adjudicated safe by domain; "
+    "Spark divides by the same value so both engines share the event",
+    # --- parser false positives (slash inside a string literal) --------
+    "text_url_canonical_dedup": STRING_SLASH,
+    "conditional_try_functions": STRING_SLASH
+    + "; the real divisions are try_divide twins guarded on both engines",
+    "join_asof_forward_tolerance": STRING_SLASH
+    + "; /1000000.0 is a constant scale inside a CASE",
+}
+
+
+def divisor_token(sql: str, pos: int) -> str:
+    s = sql[pos:]
+    depth = 0
+    out: list[str] = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and ch == "," and "".join(out).strip():
+            break
+        out.append(ch)
+        if len(out) > 100:
+            break
+    return re.split(r"\s+AS\s+", "".join(out).strip(), flags=re.I)[0].strip()
+
+
+def flagged_queries() -> dict[str, list[str]]:
+    specs = load_all()
+    out: dict[str, list[str]] = {}
+    for name, spec in specs.items():
+        if not spec.oracle:
+            continue
+        sql = re.sub(r"--[^\n]*", "", spec.oracle)
+        toks = []
+        for m in re.finditer(r"/(?![*/])", sql):
+            if sql[m.start() - 1 : m.start()] == "/":  # '//' integer div
+                continue
+            d = divisor_token(sql, m.end())
+            if _LITERAL.match(d) or not re.search(r"[a-zA-Z_]", d):
+                continue
+            toks.append(d[:60])
+        if toks:
+            out[name] = sorted(set(toks))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    flagged = flagged_queries()
+    missing = sorted(set(flagged) - set(ADJUDICATIONS))
+    stale = sorted(set(ADJUDICATIONS) - set(flagged))
+    if args.verbose:
+        for n in sorted(flagged):
+            mark = "ok " if n in ADJUDICATIONS else "FAIL"
+            print(f"{mark} {n}: {ADJUDICATIONS.get(n, '<UNADJUDICATED>')}")
+            for t in flagged[n]:
+                print(f"       / {t}")
+    print(
+        f"divzero audit: {len(flagged)} oracles with non-literal divisors, "
+        f"{len(flagged) - len(missing)} adjudicated, {len(missing)} missing"
+    )
+    if stale:
+        print(f"note: {len(stale)} stale adjudications (no longer flagged): "
+              f"{stale}")
+    if missing:
+        for n in missing:
+            print(f"UNADJUDICATED {n}: {flagged[n]}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
