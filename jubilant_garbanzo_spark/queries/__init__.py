@@ -63,90 +63,56 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-12 contents — the correctness-debt round (VERDICT r11): the
-#: 12 empty-input audit fixes, the 4 ANSI crash-vs-NULL guard queries,
-#: the 4 streaming/connector semantic fixes, the KS oracle's explicit
-#: zero-divisor guard, the new WordPiece tokenizer, the 4 hygiene
-#: refactors that restructured query bodies (shared sessionizer /
-#: contingency grid), and every query whose expression path now routes
-#: through the extracted md5-hash helper (functions/hashing.py —
-#: results provably identical, fresh greens anyway per the r11
-#: _dir_fingerprint precedent).
+#: Round-13 contents (the evidence-freshness round, VERDICT r12):
+#:
+#: (a) the 17 round-12 refactor-tier queries — their bodies changed in
+#: round 12 (md5-helper extraction + shared sessionizer/contingency
+#: grid) but they were adjudicated OUT of the r12 window on
+#: refactor-purity grounds; VERDICT r12 ruled that a one-time bend and
+#: requires them to lead this window ("changed body ⇒ fresh driver
+#: green");
+#:
+#: (b) the queries whose bodies/oracles changed THIS round: the
+#: PageRank dangling-set hoist, the two hashed-posting PPJoin
+#: candidate stages, the three div-zero oracle guards (skewness is
+#: listed once — it is also r4-stale), the two DECIMAL-product
+#: overflow fixes from the new extremes audit (welch also takes its
+#: oracle's HUGEINT twin), and source_binaryfile whose blob-export
+#: fixture path was re-versioned (ADVICE r12).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # born this round: the third standard tokenizer family,
-    # apply AND likelihood-scored training
-    "text_wordpiece_tokenize",
-    "text_wordpiece_train",
-    # the 12 empty-input audit fixes (tests/test_empty_inputs.py)
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_welch_ttest",
-    "agg_hll_intersection",
-    "table_time_travel",
-    "validate_order_totals",
-    "validate_referential_integrity",
-    "sink_parquet_partitioned",
-    "join_dpp_partitioned",
-    "text_heaps_law",
-    "text_quality_calibration",
-    # ANSI crash-vs-NULL guards (tests/test_ansi_guards.py)
-    "anomaly_zscore_outliers",
-    "quality_benford_digits",
-    "sample_weighted_priority",
-    "sample_bootstrap_means",
-    # streaming/connector semantic fixes
-    "stream_session_ttl",
-    "stream_attribution_last_touch",
-    "sink_python_datasource_writer",
-    "stream_python_datasource_sink",
-    # KS oracle zero-divisor guard made explicit (ADVICE r11)
-    "profile_ks_two_sample",
-    # single-row + constant-value audit finds (audit_single_row.py /
-    # audit_constant.py): n=1 / zero-variance ANSI crashes
-    "agg_regression_exact_moments",
-    "agg_statistics",
-    "agg_cramers_v",
-    # NULL-payload audit finds (audit_null_text.py): the shingle
-    # NULL-fallback that declared an all-NULL crawl batch 100%
-    # duplicates (fixed at the root in operators/dedup.shingles —
-    # the five MinHash-index consumers take fresh greens), plus the
-    # per-query NULL-semantics fixes
-    "dedup_minhash_lsh",
-    "dedup_minhash_accuracy",
-    "dedup_cluster_cc",
-    "dedup_cluster_keep_best",
-    "dedup_cluster_incremental",
-    "dedup_incremental",
-    "text_ngram_novelty",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_phash_dedup",
+    # -- (a) the round-12 refactor tier: md5-hash helper consumers ----
+    "text_fingerprints",
+    "text_quality_classifier",
+    "text_dsir_resample",
+    "dedup_simhash",
+    "sample_stratified_hash",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_overlap",
+    "agg_countmin_heavy_hitters",
+    "stream_countmin_topk",
+    "stream_kmv_bottomk",
+    "join_bloom_prefilter",
+    "pipeline_shard_binpack",
+    "pipeline_global_shuffle",
+    "validate_table_checksum",
+    # -- (a) the round-12 shared-sessionizer/contingency-grid tier ----
+    "sessionize_events",
+    "join_interval_overlap",
+    "agg_mutual_information",
+    # -- (b) round-13 body changes ------------------------------------
+    "graph_pagerank",  # static dangling set + fused scalar broadcast
+    "dedup_ngram_jaccard",  # xxhash64-encoded postings + collision guard
+    "dedup_shingle_containment",  # same hashed-posting upgrade
+    # -- (b) round-13 oracle guards (div-zero sweep) -------------------
+    "agg_skewness_kurtosis",  # zero-variance CASE (also r4-stale)
+    "text_zipf_slope",  # singular-fit CASE
+    "text_quality_calibration",  # singular 2x2 IRLS CASE
+    # -- (b) round-13 extremes-audit overflow fixes --------------------
+    "agg_welch_ttest",  # DECIMAL cents² product (both engines)
+    "agg_regression_exact_moments",  # DECIMAL/HUGEINT moment products
+    # -- (b) blob-export fixture path re-versioned (ADVICE r12) --------
     "source_binaryfile",
-    "udtf_ngram_explode",
-    "text_gopher_rules",
-    "array_functions",
 )
-# ADJUDICATED OUT of the window (would otherwise overflow the 50
-# slots): the queries whose BODIES changed only through pure
-# refactors with provably identical expression trees — the md5-hash
-# helper extraction (functions/hashing.py: text_fingerprints,
-# text_quality_classifier, text_dsir_resample, dedup_simhash,
-# sample_stratified_hash, text_winnowing_fingerprints,
-# dedup_winnowing_overlap, agg_countmin_heavy_hitters,
-# stream_countmin_topk, stream_kmv_bottomk, join_bloom_prefilter,
-# pipeline_shard_binpack, pipeline_global_shuffle,
-# validate_table_checksum) and the shared-sessionizer/contingency-
-# grid extraction (sessionize_events, join_interval_overlap,
-# agg_mutual_information). Evidence standing in for driver slots:
-# every one passed BOTH full-registry strict sweeps this round
-# (sf0.001 + sf0.01 + sf0.1), all FIVE degenerate-input audits on the
-# final tree, AND a dedicated vanilla-session rehearsal
-# (drive_entry.py --names <tier>: 20/20, the exact harness the driver
-# runs) — stronger verification than one driver row, traded so the
-# round's 15 SEMANTIC fixes and nine staleness refreshes fit the
-# window (BASELINE.md round-12 record).
 
 #: Names promoted to the head of the registry. The driver's correctness
 #: check covers the FIRST 50 registry entries per round; queries already
@@ -156,24 +122,40 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 12: the 41 CHANGED queries + the ENTIRE rolled r3 TPC-H tail
-#: (q8/q13/q15/q17 — clearing VERDICT r11 #4 in full) + the five
-#: oldest r4 agg greens fill the 50 slots exactly; the remaining r4
-#: cohort (agg_pivot, agg_skewness_kurtosis, agg_unpivot,
-#: agg_grouping_sets — already CHANGED — etc.) rolls to round 13.
+#: Round 13: the 26 CHANGED queries (17 refactor-tier + 9 this-round
+#: bodies/oracles) + the ENTIRE remaining r4-staleness block (24
+#: queries — agg_skewness_kurtosis, sample_stratified_hash, and
+#: sessionize_events are already CHANGED) fill the 50 slots exactly,
+#: clearing BOTH items the r12 verdict set for this window: after this
+#: round every query's newest driver evidence is r5-era or newer and
+#: no changed body lacks a driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: last green r3 (rolled from round 11) -------
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    # -- staleness refreshes: oldest r4 greens ---------------------------
-    "agg_collect_list_set",
-    "agg_distinct",
-    "agg_groupby_basic",
-    "agg_having",
-    "agg_percentiles",
+    # -- staleness refreshes: the full remaining r4-green block ---------
+    "agg_pivot",
+    "agg_unpivot",
+    "cohort_retention",
+    "embed_cosine_topk",
+    "embed_pq_encode",
+    "embed_quantize_int8",
+    "funnel_analysis",
+    "fuzzy_name_match",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "lateral_explode_tokens",
+    "profile_key_skew",
+    "profile_length_histogram",
+    "quality_repetition_filter",
+    "sample_reservoir_per_group",
+    "sink_clustered_parquet",
+    "source_xml",
+    "text_domain_mixture",
+    "timeseries_downsample_ohlc",
+    "timeseries_gapfill",
+    "tpch_q22_global_sales_opportunity",
+    "upsert_latest_by_key",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -477,11 +477,14 @@ def agg_unpivot(spark, sf_dir):
                    CAST(count(*) AS DECIMAL(38,0)) AS n,
                    CAST(sum(CAST(tr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
                    CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-                   CAST(sum(CAST(tr * cents AS DECIMAL(38,0)))
+                   -- HUGEINT products: BIGINT tr*cents / cents²
+                   -- overflow 2^63 at the numeric-contract edge
+                   -- (round-13 extremes audit)
+                   CAST(sum(CAST(tr AS HUGEINT) * cents)
                         AS DECIMAL(38,0)) AS sxy,
-                   CAST(sum(CAST(tr * tr AS DECIMAL(38,0)))
+                   CAST(sum(CAST(tr AS HUGEINT) * tr)
                         AS DECIMAL(38,0)) AS sxx,
-                   CAST(sum(CAST(cents * cents AS DECIMAL(38,0)))
+                   CAST(sum(CAST(cents AS HUGEINT) * cents)
                         AS DECIMAL(38,0)) AS syy
             FROM (
                 SELECT event_type,
@@ -544,9 +547,22 @@ def agg_regression_exact_moments(spark, sf_dir):
         F.count("*").cast(dec).alias("n"),
         F.sum(F.col("tr").cast(dec)).cast(dec).alias("sx"),
         F.sum(F.col("cents").cast(dec)).cast(dec).alias("sy"),
-        F.sum((F.col("tr") * F.col("cents")).cast(dec)).cast(dec).alias("sxy"),
-        F.sum((F.col("tr") * F.col("tr")).cast(dec)).cast(dec).alias("sxx"),
-        F.sum((F.col("cents") * F.col("cents")).cast(dec)).cast(dec).alias("syy"),
+        # moment products multiply in DECIMAL, not BIGINT: at the
+        # numeric-contract edge (~1e11 cents) the long products
+        # overflow 2^63 (round-13 extremes audit); (19,0)x(19,0)
+        # multiplies exactly into the capped decimal(38,0)
+        F.sum(
+            F.col("tr").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).cast(dec).alias("sxy"),
+        F.sum(
+            F.col("tr").cast("decimal(19,0)")
+            * F.col("tr").cast("decimal(19,0)")
+        ).cast(dec).alias("sxx"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).cast(dec).alias("syy"),
     )
     dxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -1090,7 +1106,10 @@ def agg_bitmap_exact_distinct(spark, sf_dir):
                    CAST(count(*) AS DECIMAL(38,0)) AS n,
                    CAST(sum(CAST(cents AS DECIMAL(38,0)))
                         AS DECIMAL(38,0)) AS sx,
-                   CAST(sum(CAST(cents * cents AS DECIMAL(38,0)))
+                   -- HUGEINT product: a BIGINT cents² overflows 2^63
+                   -- at the numeric-contract edge (round-13 extremes
+                   -- audit) — mirror of the Spark side's decimal mult
+                   CAST(sum(CAST(cents AS HUGEINT) * cents)
                         AS DECIMAL(38,0)) AS sxx
             FROM (
                 SELECT event_type,
@@ -1166,8 +1185,13 @@ def agg_welch_ttest(spark, sf_dir):
         .agg(
             F.count("*").cast("decimal(38,0)").alias("n"),
             F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+            # cents² must multiply in DECIMAL, not BIGINT: at the
+            # numeric-contract edge (2^30 measures -> ~1e11 cents) the
+            # long product overflows 2^63 (round-13 extremes audit).
+            # decimal(19,0)x(19,0) -> capped decimal(38,0), exact.
             F.sum(
-                (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+                F.col("cents").cast("decimal(19,0)")
+                * F.col("cents").cast("decimal(19,0)")
             ).alias("sxx"),
         )
         .select(
