@@ -136,9 +136,9 @@ HEADLINE: tuple[str, ...] = (
 #: inflation estimate that separates host load from real regressions.
 #: Update these whenever the committed baseline is re-recorded.
 CANARY_REF: dict[str, float] = {
-    "trending_topk": 0.61,
-    "tpch_q1_pricing_summary": 0.97,
-    "tpch_q6_forecast_revenue": 0.29,
+    "trending_topk": 0.604,
+    "tpch_q1_pricing_summary": 0.956,
+    "tpch_q6_forecast_revenue": 0.24,
 }
 #: The scale factor the canary rows were committed at — ratios against
 #: a different SF would measure data volume, not host load.

@@ -59,10 +59,6 @@ NULL_NUMERATOR = (
     "NULL/x is NULL under BOTH DuckDB semantics generations"
 )
 STRING_SLASH = "parser false positive: the '/' sits inside a string literal"
-SCALED_INT = (
-    "divisor is an exact scaled-integer quantity that is nonzero on "
-    "every surviving row (verified by an upstream filter or join)"
-)
 
 #: query -> (reason, detail). Every query the extractor flags must
 #: appear here. When ADDING an oracle with a new non-literal division,
