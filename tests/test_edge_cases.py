@@ -1156,3 +1156,56 @@ def test_interval_overlap_matches_bruteforce(spark, tmp_path_factory, data):
     # Ranking ties below the LIMIT cutoff are totally ordered
     # (overlap_s DESC, u1, u2) on both sides; compare as sorted lists.
     assert sorted(got) == sorted(expected), (got, expected)
+
+
+@settings(**_PROP)
+@given(
+    corpus=st.lists(
+        st.lists(
+            # tiny alphabet => dense cross-doc overlap, heavy df ties in
+            # the rarest-first order, and the <3-token [text] fallback
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.55, 0.8]),
+)
+def test_hashed_prefix_jaccard_matches_bruteforce(spark, corpus, threshold):
+    """Round-13 hashed-posting candidate stage vs a pure-Python
+    brute-force ground truth on random corpora: every (pair, jaccard)
+    at >= threshold must match exactly — the randomized twin of the
+    fixture losslessness test, stressing df tie-orders, short-doc
+    shingle fallbacks, and empty docs that the fixture shapes miss."""
+    from fractions import Fraction
+
+    from jubilant_garbanzo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+
+    def sh(text):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return {text} if text else {""}
+        if len(toks) < 3:
+            return {text}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    expected = set()
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            a, b = sh(ta), sh(tb)
+            inter = len(a & b)
+            union = len(a | b)
+            if union and inter * frac.denominator >= frac.numerator * union:
+                expected.add((ida, idb, round(inter / union, 6)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
