@@ -130,9 +130,17 @@ def pagerank_fixed(
             .agg(F.sum("c").alias("in_c"))
         )
         # One 1-row scalar frame per round (dangling mass × N) → ONE
-        # BroadcastExchange in the final join instead of two.
+        # BroadcastExchange in the final join instead of two. The
+        # dangling set is O(|nodes|) (20-40% of vertices on real web
+        # graphs), so it is only broadcast when the caller passed
+        # graph_partitions — the existing small-graph signal; on an
+        # unhinted large graph AQE picks the strategy (shuffle join,
+        # or its own broadcast if the measured size allows).
+        dang_side = (
+            F.broadcast(dangling) if graph_partitions is not None else dangling
+        )
         scalars = (
-            ranks.join(F.broadcast(dangling), "node")
+            ranks.join(dang_side, "node")
             .agg(
                 F.coalesce(F.sum("rank"), F.lit(0))
                 .cast("bigint")

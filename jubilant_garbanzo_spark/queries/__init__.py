@@ -63,55 +63,24 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-13 contents (the evidence-freshness round, VERDICT r12):
-#:
-#: (a) the 17 round-12 refactor-tier queries — their bodies changed in
-#: round 12 (md5-helper extraction + shared sessionizer/contingency
-#: grid) but they were adjudicated OUT of the r12 window on
-#: refactor-purity grounds; VERDICT r12 ruled that a one-time bend and
-#: requires them to lead this window ("changed body ⇒ fresh driver
-#: green");
-#:
-#: (b) the queries whose bodies/oracles changed THIS round: the
-#: PageRank dangling-set hoist, the two hashed-posting PPJoin
-#: candidate stages, the three div-zero oracle guards (skewness is
-#: listed once — it is also r4-stale), the two DECIMAL-product
-#: overflow fixes from the new extremes audit (welch also takes its
-#: oracle's HUGEINT twin), and source_binaryfile whose blob-export
-#: fixture path was re-versioned (ADVICE r12).
+#: Round-14 contents (the second rotation round, VERDICT r13): the four
+#: ADVICE-r13 body fixes. Three are crash-vs-NULL parity repairs — the
+#: round-13 div-zero sweep guarded only the ORACLE half of
+#: text_zipf_slope and text_quality_calibration (ANSI-default Spark 4
+#: throws DIVIDE_BY_ZERO where the oracle's CASE yields NULL); both
+#: Spark sides now carry F.try_divide, and event_spike_detection's z
+#: expression was hardened the same way (its safety on warm-up rows
+#: relied on filter-conjunct short-circuit ordering). The fourth is
+#: graph_pagerank: the dangling-set broadcast hint is now conditioned
+#: on the graph_partitions small-graph signal so an unhinted large
+#: graph lets AQE pick the join strategy (the dangling set is
+#: O(|nodes|) — force-broadcasting it hard-coded a small-graph
+#: assumption into a general operator).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # -- (a) the round-12 refactor tier: md5-hash helper consumers ----
-    "text_fingerprints",
-    "text_quality_classifier",
-    "text_dsir_resample",
-    "dedup_simhash",
-    "sample_stratified_hash",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_overlap",
-    "agg_countmin_heavy_hitters",
-    "stream_countmin_topk",
-    "stream_kmv_bottomk",
-    "join_bloom_prefilter",
-    "pipeline_shard_binpack",
-    "pipeline_global_shuffle",
-    "validate_table_checksum",
-    # -- (a) the round-12 shared-sessionizer/contingency-grid tier ----
-    "sessionize_events",
-    "join_interval_overlap",
-    "agg_mutual_information",
-    # -- (b) round-13 body changes ------------------------------------
-    "graph_pagerank",  # static dangling set + fused scalar broadcast
-    "dedup_ngram_jaccard",  # xxhash64-encoded postings + collision guard
-    "dedup_shingle_containment",  # same hashed-posting upgrade
-    # -- (b) round-13 oracle guards (div-zero sweep) -------------------
-    "agg_skewness_kurtosis",  # zero-variance CASE (also r4-stale)
-    "text_zipf_slope",  # singular-fit CASE
-    "text_quality_calibration",  # singular 2x2 IRLS CASE
-    # -- (b) round-13 extremes-audit overflow fixes --------------------
-    "agg_welch_ttest",  # DECIMAL cents² product (both engines)
-    "agg_regression_exact_moments",  # DECIMAL/HUGEINT moment products
-    # -- (b) blob-export fixture path re-versioned (ADVICE r12) --------
-    "source_binaryfile",
+    "text_zipf_slope",  # Spark-side try_divide on the singular fit
+    "text_quality_calibration",  # try_divide on the singular 2x2 solve
+    "event_spike_detection",  # try_divide z; no conjunct-order reliance
+    "graph_pagerank",  # dangling broadcast gated on graph_partitions
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -122,40 +91,63 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 13: the 26 CHANGED queries (17 refactor-tier + 9 this-round
-#: bodies/oracles) + the ENTIRE remaining r4-staleness block (24
-#: queries — agg_skewness_kurtosis, sample_stratified_hash, and
-#: sessionize_events are already CHANGED) fill the 50 slots exactly,
-#: clearing BOTH items the r12 verdict set for this window: after this
-#: round every query's newest driver evidence is r5-era or newer and
-#: no changed body lacks a driver row.
+#: Round 14 (the second rotation round, VERDICT r13 #1): the 4 CHANGED
+#: bodies + the ENTIRE remaining r5-green block (28 queries) + the 18
+#: oldest r6-greens fill the 50 slots exactly
+#: (``scripts/next_window.py --slots 50`` printed this ranking from the
+#: committed CORRECTNESS_r01–r13 artifacts). After this round the
+#: staleness floor moves to r6-era (the 13 youngest r6-greens), and
+#: every ADVICE-r13 body fix carries a fresh driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: the full remaining r4-green block ---------
-    "agg_pivot",
-    "agg_unpivot",
-    "cohort_retention",
-    "embed_cosine_topk",
-    "embed_pq_encode",
-    "embed_quantize_int8",
-    "funnel_analysis",
-    "fuzzy_name_match",
-    "join_full_outer",
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "lateral_explode_tokens",
-    "profile_key_skew",
-    "profile_length_histogram",
-    "quality_repetition_filter",
-    "sample_reservoir_per_group",
-    "sink_clustered_parquet",
-    "source_xml",
-    "text_domain_mixture",
-    "timeseries_downsample_ohlc",
-    "timeseries_gapfill",
-    "tpch_q22_global_sales_opportunity",
-    "upsert_latest_by_key",
+    # -- staleness refreshes: the full remaining r5-green block ---------
+    "agg_approx_count_distinct",
+    "agg_hll_sketch_union",
+    "agg_percentile_approx",
+    "embed_ann_ivf",
+    "embed_knn_join",
+    "event_markov_transitions",
+    "event_pattern_match",
+    "graph_bfs_hops",
+    "graph_triangle_count",
+    "sink_zorder_parquet",
+    "source_mergeschema",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_running_count",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_tumbling_window",
+    "stream_watermark_append",
+    "subquery_in_uncorrelated",
+    "subquery_not_in_null",
+    "text_bigram_pmi",
+    "text_bm25_rank",
+    "text_chi2_terms",
+    "text_unigram_logprob",
+    "timeseries_time_weighted_avg",
+    # -- staleness refreshes: the 18 oldest r6-greens --------------------
+    "agg_bitmap_exact_distinct",
+    "agg_exact_median_histogram",
+    "agg_incremental_maintenance",
+    "agg_mode_deterministic",
+    "assoc_copurchase_lift",
+    "embed_kmeans_lloyd",
+    "embed_label_centroids",
+    "ids_global_row_number",
+    "join_asof",
+    "join_asof_forward_tolerance",
+    "join_null_safe",
+    "join_point_in_time_scd2",
+    "pipeline_end_to_end",
+    "profile_psi_drift",
+    "scd2_from_events",
+    "set_union_missing_columns",
+    "stream_chained_agg",
+    "stream_foreachbatch",
 )
 
 def load_all() -> dict[str, QuerySpec]:

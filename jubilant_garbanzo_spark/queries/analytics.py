@@ -1968,8 +1968,16 @@ def event_spike_detection(spark, sf_dir):
     sd = F.col("s").cast("double")
     ssd = F.col("ss").cast("double")
     var_num = nd * ssd - sd * sd
-    z = (F.col("cnt").cast("double") - sd / nd) / F.sqrt(
-        var_num / (nd * (nd - 1.0))
+    # try_divide at every step: a warm-up row (n = 1, var_num = 0)
+    # would make the plain-'/' z expression 0/0 — an ANSI
+    # DIVIDE_BY_ZERO if the z > 3 conjunct ever evaluated before the
+    # n >= 12 gate. The filter's And DOES short-circuit left-to-right
+    # today, but correctness should not hinge on conjunct ordering;
+    # on every row the filter keeps (n >= 12, var_num > 0) all three
+    # divisors are provably nonzero, so values are unchanged.
+    z = F.try_divide(
+        F.col("cnt").cast("double") - F.try_divide(sd, nd),
+        F.sqrt(F.try_divide(var_num, nd * (nd - 1.0))),
     )
     return (
         t.filter((F.col("n") >= 12) & (var_num > 0) & (z > 3.0))

@@ -2883,7 +2883,12 @@ def text_zipf_slope(spark, sf_dir):
     )
     num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = num.cast("double") / den.cast("double")
+    # try_divide, not '/': on a one-distinct-token corpus n = 1 and
+    # x = ln(1) = 0 make den EXACTLY 0, and ANSI-default Spark 4 throws
+    # DIVIDE_BY_ZERO on plain division where the oracle's CASE yields
+    # NULL (the agg_regression_exact_moments discipline). NULL slope
+    # then propagates NULL into log_intercept over the same rows.
+    slope = F.try_divide(num.cast("double"), den.cast("double"))
     return m.select(
         F.col("n").alias("n_terms"),
         F.round(slope, 6).alias("zipf_slope"),
@@ -4612,16 +4617,29 @@ def text_quality_calibration(spark, sf_dir):
             ).alias("srxd"),
         )
         det = F.col("swd") * F.col("swxxd") - F.col("swxd") * F.col("swxd")
+        # try_divide, not '/': a singular 2x2 system (e.g. all-identical
+        # xm = 0 zeroes swxd and swxxd) makes det an EXACT IEEE 0, and
+        # ANSI-default Spark 4 throws DIVIDE_BY_ZERO on plain division
+        # where the oracle's CASE yields NULL betas (the welch /
+        # regression try_divide discipline). NULL betas then cascade
+        # through round 2 exactly as the oracle does: NULL beta makes
+        # pmu NULL, every moment NULL, det NULL, try_divide NULL.
         return m.crossJoin(F.broadcast(beta_df)).select(
             (
                 F.col("beta0")
-                + (F.col("swxxd") * F.col("srd") - F.col("swxd") * F.col("srxd"))
-                / det
+                + F.try_divide(
+                    F.col("swxxd") * F.col("srd")
+                    - F.col("swxd") * F.col("srxd"),
+                    det,
+                )
             ).alias("beta0"),
             (
                 F.col("beta1")
-                + (F.col("swd") * F.col("srxd") - F.col("swxd") * F.col("srd"))
-                / det
+                + F.try_divide(
+                    F.col("swd") * F.col("srxd")
+                    - F.col("swxd") * F.col("srd"),
+                    det,
+                )
             ).alias("beta1"),
         ).localCheckpoint(eager=True)
 

@@ -173,6 +173,58 @@ ADJUDICATIONS: dict[str, str] = {
 }
 
 
+#: Spark-side guard evidence for a GUARDED adjudication. An oracle CASE
+#: alone is only HALF a guard: under Spark 4's ANSI default a plain '/'
+#: THROWS DIVIDE_BY_ZERO where the oracle's CASE yields NULL, so the
+#: crash-vs-NULL parity the adjudication asserts needs the Spark
+#: implementation to carry try_divide / F.when / nullif on the same
+#: divisor (ADVICE r13: text_zipf_slope and text_quality_calibration
+#: were adjudicated GUARDED with only the oracle half present).
+_SPARK_GUARD = re.compile(
+    r"try_divide|F\.when\(|\.when\(|nullif|NULLIF|CASE\s+WHEN|greatest\("
+)
+
+#: GUARDED queries whose Spark side provably cannot hit the zero (the
+#: guard lives in a WHERE/filter upstream, or the division happens on
+#: rows a prior stage already restricted) — reason required.
+SPARK_GUARD_WAIVERS: dict[str, str] = {
+    "sample_weighted_priority": (
+        "Spark guard is the upstream .filter(o_totalprice > 0) — the "
+        "A-ES divisions run only on filtered rows (quality.py "
+        "sample_weighted_priority docstring states the exclusion); the "
+        "guard-construct regex cannot see DataFrame filters"
+    ),
+}
+
+
+def spark_guard_failures() -> list[str]:
+    """Every GUARDED-adjudicated query must show a guard construct in
+    its Spark implementation source (or carry an explicit waiver)."""
+    import inspect
+
+    specs = load_all()
+    failures: list[str] = []
+    for name, reason in ADJUDICATIONS.items():
+        if not reason.startswith(GUARDED[:20]):
+            continue
+        if name in SPARK_GUARD_WAIVERS:
+            continue
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            failures.append(f"{name}: Spark source unavailable")
+            continue
+        if not _SPARK_GUARD.search(src):
+            failures.append(
+                f"{name}: adjudicated GUARDED but the Spark implementation "
+                "shows no try_divide/when/nullif guard"
+            )
+    return failures
+
+
 def divisor_token(sql: str, pos: int) -> str:
     s = sql[pos:]
     depth = 0
@@ -233,9 +285,17 @@ def main() -> int:
     if stale:
         print(f"note: {len(stale)} stale adjudications (no longer flagged): "
               f"{stale}")
-    if missing:
+    guard_failures = spark_guard_failures()
+    print(
+        f"spark-side guard check: "
+        f"{len([r for r in ADJUDICATIONS.values() if r.startswith(GUARDED[:20])])}"
+        f" GUARDED adjudications, {len(guard_failures)} missing Spark guards"
+    )
+    if missing or guard_failures:
         for n in missing:
             print(f"UNADJUDICATED {n}: {flagged[n]}")
+        for f in guard_failures:
+            print(f"SPARK-GUARD-MISSING {f}")
         return 1
     return 0
 

@@ -1209,3 +1209,53 @@ def test_hashed_prefix_jaccard_matches_bruteforce(spark, corpus, threshold):
         for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
     }
     assert got == expected, (sorted(got - expected), sorted(expected - got))
+
+
+def test_zipf_singular_fit_yields_null_not_crash(spark, tmp_path):
+    """ADVICE r13: a one-distinct-token corpus makes the zipf fit
+    singular — n = 1, x = ln(1) = 0, so den = n*sxx - sx*sx is EXACTLY
+    0. Plain '/' threw DIVIDE_BY_ZERO under Spark 4's ANSI default
+    while the oracle's CASE yielded NULL; the Spark side now carries
+    try_divide, so both engines agree on (NULL slope, NULL
+    intercept)."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    rows = [(0, "alpha alpha alpha", "en", "s0", 17)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = load_all()["text_zipf_slope"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_terms"] == 1
+    assert out[0]["zipf_slope"] is None
+    assert out[0]["log_intercept"] is None
+
+
+def test_irls_singular_system_yields_null_not_crash(spark, tmp_path):
+    """ADVICE r13: all-identical xm = 0 zeroes swxd/swxxd so the IRLS
+    2x2 determinant is an EXACT IEEE 0 — plain '/' threw
+    DIVIDE_BY_ZERO under the ANSI default where the oracle's CASE
+    yields NULL betas. The corpus is engineered so every doc's mean
+    hashed-BoW logit rounds to xm = 0: tokens (at, at, w, bh, bh)
+    carry weights (-1000, -1000, 239, 972, 972), sum 183, and
+    (183 + BIAS_MILLI*5)/5 = -0.4 rounds to 0. With try_divide the
+    round-1 betas are NULL and round 2 cascades NULL through the
+    NULL-beta sigmoid, exactly as the oracle computes."""
+    from jubilant_garbanzo_spark.queries import load_all
+
+    text = "at at w bh bh"
+    rows = [
+        (0, text, "en", "s0", 500),  # y = 1
+        (1, text, "en", "s0", 10),   # y = 0
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        load_all()["text_quality_calibration"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert [r["irls_round"] for r in out] == [1, 2]
+    for r in out:
+        assert r["beta0"] is None and r["beta1"] is None, r
