@@ -4672,12 +4672,36 @@ _SPARSE_DF_CAP = 20
 _SPARSE_COS_THRESHOLD = 0.6
 
 
-def sparse_tfidf_components(d):
+def sparse_tfidf_components(d, agg_mode=None):
     """The production stages of `text_sparse_tfidf_cosine`, split so
     scale benchmarks can count candidate pairs on EXACTLY the shipped
     pipeline: returns ``(post, nrm, dots)`` — the df-capped posting
     lists, per-doc norm masses, and the posting-join dot products
-    (one row per candidate pair, BEFORE the cosine threshold)."""
+    (one row per candidate pair, BEFORE the cosine threshold).
+
+    Round 14, the x100 tail lever: the adjudicated heavy stage is the
+    pair aggregation — ~112M distinct candidate pairs at x100, each a
+    (id_a, id_b) 2-long key accumulating a DECIMAL(38,0) sum. Both
+    constants are now cut by a RUNTIME-PROVEN fast path, chosen from
+    one extra 1-row aggregate over the (checkpointed) norm table:
+
+    - dot <= sqrt(nn_a)*sqrt(nn_b) <= max(nn) by Cauchy-Schwarz over
+      the shared-term subset, and every partial sum is bounded by the
+      total because all weights are >= 0 (idf = ln(N/df) >= 0). When
+      max(nn) < 0.99 * 2^63 the whole aggregation provably fits
+      BIGINT — an 8-byte codegen sum instead of a 128-bit decimal.
+    - when 0 <= doc_id < 2^31 the pair key packs into ONE bigint
+      (id_a * 2^31 + id_b, decoded exactly by DIV/% after the agg), so
+      the hash-agg keys and shuffle rows shrink by a long.
+
+    Identical integers come out either way (BIGINT and DECIMAL(38,0)
+    represent the exact same sums; the final cast to double rounds the
+    same integer), pinned by
+    tests/test_edge_cases.py::test_sparse_tfidf_agg_paths_identical.
+    The guard is conservative on purpose: any corpus that overflows
+    the bound (or uses negative/64-bit doc ids) takes the DECIMAL
+    path unchanged. ``agg_mode`` ('decimal' | 'bigint') overrides the
+    choice for tests/benchmarks only."""
     ws = F.split("text", " ")
     sh = (
         d.select("doc_id", ws.alias("ws"))
@@ -4709,23 +4733,49 @@ def sparse_tfidf_components(d):
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
         .cast("double")
         .alias("nn")
-    )
+    ).localCheckpoint(eager=True)
+    if agg_mode is None:
+        stats = nrm.agg(
+            F.max("nn").alias("mx"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).first()
+        bigint_safe = (
+            stats["mx"] is not None
+            and stats["mx"] < 0.99 * float(2**63)
+            and stats["lo"] >= 0
+            and stats["hi"] < 2**31
+        )
+    else:
+        bigint_safe = agg_mode == "bigint"
     a = post.select(
         F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa")
     )
     b = post.select(
         F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb")
     )
-    dots = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
+    matches = a.join(b, "s").filter(F.col("id_a") < F.col("id_b"))
+    if bigint_safe:
+        half = F.lit(2**31).cast("bigint")
+        dots = (
+            matches.select(
+                (F.col("id_a") * half + F.col("id_b")).alias("pk"),
+                (F.col("wa") * F.col("wb")).alias("p"),
+            )
+            .groupBy("pk")
+            .agg(F.sum("p").alias("idot"))
+            .select(
+                F.expr("pk DIV 2147483648").alias("id_a"),
+                (F.col("pk") % half).alias("id_b"),
+                F.col("idot").cast("double").alias("dot"),
+            )
+        )
+    else:
+        dots = matches.groupBy("id_a", "id_b").agg(
             F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
             .cast("double")
             .alias("dot")
         )
-    )
     return post, nrm, dots
 
 

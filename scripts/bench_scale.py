@@ -144,6 +144,17 @@ QUERIES = (
     # tokenizer rows as the replica corpus grows
     "text_wordpiece_tokenize",
     "text_wordpiece_train",
+    # round-14 (VERDICT r13 #5): the three >= 1.7 s headline heavies
+    # that had NO scale decade — k-core peeling (per-round degree agg +
+    # edge semi-join over the derived trade graph; frontier = surviving
+    # nodes, bounded by the 25-nation dim so rounds should be flat and
+    # wall ~ the fact-join edge derivation), incremental dedup
+    # registry maintenance (one shared MinHash index + increment-local
+    # propagation), and the longest duplicated substring (bounded
+    # doubling rounds over the suffix-rank index)
+    "graph_kcore",
+    "dedup_cluster_incremental",
+    "text_longest_dup_substring",
 )
 ID_STRIDE = 10_000_000
 

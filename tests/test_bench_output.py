@@ -115,3 +115,32 @@ def test_canary_inflation_math_and_gating():
     assert bench.canary_inflation(partial, bench.CANARY_REF_SF) == (None, {})
     # Wrong SF → no adjudication.
     assert bench.canary_inflation(timings, 0.001) == (None, {})
+
+
+def test_canary_ref_pinned_to_baseline_md():
+    """VERDICT r13 #4: bench.CANARY_REF must equal BASELINE.md's LATEST
+    committed canary re-sync line — the constants were free-floating
+    before this pin, so a baseline re-record that forgot bench.py (or
+    vice versa) would silently skew every inflation estimate. The line
+    format is fixed: '(trending_topk X s, q1 Y s, q6 Z s)'."""
+    import re
+    from pathlib import Path
+
+    import bench
+
+    text = (Path(bench.__file__).parent / "BASELINE.md").read_text()
+    matches = re.findall(
+        r"\(trending_topk ([\d.]+) s, q1 ([\d.]+) s, q6 ([\d.]+) s\)",
+        text,
+    )
+    assert matches, "BASELINE.md lost its committed canary re-sync line"
+    t, q1, q6 = (float(v) for v in matches[-1])
+    assert bench.CANARY_REF == {
+        "trending_topk": t,
+        "tpch_q1_pricing_summary": q1,
+        "tpch_q6_forecast_revenue": q6,
+    }, (
+        "bench.CANARY_REF drifted from BASELINE.md's latest committed "
+        "canary rows — update both together when re-recording the "
+        "baseline"
+    )

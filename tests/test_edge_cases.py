@@ -1259,3 +1259,60 @@ def test_irls_singular_system_yields_null_not_crash(spark, tmp_path):
     assert [r["irls_round"] for r in out] == [1, 2]
     for r in out:
         assert r["beta0"] is None and r["beta1"] is None, r
+
+
+def _sparse_cosine_rows(spark, docs, agg_mode):
+    from jubilant_garbanzo_spark.queries.llm import (
+        _SPARSE_COS_THRESHOLD,
+        sparse_tfidf_components,
+    )
+
+    _post, nrm, dots = sparse_tfidf_components(docs, agg_mode=agg_mode)
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= _SPARSE_COS_THRESHOLD)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .collect()
+    )
+
+
+def test_sparse_tfidf_agg_paths_identical(spark):
+    """Round 14: the packed-key BIGINT pair aggregation must produce
+    bit-identical cosines to the DECIMAL(38,0) path — both sum the
+    exact same integers; only the accumulator width differs. The
+    corpus mixes near-dups (high shared-term mass), a partial overlap,
+    and singletons so both paths exercise multi-term dot products."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " tail"),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different words entirely here now truly"),
+        (4, "the quick brown fox leaps over the lazy dog again and again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dec = _sparse_cosine_rows(spark, docs, "decimal")
+    big = _sparse_cosine_rows(spark, docs, "bigint")
+    assert dec == big and len(dec) > 0, (dec, big)
+
+
+def test_sparse_tfidf_auto_mode_survives_degenerate_corpora(spark):
+    """The runtime guard's stats row is NULL on an empty corpus and
+    trivial on a singleton — both must fall through without crashing
+    and return zero pairs (no partner docs)."""
+    from jubilant_garbanzo_spark.queries.llm import sparse_tfidf_components
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    _p, _n, dots = sparse_tfidf_components(empty)
+    assert dots.count() == 0
+    single = spark.createDataFrame(
+        [(7, "one lonely document with several tokens")],
+        "doc_id long, text string",
+    )
+    _p, _n, dots = sparse_tfidf_components(single)
+    assert dots.count() == 0
