@@ -522,6 +522,12 @@ def main() -> int:
     # doesn't force re-measuring (and re-noising) the other ~24 rows.
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--merge", action="store_true")
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="skip corpus generation when the scale dir already exists "
+        "(same-session retries; caller asserts the shape matches)",
+    )
     # Only valid with --queries restricted to documents/embeddings
     # readers: skips replicating the relational tables.
     ap.add_argument("--skip-relational", action="store_true")
@@ -555,8 +561,15 @@ def main() -> int:
 
     for scale in args.scales:
         dest = f"{WORK}/x{scale}"
-        shutil.rmtree(dest, ignore_errors=True)
-        generate(spark, scale, dest, skip_relational=args.skip_relational)
+        if args.reuse and os.path.isdir(f"{dest}/documents.parquet"):
+            # Same-session retry path: the corpus is deterministic, so
+            # a rebuild only burns wall-clock. The caller asserts the
+            # existing dir matches the requested shape (relational
+            # tables present if the queries need them).
+            pass
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+            generate(spark, scale, dest, skip_relational=args.skip_relational)
         import duckdb
 
         n_docs = duckdb.sql(
@@ -665,13 +678,29 @@ def main() -> int:
             )
         for name in bench_queries:
             fn = specs[name].fn
+
+            def _reclaim():
+                # The suffix-probe discipline, applied to the generic
+                # rep loop (round 14): checkpoint-heavy queries (the
+                # shared suffix-rank index, the Lloyd caches) retain
+                # their localCheckpoint blocks until the Python refs
+                # are collected — at x100 four retained runs OOMed the
+                # single JVM. Collection happens OUTSIDE the timed
+                # region, so medians are unaffected.
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+
             # warm-up (codegen/JIT), then median-of-N
             fn(spark, dest).write.format("noop").mode("overwrite").save()
+            _reclaim()
             runs = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
                 fn(spark, dest).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+                _reclaim()
             runs.sort()
             med = (
                 runs[len(runs) // 2]

@@ -48,6 +48,19 @@ def test_pagerank_star_concentrates_on_hub(spark):
     assert abs(sum(r.values()) - PR_SCALE) < 5 * 4 * 10, r
 
 
+def test_pagerank_unhinted_matches_hinted(spark):
+    """Round 14 (ADVICE r13): without the graph_partitions small-graph
+    signal the dangling-set join no longer carries a broadcast hint —
+    AQE picks the strategy. The integer fixpoint must be IDENTICAL to
+    the hinted path on the same graph (the hint is a physical-plan
+    choice, never a semantics choice)."""
+    e = _edges(spark, [(1, 0, 1), (2, 0, 1), (3, 0, 2), (0, 1, 1)])
+    nodes = _nodes(spark, [0, 1, 2, 3, 4])  # 4 is isolated (dangling)
+    hinted = _ranks(pagerank_fixed(e, nodes, graph_partitions=1))
+    unhinted = _ranks(pagerank_fixed(e, nodes))
+    assert hinted == unhinted, (hinted, unhinted)
+
+
 def test_pagerank_weights_shift_mass(spark):
     """Out-edge weights split a node's rank proportionally: with
     0 →(3)→ 1 and 0 →(1)→ 2, node 1 must get ~3× node 2's inflow."""
