@@ -290,9 +290,12 @@ def generate(spark, scale: int, dest: str, skip_relational: bool = False) -> Non
         out.repartition(4 * scale).write.mode("overwrite").parquet(
             f"{dest}/{table}.parquet"
         )
-    spark.read.parquet(f"{BASE}/nation.parquet").write.mode("overwrite").parquet(
-        f"{dest}/nation.parquet"
-    )
+    # Dims are scale-invariant: every replica collapses onto the same
+    # 25 nations / 5 regions (region joined by q5, round 14).
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{dim}.parquet")
     ev = load_table(spark, BASE, "events")
     ev_parts = [ev]
     for r in range(1, scale):

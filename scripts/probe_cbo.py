@@ -64,32 +64,72 @@ def setup_catalog(spark, sf_dir: str) -> None:
         spark.sql(
             f"CREATE TABLE {DB}.{name} USING PARQUET LOCATION '{path}'"
         )
-        spark.sql(
-            f"ANALYZE TABLE {DB}.{name} COMPUTE STATISTICS FOR ALL COLUMNS"
-        )
+        # ANALYZE ... FOR COLUMNS rejects nested types (the embeddings
+        # array) and crashes with a MatchError on TIMESTAMP_NTZ in this
+        # Spark build — analyze the supported atomic columns only.
+        atomic = [
+            f"`{f.name}`"
+            for f in spark.table(f"{DB}.{name}").schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "variant", "timestamp_ntz")
+        ]
+        if atomic:
+            spark.sql(
+                f"ANALYZE TABLE {DB}.{name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(atomic)}"
+            )
+        else:
+            spark.sql(f"ANALYZE TABLE {DB}.{name} COMPUTE STATISTICS")
 
 
 def catalog_load_table(spark, sf_dir: str, name: str):
     # sf_dir ignored: the probe catalog points at the same files.
+    # refreshTable first: the session relation cache otherwise hands
+    # EVERY call the same LogicalRelation instance (same attribute
+    # ids), which breaks multi-table DAGs and self-joins with
+    # MISSING_ATTRIBUTES / ambiguous-self-join errors — path reads
+    # never hit this because each read creates fresh attributes.
+    # Catalog statistics live in the metastore and survive the refresh.
+    spark.catalog.refreshTable(f"{DB}.{name}")
     return spark.table(f"{DB}.{name}")
 
 
-def join_order(df) -> list[str]:
-    """Leaf scan order from the formatted plan — a join-reorder
-    fingerprint that's robust to codegen-id churn."""
+def join_order(df) -> dict:
+    """Join-tree fingerprint from the executed plan: leaf tables in
+    scan order (extracted from the parquet locations, which both the
+    path-read and catalog arms carry) plus the join-operator sequence.
+    Robust to codegen-id churn; a CBO reorder changes one of these."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    scans = re.findall(r"FileScan parquet[^\[]*\[([a-z_0-9#]+)[,\]]", plan)
-    rels = re.findall(r"parquet ([a-z_]+\.[a-z_]+)?", plan)
-    out = [r for r in rels if r]
-    return out if out else scans
+    leaves = [
+        m.rsplit("/", 1)[-1]
+        for m in re.findall(r"[\w/.-]+?(?=\.parquet)", plan)
+    ]
+    # de-noise: keep first occurrence order, drop repeats of the same
+    # leaf from multi-line location dumps
+    seen, order = set(), []
+    for t in leaves:
+        if t not in seen:
+            seen.add(t)
+            order.append(t)
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin)\b[^\n]*?\b"
+        r"(Inner|LeftOuter|RightOuter|LeftSemi|LeftAnti|FullOuter|Cross)",
+        plan,
+    )
+    return {"leaf_order": order, "joins": ["/".join(j) for j in joins]}
 
 
 def run_arm(spark, fn, sf_dir: str, cbo: bool) -> float:
-    spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+    set_cbo(spark, cbo)
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def set_cbo(spark, on: bool) -> None:
+    spark.conf.set("spark.sql.cbo.enabled", str(on).lower())
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(on).lower())
 
 
 def main() -> int:
@@ -109,17 +149,21 @@ def main() -> int:
     result: dict = {"sf": args.sf, "runs": args.runs, "queries": {}}
     for qname in QUERIES:
         fn = specs[qname].fn
-        # plan fingerprints once per arm
+        # plan fingerprints + full result comparison once per arm
         tpch_mod.load_table = orig
-        spark.conf.set("spark.sql.cbo.enabled", "false")
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        set_cbo(spark, False)
         plan_a = join_order(fn(spark, args.sf))
-        rows_a = fn(spark, args.sf).count()
+        res_a = sorted(map(tuple, fn(spark, args.sf).collect()))
         tpch_mod.load_table = catalog_load_table
-        spark.conf.set("spark.sql.cbo.enabled", "true")
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        set_cbo(spark, True)
         plan_b = join_order(fn(spark, args.sf))
-        rows_b = fn(spark, args.sf).count()
+        res_b = sorted(map(tuple, fn(spark, args.sf).collect()))
+        rows_a, rows_b = len(res_a), len(res_b)
+        if res_a != res_b:
+            raise SystemExit(
+                f"{qname}: CBO arm changed RESULTS, not just the plan — "
+                "probe invalid (ambiguous self-join mis-resolution?)"
+            )
 
         walls_a, walls_b = [], []
         for _ in range(args.runs):
