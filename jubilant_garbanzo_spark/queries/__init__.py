@@ -81,6 +81,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_quality_calibration",  # try_divide on the singular 2x2 solve
     "event_spike_detection",  # try_divide z; no conjunct-order reliance
     "graph_pagerank",  # dangling broadcast gated on graph_partitions
+    # the x100 perf lever: runtime-proven packed-key BIGINT pair agg
+    # (identical integers; see BASELINE.md round-14 lever entry)
+    "text_sparse_tfidf_cosine",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -91,13 +94,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 14 (the second rotation round, VERDICT r13 #1): the 4 CHANGED
-#: bodies + the ENTIRE remaining r5-green block (28 queries) + the 18
+#: Round 14 (the second rotation round, VERDICT r13 #1): the 5 CHANGED
+#: bodies + the ENTIRE remaining r5-green block (28 queries) + the 17
 #: oldest r6-greens fill the 50 slots exactly
 #: (``scripts/next_window.py --slots 50`` printed this ranking from the
 #: committed CORRECTNESS_r01–r13 artifacts). After this round the
-#: staleness floor moves to r6-era (the 13 youngest r6-greens), and
-#: every ADVICE-r13 body fix carries a fresh driver row.
+#: staleness floor moves to r6-era (the 14 youngest r6-greens), and
+#: every ADVICE-r13 body fix — plus the round's one perf-lever body,
+#: the sparse-tfidf packed-key aggregation — carries a fresh driver
+#: row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
     # -- staleness refreshes: the full remaining r5-green block ---------
@@ -129,7 +134,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_chi2_terms",
     "text_unigram_logprob",
     "timeseries_time_weighted_avg",
-    # -- staleness refreshes: the 18 oldest r6-greens --------------------
+    # -- staleness refreshes: the 17 oldest r6-greens --------------------
     "agg_bitmap_exact_distinct",
     "agg_exact_median_histogram",
     "agg_incremental_maintenance",
@@ -147,7 +152,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_from_events",
     "set_union_missing_columns",
     "stream_chained_agg",
-    "stream_foreachbatch",
 )
 
 def load_all() -> dict[str, QuerySpec]:
