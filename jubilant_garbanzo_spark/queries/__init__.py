@@ -84,6 +84,14 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # the x100 perf lever: runtime-proven packed-key BIGINT pair agg
     # (identical integers; see BASELINE.md round-14 lever entry)
     "text_sparse_tfidf_cosine",
+    # the audit_divzero '%'-extension find: the derived partsupp's
+    # shared _PS_SUPPKEY constants gained the zero-supplier CASE +
+    # greatest floor on BOTH engines (q11/q16/q20 were also r6-stale)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relation",
+    "tpch_q20_potential_promotion",
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -94,15 +102,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 14 (the second rotation round, VERDICT r13 #1): the 5 CHANGED
-#: bodies + the ENTIRE remaining r5-green block (28 queries) + the 17
-#: oldest r6-greens fill the 50 slots exactly
+#: Round 14 (the second rotation round, VERDICT r13 #1): the 10
+#: CHANGED bodies + the ENTIRE remaining r5-green block (28 queries) +
+#: the 12 oldest r6-greens fill the 50 slots exactly
 #: (``scripts/next_window.py --slots 50`` printed this ranking from the
 #: committed CORRECTNESS_r01–r13 artifacts). After this round the
-#: staleness floor moves to r6-era (the 14 youngest r6-greens), and
-#: every ADVICE-r13 body fix — plus the round's one perf-lever body,
-#: the sparse-tfidf packed-key aggregation — carries a fresh driver
-#: row.
+#: staleness floor moves to r6-era, and every ADVICE-r13 body fix —
+#: plus the round's perf-lever body (sparse-tfidf packed-key agg) and
+#: the five partsupp zero-supplier-guard consumers — carries a fresh
+#: driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
     # -- staleness refreshes: the full remaining r5-green block ---------
@@ -134,7 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_chi2_terms",
     "text_unigram_logprob",
     "timeseries_time_weighted_avg",
-    # -- staleness refreshes: the 17 oldest r6-greens --------------------
+    # -- staleness refreshes: the 12 oldest r6-greens --------------------
     "agg_bitmap_exact_distinct",
     "agg_exact_median_histogram",
     "agg_incremental_maintenance",
@@ -147,11 +155,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_forward_tolerance",
     "join_null_safe",
     "join_point_in_time_scd2",
-    "pipeline_end_to_end",
-    "profile_psi_drift",
-    "scd2_from_events",
-    "set_union_missing_columns",
-    "stream_chained_agg",
 )
 
 def load_all() -> dict[str, QuerySpec]:

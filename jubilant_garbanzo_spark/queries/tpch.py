@@ -787,9 +787,17 @@ def tpch_q22(spark, sf_dir):
 #: s/4 + (p-1)/s degenerates at small s (e.g. s=10, parts 81-90: stride
 #: ≡ 0 mod s, all four suppliers collapse — caught by the hypothesis
 #: property test in tests/test_edge_cases.py).
+#: Zero-supplier guard (round 14, the audit_divzero '%'-extension
+#: find): s = count(supplier) is the modulus/divisor of the dbgen
+#: formula, and on a parts-nonempty / suppliers-empty corpus Spark's
+#: ANSI DIV/% throw DIVIDE_BY_ZERO where DuckDB 1.0 yields NULL. The
+#: explicit IF makes BOTH engines emit NULL ps_suppkey (which the
+#: downstream supplier joins then drop), independent of either
+#: engine's x%0 default.
 _PS_SUPPKEY = (
-    "((p_partkey - 1 + (p_partkey - 1) DIV s"
-    " + i * greatest(s DIV 4, 1)) % s) + 1"
+    "IF(s = 0, CAST(NULL AS BIGINT),"
+    " ((p_partkey - 1 + (p_partkey - 1) DIV greatest(s, 1)"
+    " + i * greatest(s DIV 4, 1)) % greatest(s, 1)) + 1)"
 )
 
 #: q21 lateness, reduced to integer deltas off the shared l_shipdate base.
@@ -829,8 +837,9 @@ def _partsupp(spark, sf_dir):
 
 
 _PS_SUPPKEY_SQL = (
-    "((p_partkey - 1 + (p_partkey - 1) // sc.s"
-    " + i.i * greatest(sc.s // 4, 1)) % sc.s) + 1"
+    "CASE WHEN sc.s = 0 THEN CAST(NULL AS BIGINT)"
+    " ELSE ((p_partkey - 1 + (p_partkey - 1) // greatest(sc.s, 1)"
+    " + i.i * greatest(sc.s // 4, 1)) % greatest(sc.s, 1)) + 1 END"
 )
 
 #: DuckDB twin of :func:`_partsupp` as a WITH-clause member.

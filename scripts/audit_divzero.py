@@ -165,11 +165,44 @@ ADJUDICATIONS: dict[str, str] = {
     "needs an exact zero hash (p ~ k/2^60) — adjudicated safe by domain; "
     "Spark divides by the same value so both engines share the event",
     # --- parser false positives (slash inside a string literal) --------
-    "text_url_canonical_dedup": STRING_SLASH,
     "conditional_try_functions": STRING_SLASH
     + "; the real divisions are try_divide twins guarded on both engines",
-    "join_asof_forward_tolerance": STRING_SLASH
-    + "; /1000000.0 is a constant scale inside a CASE",
+    # --- round 14: the '%' / '//' extension (ANSI mod/int-div by zero
+    # --- throws exactly like '/'; the derived partsupp was the find) ---
+    "tpch_q2_min_cost_supplier": "zero-supplier CASE + greatest(sc.s, 1) "
+    "floor, BOTH engines (shared _PS_SUPPKEY/_PS_SUPPKEY_SQL constants, "
+    "round 14)",
+    "tpch_q9_product_profit": "same partsupp zero-supplier guard (round 14)",
+    "tpch_q11_important_stock": "same partsupp zero-supplier guard "
+    "(round 14)",
+    "tpch_q16_parts_supplier_relation": "same partsupp zero-supplier "
+    "guard (round 14)",
+    "tpch_q20_potential_promotion": "same partsupp zero-supplier guard "
+    "(round 14)",
+    "dedup_embedding_cosine": "divisor 1 << (24 - bits) is a power of two "
+    ">= 1 (the adaptive-bits clamp keeps bits <= 24)",
+    "embed_ann_lsh": "divisor 1 << (24 - bits), power of two >= 1",
+    "embed_similarity_join": "divisor 1 << (24 - bits), power of two >= 1",
+    "dedup_semantic_clusters": GROUP_COUNT + " (2 * per-cluster count)",
+    "embed_kmeans_lloyd": GROUP_COUNT + " (2 * per-cluster count)",
+    "embed_ann_ivfpq": GROUP_COUNT + " (2 * n, n a per-bucket count)",
+    "embed_pca_power_iteration": "m.mx is greatest(max|s|, 1)-floored; "
+    "cnt.n rows reach the division only alongside >= 1 vector",
+    "graph_clustering_coefficient": "WHERE deg >= 2 on BOTH engines "
+    "before the deg*(deg-1) division",
+    "graph_hits": "divisor greatest(m DIV 1e6, 1) is explicitly floored",
+    "graph_link_prediction_jaccard": "da.d + db.d - c.c >= max(da.d, "
+    "db.d) >= 1: union of neighbor sets of nodes that come from edges",
+    "graph_pagerank": "n / nn.n count nodes (rank rows exist only per "
+    "node); o.outw sums weights >= 1 per present src",
+    "graph_sssp_bellman_ford": "sum(w) over weights >= 1, per src "
+    "present in edges",
+    "pipeline_token_budget_plan": GROUP_COUNT + " (avail_tokens / "
+    "tot_nano count and sum per-source tokens >= 1)",
+    "text_wordpiece_train": "ca.sc / cb.sc are subword counts >= 1 for "
+    "every pair row that exists",
+    "timeseries_cusum_changepoint": "k is a 1-based row_number; "
+    "n - k >= 1 enforced by WHERE k < n on both engines",
 }
 
 
@@ -225,40 +258,65 @@ def spark_guard_failures() -> list[str]:
     return failures
 
 
-def divisor_token(sql: str, pos: int) -> str:
-    s = sql[pos:]
+def _balanced(s: str, start: int) -> int:
+    """End index (exclusive) of the paren group opening at s[start]."""
     depth = 0
-    out: list[str] = []
-    for ch in s:
-        if ch == "(":
+    for i in range(start, min(len(s), start + 300)):
+        if s[i] == "(":
             depth += 1
-        elif ch == ")":
-            if depth == 0:
-                break
+        elif s[i] == ")":
             depth -= 1
-        elif depth == 0 and ch == "," and "".join(out).strip():
-            break
-        out.append(ch)
-        if len(out) > 100:
-            break
-    return re.split(r"\s+AS\s+", "".join(out).strip(), flags=re.I)[0].strip()
+            if depth == 0:
+                return i + 1
+    return min(len(s), start + 300)
+
+
+def divisor_token(sql: str, pos: int) -> str:
+    """The RHS operand of a division/modulus at ``pos``: a balanced
+    paren group, a function call with its args, or the first bare
+    token — never trailing clause text (round 14: the old capture ran
+    into following JOIN/GROUP/THEN clauses, flagging literal divisors
+    like '% 16' as non-literal)."""
+    s = sql[pos:].lstrip()
+    if not s:
+        return ""
+    if s[0] == "(":
+        return s[: _balanced(s, 0)].strip()
+    m = re.match(r"[A-Za-z_][\w.]*\s*\(", s)
+    if m:
+        return s[: _balanced(s, m.end() - 1)].strip()
+    m = re.match(r"-?[\w.$]+", s)
+    return m.group(0) if m else s[:20]
 
 
 def flagged_queries() -> dict[str, list[str]]:
+    """Every oracle division/modulus/int-division whose RHS is not a
+    pure numeric literal. String literals are stripped FIRST (round
+    14): strftime formats and LIKE patterns are '%'-dense false
+    positives, and the old in-string '/' hits needed STRING_SLASH
+    pseudo-adjudications. '%'/'//' joined the scan in round 14 —
+    under Spark's ANSI default x % 0 and x DIV 0 throw exactly like
+    x / 0 (the derived-partsupp '% sc.s' was the first real find)."""
     specs = load_all()
     out: dict[str, list[str]] = {}
     for name, spec in specs.items():
         if not spec.oracle:
             continue
         sql = re.sub(r"--[^\n]*", "", spec.oracle)
+        sql = re.sub(r"'[^']*'", "''", sql)  # strip string literals
         toks = []
-        for m in re.finditer(r"/(?![*/])", sql):
-            if sql[m.start() - 1 : m.start()] == "/":  # '//' integer div
-                continue
-            d = divisor_token(sql, m.end())
-            if _LITERAL.match(d) or not re.search(r"[a-zA-Z_]", d):
-                continue
-            toks.append(d[:60])
+        for pat, op in (
+            (r"/(?![*/])(?<!//)", "/"),
+            (r"(?<!/)//(?!/)", "//"),
+            (r"%", "%"),
+        ):
+            for m in re.finditer(pat, sql):
+                if op == "/" and sql[m.start() - 1 : m.start()] == "/":
+                    continue
+                d = divisor_token(sql, m.end())
+                if _LITERAL.match(d) or not re.search(r"[a-zA-Z_]", d):
+                    continue
+                toks.append(f"{op} {d[:60]}")
         if toks:
             out[name] = sorted(set(toks))
     return out

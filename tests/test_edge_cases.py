@@ -1316,3 +1316,25 @@ def test_sparse_tfidf_auto_mode_survives_degenerate_corpora(spark):
     )
     _p, _n, dots = sparse_tfidf_components(single)
     assert dots.count() == 0
+
+
+def test_partsupp_zero_suppliers_yields_null_not_crash(spark, tmp_path):
+    """Round 14 (the audit_divzero '%'-extension find): the derived
+    partsupp divides and mods by s = count(supplier). On a
+    parts-nonempty / suppliers-empty corpus ANSI Spark threw
+    DIVIDE_BY_ZERO where DuckDB yields NULL; the shared zero-supplier
+    CASE now makes both engines emit NULL ps_suppkey (which every
+    downstream supplier join then drops)."""
+    from jubilant_garbanzo_spark.queries.tpch import _partsupp
+
+    spark.createDataFrame(
+        [(1, "p1"), (2, "p2")], "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [], "s_suppkey long, s_nationkey long, s_name string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+    rows = _partsupp(spark, str(tmp_path)).collect()
+    assert len(rows) == 8  # 2 parts x 4 replicas, no crash
+    assert all(r["ps_suppkey"] is None for r in rows)
+    # supplycost inherits the NULL suppkey term
+    assert all(r["ps_supplycost_cents"] is None for r in rows)
