@@ -63,35 +63,17 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-14 contents (the second rotation round, VERDICT r13): the four
-#: ADVICE-r13 body fixes. Three are crash-vs-NULL parity repairs — the
-#: round-13 div-zero sweep guarded only the ORACLE half of
-#: text_zipf_slope and text_quality_calibration (ANSI-default Spark 4
-#: throws DIVIDE_BY_ZERO where the oracle's CASE yields NULL); both
-#: Spark sides now carry F.try_divide, and event_spike_detection's z
-#: expression was hardened the same way (its safety on warm-up rows
-#: relied on filter-conjunct short-circuit ordering). The fourth is
-#: graph_pagerank: the dangling-set broadcast hint is now conditioned
-#: on the graph_partitions small-graph signal so an unhinted large
-#: graph lets AQE pick the join strategy (the dangling set is
-#: O(|nodes|) — force-broadcasting it hard-coded a small-graph
-#: assumption into a general operator).
+#: Round-15 contents (the third rotation round, VERDICT r14): one body
+#: change — text_sparse_tfidf_cosine's BIGINT-safety probe no longer
+#: costs its own Spark job (VERDICT r14 #6): the norm table is
+#: checkpointed LAZILY and the 1-row max/min stats aggregate is the
+#: materializing action, so one job computes the checkpoint partitions
+#: AND the gate inputs (measured 17 -> 16 jobs/invocation at sf0.01 by
+#: scripts/probe_tfidf_jobs.py; interleaved sf0.1 A/B neutral-or-better;
+#: the runtime gate's semantics are unchanged and the explicit
+#: ``agg_mode`` override keeps the eager checkpoint).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "text_zipf_slope",  # Spark-side try_divide on the singular fit
-    "text_quality_calibration",  # try_divide on the singular 2x2 solve
-    "event_spike_detection",  # try_divide z; no conjunct-order reliance
-    "graph_pagerank",  # dangling broadcast gated on graph_partitions
-    # the x100 perf lever: runtime-proven packed-key BIGINT pair agg
-    # (identical integers; see BASELINE.md round-14 lever entry)
-    "text_sparse_tfidf_cosine",
-    # the audit_divzero '%'-extension find: the derived partsupp's
-    # shared _PS_SUPPKEY constants gained the zero-supplier CASE +
-    # greatest floor on BOTH engines (q11/q16/q20 were also r6-stale)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relation",
-    "tpch_q20_potential_promotion",
+    "text_sparse_tfidf_cosine",  # probe folded into checkpoint job
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -102,59 +84,67 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 14 (the second rotation round, VERDICT r13 #1): the 10
-#: CHANGED bodies + the ENTIRE remaining r5-green block (28 queries) +
-#: the 12 oldest r6-greens fill the 50 slots exactly
+#: Round 15 (the third rotation round, VERDICT r14 #1): the 1 CHANGED
+#: body + the ENTIRE r6-era residue (15 queries — the documented r14
+#: deferral) + the 34 oldest r8-greens fill the 50 slots exactly
 #: (``scripts/next_window.py --slots 50`` printed this ranking from the
-#: committed CORRECTNESS_r01–r13 artifacts). After this round the
-#: staleness floor moves to r6-era, and every ADVICE-r13 body fix —
-#: plus the round's perf-lever body (sparse-tfidf packed-key agg) and
-#: the five partsupp zero-supplier-guard consumers — carries a fresh
-#: driver row.
+#: committed CORRECTNESS_r01–r14 artifacts; the 35th r8 green,
+#: window_rolling_distinct_users, defers to r16 — it is the youngest
+#: by the (round, name) tie order). After this round the staleness
+#: floor moves to r8-era with a single r8 leftover.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: the full remaining r5-green block ---------
-    "agg_approx_count_distinct",
-    "agg_hll_sketch_union",
-    "agg_percentile_approx",
-    "embed_ann_ivf",
-    "embed_knn_join",
-    "event_markov_transitions",
-    "event_pattern_match",
-    "graph_bfs_hops",
-    "graph_triangle_count",
-    "sink_zorder_parquet",
-    "source_mergeschema",
-    "stream_dedup",
-    "stream_dedup_within_watermark",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_stateful_running_count",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_tumbling_window",
-    "stream_watermark_append",
-    "subquery_in_uncorrelated",
-    "subquery_not_in_null",
-    "text_bigram_pmi",
-    "text_bm25_rank",
-    "text_chi2_terms",
-    "text_unigram_logprob",
-    "timeseries_time_weighted_avg",
-    # -- staleness refreshes: the 12 oldest r6-greens --------------------
-    "agg_bitmap_exact_distinct",
-    "agg_exact_median_histogram",
-    "agg_incremental_maintenance",
-    "agg_mode_deterministic",
-    "assoc_copurchase_lift",
-    "embed_kmeans_lloyd",
-    "embed_label_centroids",
-    "ids_global_row_number",
-    "join_asof",
-    "join_asof_forward_tolerance",
-    "join_null_safe",
-    "join_point_in_time_scd2",
+    # -- staleness refreshes: the full r6-era residue -------------------
+    "pipeline_end_to_end",
+    "profile_psi_drift",
+    "scd2_from_events",
+    "set_union_missing_columns",
+    "stream_chained_agg",
+    "stream_foreachbatch",
+    "stream_parquet_sink",
+    "stream_session_dynamic_gap",
+    "table_diff_snapshots",
+    "text_inverted_index",
+    "text_langid_eval",
+    "timeseries_backtest_seasonal_naive",
+    "timeseries_ewma",
+    "tpch_q21_suppliers_kept_waiting",
+    "window_time_range_frame",
+    # -- staleness refreshes: the 34 oldest r8-greens --------------------
+    "agg_filter_clause",
+    "agg_gini_concentration",
+    "agg_group_quantiles",
+    "agg_pareto_share",
+    "conditional_try_functions",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "embed_ann_lsh",
+    "embed_ann_pq_adc",
+    "embed_similarity_join",
+    "event_activity_streaks",
+    "event_attribution_last_touch",
+    "event_cumulative_reach",
+    "event_path_trigrams",
+    "event_rfm_segmentation",
+    "graph_degree_distribution",
+    "graph_kcore",
+    "graph_link_prediction_jaccard",
+    "join_lateral_topn",
+    "join_range_lookup",
+    "json_variant_type",
+    "pipeline_temperature_mixture",
+    "quality_iqr_fences",
+    "scd2_apply_changes",
+    "skyline_pareto_frontier",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "sql_udf_scalar",
+    "string_collation_ci",
+    "text_bigram_avg_nll",
+    "text_duplicated_ngram_coverage",
+    "timeseries_holt_linear",
+    "timeseries_linear_interpolate",
+    "timeseries_seasonal_decompose",
 )
 
 def load_all() -> dict[str, QuerySpec]:
