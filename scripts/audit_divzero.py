@@ -210,51 +210,245 @@ ADJUDICATIONS: dict[str, str] = {
 #: alone is only HALF a guard: under Spark 4's ANSI default a plain '/'
 #: THROWS DIVIDE_BY_ZERO where the oracle's CASE yields NULL, so the
 #: crash-vs-NULL parity the adjudication asserts needs the Spark
-#: implementation to carry try_divide / F.when / nullif on the same
-#: divisor (ADVICE r13: text_zipf_slope and text_quality_calibration
-#: were adjudicated GUARDED with only the oracle half present).
-_SPARK_GUARD = re.compile(
-    r"try_divide|F\.when\(|\.when\(|nullif|NULLIF|CASE\s+WHEN|greatest\("
-)
+#: implementation to guard the same divisor. Round 15 (VERDICT r14 #5 +
+#: ADVICE r14): the check is DIVISOR-GRANULAR — the function body is
+#: stripped of its decorator (the oracle SQL), comments, and docstrings
+#: (a guard mentioned in prose no longer counts), every division /
+#: modulus site is tokenized with the audit's own divisor tokenizer,
+#: and each site must be either structurally guarded (inside a
+#: ``try_divide(`` argument list, or inside a ``when(``/``otherwise(``
+#: branch — CaseWhen branches evaluate lazily per row, so a branch IS
+#: conditional execution — or a divisor fed by ``greatest(`` /
+#: ``nullif``) or carry a per-site entry in
+#: :data:`SPARK_SITE_ADJUDICATIONS`. A new unguarded division added to
+#: an already-GUARDED file now fails the audit instead of riding the
+#: file-granular pass (the exact hole VERDICT r14 named).
 
-#: GUARDED queries whose Spark side provably cannot hit the zero (the
-#: guard lives in a WHERE/filter upstream, or the division happens on
-#: rows a prior stage already restricted) — reason required.
-SPARK_GUARD_WAIVERS: dict[str, str] = {
-    "sample_weighted_priority": (
-        "Spark guard is the upstream .filter(o_totalprice > 0) — the "
-        "A-ES divisions run only on filtered rows (quality.py "
-        "sample_weighted_priority docstring states the exclusion); the "
-        "guard-construct regex cannot see DataFrame filters"
-    ),
+#: query -> {normalized divisor token -> reason} for division sites in
+#: the SPARK implementation that are safe WITHOUT a structural guard.
+#: 'site' keys are the tokens the scanner prints; whitespace-collapsed.
+SPARK_SITE_ADJUDICATIONS: dict[str, dict[str, str]] = {
+    "agg_welch_ttest": {
+        'F.col("n1")': GROUP_COUNT + " (cohort row count)",
+        'F.col("n2")': GROUP_COUNT + " (cohort row count)",
+    },
+    "agg_regression_exact_moments": {
+        '(F.col("n").cast("double") * F.lit(100.0))': GROUP_COUNT
+        + " (n is the per-group row count, scaled by a positive literal)",
+    },
+    "text_heaps_law": {
+        'F.col("k")': "the intercept division is projected over "
+        "logs x fit rows — any surviving row implies logs is "
+        "non-empty, so the global count k >= 1 on that row",
+    },
+    "anomaly_zscore_outliers": {
+        'F.col("n")': GROUP_COUNT + " (per-type event count)",
+    },
+    "embed_quantize_int8": {
+        'F.col("mx")': "the quantizing transform is referenced ONLY in "
+        "the otherwise() branch of the mx == 0 CASE — CaseWhen branches "
+        "evaluate lazily, so a zero vector never runs the division",
+    },
+    "event_spike_detection": {
+        "nd": "the sd / nd trailing-mean projection runs on rows the "
+        "n >= 12 filter kept (Project sits above Filter in the plan)",
+    },
+    "text_zipf_slope": {
+        '(F.col("n").cast("double") * 1000000000.0)': GROUP_COUNT
+        + " (n counts regression points; the nano-unit scale is "
+        "a positive literal)",
+    },
+    "text_quality_calibration": {
+        '(F.lit(1000.0) * F.col("n_tokens"))': GROUP_COUNT
+        + " (n_tokens is a per-group count(*))",
+        "(1.0 + exp(-(beta0 + beta1 * x)))": CONSTANT_DOMAIN
+        + " (1 + exp(x) >= 1 — the sigmoid denominator)",
+    },
+    "sample_weighted_priority": {
+        "F.lit(_U_DOMAIN)": "module constant 2^20, a positive literal "
+        "behind a name",
+        'F.col("o_totalprice")': "upstream .filter(o_totalprice > 0) — "
+        "the A-ES divisions run only on filtered rows (quality.py "
+        "docstring states the exclusion)",
+    },
 }
 
+#: Literal-ish Python divisors that cannot be zero: F.lit(<nonzero num>).
+_PY_LITERAL = re.compile(
+    r"^F\.lit\(\s*-?(?:\d*\.\d*[1-9]\d*|\d*[1-9]\d*(?:\.\d*)?)"
+    r"(?:e[+-]?\d+)?\s*\)$",
+    re.I,
+)
 
-def spark_guard_failures() -> list[str]:
-    """Every GUARDED-adjudicated query must show a guard construct in
-    its Spark implementation source (or carry an explicit waiver)."""
+#: Call names whose argument spans count as structural guards.
+_GUARD_CALLS = ("try_divide(", "when(", "otherwise(")
+
+
+def _cut_body(src: str) -> str:
+    """Drop the decorator (including the oracle SQL) — keep ``def ...``."""
+    m = re.search(r"^def\s", src, re.M)
+    return src[m.start():] if m else src
+
+
+def _strip_comments_docstrings(src: str) -> str:
+    src = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', '""', src, flags=re.S)
+    src = re.sub(r"'''(?:[^'\\]|\\.|'(?!''))*'''", "''", src, flags=re.S)
+    return re.sub(r"#[^\n]*", "", src)
+
+
+def _string_spans(src: str) -> list[tuple[int, int, str]]:
+    return [
+        (m.start(), m.end(), m.group(0))
+        for m in re.finditer(
+            r"f?(\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*')", src
+        )
+    ]
+
+
+def _call_spans(src: str, names=_GUARD_CALLS) -> list[tuple[int, int]]:
+    """Argument-list spans of calls to ``names`` (balanced parens)."""
+    spans = []
+    for name in names:
+        for m in re.finditer(re.escape(name), src):
+            i = m.end() - 1
+            spans.append((i, _balanced(src, i)))
+    return spans
+
+
+def _py_divisor_token(s: str) -> str:
+    """Python-side analog of :func:`divisor_token`: balanced paren
+    group, call with trailing attribute chain, or bare token."""
+    s = s.lstrip()
+    if not s:
+        return ""
+    if s[0] == "(":
+        return s[: _balanced(s, 0)].strip()
+    m = re.match(r"[A-Za-z_][\w.]*\s*\(", s)
+    if m:
+        out = s[: _balanced(s, m.end() - 1)]
+        while True:  # attribute chains: F.col("x").cast("double")
+            m2 = re.match(r"\s*\.\s*[A-Za-z_]\w*\s*\(", s[len(out):])
+            if not m2:
+                break
+            out = s[: len(out) + _balanced(s[len(out):], m2.end() - 1)]
+        return out.strip()
+    m = re.match(r"-?[\w.$]+", s)
+    return m.group(0) if m else s[:20]
+
+
+def _norm_site(tok: str) -> str:
+    return re.sub(r"\s+", " ", tok).strip()
+
+
+def spark_division_sites(fn) -> list[tuple[str, str, str | None]]:
+    """Every non-literal division/modulus site in a query's SPARK
+    implementation body: ``(kind, divisor_token, guard)`` where kind is
+    'py' (a Column operator) or 'sql' (inside an embedded expr string)
+    and guard names the structural evidence, or None if unguarded."""
     import inspect
 
+    src = _strip_comments_docstrings(_cut_body(inspect.getsource(fn)))
+    spans = _string_spans(src)
+    guards = _call_spans(src)
+
+    def guard_at(pos: int) -> str | None:
+        for a, b in guards:
+            if a <= pos < b:
+                call = src[max(0, a - 20): a]
+                name = re.search(r"[\w.]+$", call)
+                return f"inside {(name.group(0) if name else '?')}(...)"
+        return None
+
+    sites: list[tuple[str, str, str | None]] = []
+    # Python-level sites: blank out strings whose content carries
+    # division characters (paths, formats); keep harmless ones so the
+    # divisor tokens stay readable (F.col("n") not F.col(    )).
+    blanked = list(src)
+    for a, b, lit in spans:
+        if "/" in lit or "%" in lit:
+            for i in range(a, b):
+                if src[i] != "\n":
+                    blanked[i] = " "
+    blanked_s = "".join(blanked)
+    for m in re.finditer(r"/(?!/)|%", blanked_s):
+        if blanked_s[m.start() - 1: m.start()] == "/":
+            continue  # the '//' floor-div spelled as two tokens
+        d = _py_divisor_token(blanked_s[m.end(): m.end() + 300])
+        if (
+            _LITERAL.match(d)
+            or _PY_LITERAL.match(_norm_site(d))
+            or not re.search(r"[A-Za-z_]", d)
+        ):
+            continue
+        g = guard_at(m.start())
+        if g is None and re.search(
+            r"greatest\(|nullif|try_divide", d, re.I
+        ):
+            g = "divisor fed by greatest/nullif/try_divide"
+        sites.append(("py", _norm_site(d)[:70], g))
+    # Embedded-string sites (SQL inside F.expr / selectExpr / filters).
+    for a, b, lit in spans:
+        if "/" not in lit and "%" not in lit:
+            continue
+        up = lit.upper()
+        for m in re.finditer(
+            r"/(?![*/])|%|(?<![A-Za-z])DIV(?![A-Za-z])", lit
+        ):
+            d = divisor_token(lit, m.end())
+            if _LITERAL.match(d) or not re.search(r"[A-Za-z_]", d):
+                continue
+            g = guard_at(a + m.start())
+            if g is None and (
+                "CASE WHEN" in up[: m.start()] or "IF(" in up[: m.start()]
+            ):
+                g = "inside a CASE WHEN / IF( branch of the expr string"
+            if g is None and re.search(r"greatest\(|nullif", d, re.I):
+                g = "divisor fed by greatest/nullif"
+            sites.append(("sql", _norm_site(d)[:70], g))
+    return sites
+
+
+def spark_guard_failures(verbose: bool = False) -> list[str]:
+    """Divisor-granular: every division site in a GUARDED-adjudicated
+    query's Spark implementation must be structurally guarded or carry
+    a per-site adjudication."""
     specs = load_all()
     failures: list[str] = []
-    for name, reason in ADJUDICATIONS.items():
+    for name, reason in sorted(ADJUDICATIONS.items()):
         if not reason.startswith(GUARDED[:20]):
-            continue
-        if name in SPARK_GUARD_WAIVERS:
             continue
         spec = specs.get(name)
         if spec is None:
             continue
         try:
-            src = inspect.getsource(spec.fn)
+            sites = spark_division_sites(spec.fn)
         except (OSError, TypeError):
             failures.append(f"{name}: Spark source unavailable")
             continue
-        if not _SPARK_GUARD.search(src):
+        site_adj = SPARK_SITE_ADJUDICATIONS.get(name, {})
+        claimed = set()
+        n_guarded = 0
+        for kind, tok, guard in sites:
+            if guard is None and tok in site_adj:
+                guard = f"site-adjudicated: {site_adj[tok]}"
+                claimed.add(tok)
+            if guard is None:
+                failures.append(
+                    f"{name}: UNGUARDED {kind} division by `{tok}` — "
+                    "no structural guard and no per-site adjudication"
+                )
+            else:
+                n_guarded += 1
+            if verbose:
+                print(f"    [{kind}] {name} / `{tok}` -> "
+                      f"{guard or 'UNGUARDED'}")
+        for tok in sorted(set(site_adj) - claimed):
             failures.append(
-                f"{name}: adjudicated GUARDED but the Spark implementation "
-                "shows no try_divide/when/nullif guard"
+                f"{name}: stale site adjudication `{tok}` (no such "
+                "division site — the body changed; re-adjudicate)"
             )
+        if not sites and not verbose:
+            continue
     return failures
 
 
@@ -343,11 +537,14 @@ def main() -> int:
     if stale:
         print(f"note: {len(stale)} stale adjudications (no longer flagged): "
               f"{stale}")
-    guard_failures = spark_guard_failures()
+    n_sites = sum(len(v) for v in flagged.values())
+    print(f"oracle sites: {n_sites} non-literal divisors across "
+          f"{len(flagged)} oracles")
+    guard_failures = spark_guard_failures(verbose=args.verbose)
     print(
-        f"spark-side guard check: "
+        f"spark-side guard check (divisor-granular): "
         f"{len([r for r in ADJUDICATIONS.values() if r.startswith(GUARDED[:20])])}"
-        f" GUARDED adjudications, {len(guard_failures)} missing Spark guards"
+        f" GUARDED adjudications, {len(guard_failures)} unguarded/stale sites"
     )
     if missing or guard_failures:
         for n in missing:
