@@ -310,6 +310,56 @@ def generate(spark, scale: int, dest: str, skip_relational: bool = False) -> Non
     out_ev.repartition(4 * scale).write.mode("overwrite").parquet(
         f"{dest}/events.parquet"
     )
+    _write_manifest(dest, scale, skip_relational)
+
+
+#: Tables generate() writes, by shape. --reuse compares THIS (ADVICE
+#: r14: the old check looked only for documents.parquet, silently
+#: reusing a pre-region-era or --skip-relational dir whose later table
+#: reads then fail or measure a mismatched corpus).
+_VECTOR_TABLES = ("documents", "embeddings")
+_RELATIONAL_TABLES = (
+    "customer",
+    "events",
+    "lineitem",
+    "nation",
+    "orders",
+    "part",
+    "region",
+    "supplier",
+)
+
+
+def _write_manifest(dest: str, scale: int, skip_relational: bool) -> None:
+    tables = list(_VECTOR_TABLES) + (
+        [] if skip_relational else list(_RELATIONAL_TABLES)
+    )
+    with open(f"{dest}/MANIFEST.json", "w") as fh:
+        json.dump(
+            {"scale": scale, "skip_relational": skip_relational,
+             "tables": sorted(tables)},
+            fh,
+        )
+
+
+def reusable(dest: str, scale: int, skip_relational: bool) -> bool:
+    """True when the existing dir's manifest covers the requested
+    shape: same scale, and every requested table present (a full dir
+    satisfies a --skip-relational request, never the reverse). A
+    pre-manifest dir is NOT reusable — regenerating is the only way to
+    know its shape."""
+    try:
+        with open(f"{dest}/MANIFEST.json") as fh:
+            m = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    want = set(_VECTOR_TABLES) | (
+        set() if skip_relational else set(_RELATIONAL_TABLES)
+    )
+    have = set(m.get("tables", []))
+    return m.get("scale") == scale and want <= have and all(
+        os.path.isdir(f"{dest}/{t}.parquet") for t in want
+    )
 
 
 def candidate_counts(spark, sf_dir: str) -> dict:
@@ -564,13 +614,19 @@ def main() -> int:
 
     for scale in args.scales:
         dest = f"{WORK}/x{scale}"
-        if args.reuse and os.path.isdir(f"{dest}/documents.parquet"):
+        if args.reuse and reusable(dest, scale, args.skip_relational):
             # Same-session retry path: the corpus is deterministic, so
-            # a rebuild only burns wall-clock. The caller asserts the
-            # existing dir matches the requested shape (relational
-            # tables present if the queries need them).
+            # a rebuild only burns wall-clock. The manifest comparison
+            # (not the caller) asserts the shape: same scale, every
+            # requested table present (ADVICE r14).
             pass
         else:
+            if args.reuse:
+                print(
+                    f"# --reuse: {dest} missing or shape-mismatched "
+                    "(manifest check) — regenerating",
+                    file=sys.stderr,
+                )
             shutil.rmtree(dest, ignore_errors=True)
             generate(spark, scale, dest, skip_relational=args.skip_relational)
         import duckdb
