@@ -50,6 +50,16 @@ Distribution discipline (the part that must survive 100 TB):
   self-joins the output, and without truncation the lineage (and
   Catalyst analysis time) doubles per round — the duplicate_clusters
   lesson.
+- Round 15 (VERDICT r14 #3): each round FREES the previous round's
+  checkpoint blocks once its own checkpoint has materialized. Without
+  this, all ~ROUNDS+1 checkpointed corpus-position frames stay pinned
+  in the block manager for the whole build — an O(rounds · N) storage
+  footprint that OOM'd the 27M-suffix x100 corpus on the 8 g
+  single-JVM default (driver heap IS executor heap in local mode).
+  With it, live storage is bounded at TWO rounds (the one being read
+  and the one being written) regardless of ``rounds`` — the same
+  discipline an iterative cluster job needs, since executor storage
+  is finite there too.
 
 Shuffle count: 3 per round (distinct, per-bucket window, join-back)
 plus the pos+gap self-join — O(N log L) total work, the textbook
@@ -58,8 +68,20 @@ distributed suffix-array cost.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Storage level for the INTERMEDIATE round checkpoints. DISK_ONLY, not
+#: the MEMORY_AND_DISK(deserialized) default: caching a partition as
+#: values unrolls the whole partition into object heap
+#: (MemoryStore.putIteratorAsValues — the allocation site of the x100
+#: OOM at the 8 g default), and an intermediate round is read exactly
+#: once (by the next round, through the OS page cache) before being
+#: freed, so RAM residency buys nothing. The FINAL frame keeps the
+#: default level — it is the probe-many index downstream queries
+#: re-read.
+_ROUND_STORAGE = StorageLevel.DISK_ONLY
 
 #: Discriminating prefix = 2^ROUNDS = 128 tokens (fixture docs max 100).
 ROUNDS = 7
@@ -100,6 +122,21 @@ def _dense_rank(keys: DataFrame, key_cols: list[str]) -> DataFrame:
             (F.col("_off") + F.col("_rn")).cast("bigint").alias("_r"),
         )
     )
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Drop the block-manager storage behind an eagerly
+    ``localCheckpoint``-ed frame. ONLY call when no downstream plan
+    will read the frame again — a local checkpoint's lineage is
+    truncated, so its blocks cannot be recomputed once dropped.
+    Best-effort (storage pressure, not correctness): failures are
+    swallowed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 #: Session-scoped memo of built suffix-rank frames, keyed by
@@ -150,7 +187,10 @@ def suffix_ranks(
     cur = (
         pos.join(r0.select("tok", "_r"), "tok")
         .select("doc_id", "pos", F.col("_r").alias("r"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(
+            eager=True,
+            storageLevel=_ROUND_STORAGE if rounds > 0 else None,
+        )
     )
     for k in range(rounds):
         gap = 1 << k
@@ -177,11 +217,21 @@ def suffix_ranks(
             "_b", F.expr(f"((r - 1) * {N_BUCKETS}) DIV _m")
         )
         rk = _dense_rank(keyed.select("r", "r2", "_b"), ["r", "r2"])
-        cur = (
+        nxt_cur = (
             keyed.join(rk.select("r", "r2", "_r"), ["r", "r2"])
             .select("doc_id", "pos", F.col("_r").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True,
+                storageLevel=(
+                    _ROUND_STORAGE if k < rounds - 1 else None
+                ),
+            )
         )
+        # eager=True means nxt_cur's blocks exist before we drop the
+        # previous round's — live checkpoint storage stays bounded at
+        # two rounds however deep the doubling goes.
+        free_local_checkpoint(cur)
+        cur = nxt_cur
     out = cur.select(
         "doc_id", F.col("pos").cast("bigint").alias("pos"),
         F.col("r").alias("suffix_rank")

@@ -72,8 +72,20 @@ def register(
 #: scripts/probe_tfidf_jobs.py; interleaved sf0.1 A/B neutral-or-better;
 #: the runtime gate's semantics are unchanged and the explicit
 #: ``agg_mode`` override keeps the eager checkpoint).
+#: Also changed (VERDICT r14 #3, the 48g-crutch retirement): the
+#: suffix-array build (operators/suffixarray.py) now FREES each round's
+#: checkpoint once the next round materializes and stores intermediate
+#: rounds DISK_ONLY — live storage bounded at two rounds, and the x100
+#: 27M-suffix build runs on the DEFAULT 8 g heap (previously OOM,
+#: needed SPARK_GRAFT_DRIVER_MEM=48g). Results bit-identical (the
+#: checkpoint level/lifetime is not semantics); the three consumers of
+#: suffix_ranks take fresh driver greens anyway under the
+#: changed-body-means-changed-query discipline.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_sparse_tfidf_cosine",  # probe folded into checkpoint job
+    "text_suffix_array",  # suffixarray round storage/lifetime
+    "text_longest_dup_substring",  # suffixarray round storage/lifetime
+    "dedup_exactsubstr_removal",  # suffixarray round storage/lifetime
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -84,14 +96,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 15 (the third rotation round, VERDICT r14 #1): the 1 CHANGED
-#: body + the ENTIRE r6-era residue (15 queries — the documented r14
-#: deferral) + the 34 oldest r8-greens fill the 50 slots exactly
+#: Round 15 (the third rotation round, VERDICT r14 #1): the 4 CHANGED
+#: bodies + the ENTIRE r6-era residue (15 queries — the documented r14
+#: deferral) + the 31 oldest r8-greens fill the 50 slots exactly
 #: (``scripts/next_window.py --slots 50`` printed this ranking from the
-#: committed CORRECTNESS_r01–r14 artifacts; the 35th r8 green,
-#: window_rolling_distinct_users, defers to r16 — it is the youngest
-#: by the (round, name) tie order). After this round the staleness
-#: floor moves to r8-era with a single r8 leftover.
+#: committed CORRECTNESS_r01–r14 artifacts; the 4 youngest r8 greens by
+#: the (round, name) tie order — timeseries_holt_linear,
+#: timeseries_linear_interpolate, timeseries_seasonal_decompose,
+#: window_rolling_distinct_users — defer to r16). After this round the
+#: staleness floor moves to r8-era with four r8 leftovers.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
     # -- staleness refreshes: the full r6-era residue -------------------
@@ -142,9 +155,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "string_collation_ci",
     "text_bigram_avg_nll",
     "text_duplicated_ngram_coverage",
-    "timeseries_holt_linear",
-    "timeseries_linear_interpolate",
-    "timeseries_seasonal_decompose",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -235,6 +235,7 @@ def generate(spark, scale: int, dest: str, skip_relational: bool = False) -> Non
         # Targeted vector-family runs (e.g. the x100 LSH-decade row)
         # need only documents + embeddings; replicating lineitem x100
         # would dominate generation for tables no measured query reads.
+        _write_manifest(dest, scale, skip_relational)
         return
     # Iterative-family inputs (round-6: scale slopes for pagerank/BFS/
     # interval-overlap). Facts replicate with key strides — each replica
