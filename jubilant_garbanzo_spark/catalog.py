@@ -43,6 +43,66 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Memo: parquet-footer split counts per file path — one driver-side
+#: metadata read per table per fixture dir, not per query.
+_SCAN_SLICES_MEMO: dict[str, int] = {}
+
+
+def _scan_slices(path: str) -> int:
+    """Upper bound on the scan parallelism the file layout permits.
+
+    Parquet is splittable at ROW-GROUP granularity only: a
+    single-file, single-row-group table executes as ONE scan task no
+    matter how `spark.sql.files.maxPartitionBytes` slices it, so the
+    whole first stage (tokenize/shingle/explode fused above the scan)
+    runs on one core. A directory layout (the 100 TB shape) has at
+    least one split per file and never needs help.
+    """
+    try:
+        if os.path.isdir(path):
+            n = 0
+            for entry in os.scandir(path):
+                if entry.name.endswith(".parquet"):
+                    n += 1
+                    if n >= 1024:
+                        break
+            return max(n, 1)
+        import pyarrow.parquet as pq
+
+        return max(pq.ParquetFile(path).metadata.num_row_groups, 1)
+    except Exception:
+        return 1 << 30  # unreadable footer: assume splittable, no fan-out
+
+
+def fan_out_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Round-robin ``df`` (a projection of table ``name``) to cluster
+    parallelism when the table's file layout would bottleneck the scan
+    stage (guide §2.5 "one huge unsplittable file … repartition
+    immediately after the read").
+
+    Scale-adaptive: the gate reads the parquet footer, so a production
+    table with many files/row groups is untouched and the exchange
+    only exists where the alternative is a single-task first stage.
+    NOT applied blanket at load: an interleaved sf0.1 A/B over 30
+    doc/embedding queries measured catalog-level fan-out net 0.89x —
+    cheap queries pay the exchange for nothing and iterative
+    small-dict loops inherit 32-way partitioning through their
+    checkpoints (per-round task overhead). Callers are the measured
+    winners only: heavy per-row map work (shingling, per-coordinate
+    folds, opaque Python stages) fused directly above the scan.
+    `SPARK_GRAFT_SCAN_FANOUT=0` disables it outright."""
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
+        return df
+    parallelism = spark.sparkContext.defaultParallelism
+    path = f"{sf_dir}/{name}.parquet"
+    if path not in _SCAN_SLICES_MEMO:
+        _SCAN_SLICES_MEMO[path] = _scan_slices(path)
+    if _SCAN_SLICES_MEMO[path] >= parallelism:
+        return df
+    return df.repartition(parallelism)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table with schema normalization.
@@ -55,7 +115,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``o_orderdate``/``l_shipdate`` already read as TIMESTAMP_NTZ).
     """
     configure_runtime(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",

@@ -337,6 +337,11 @@ def hits_fixed(
     if graph_partitions is not None:
         edges = edges.coalesce(graph_partitions)
         nodes = nodes.coalesce(graph_partitions)
+    # Lazy persist is sufficient here (round 15, measured): only the
+    # first auth round can double-compute the edge subtree (amax
+    # broadcast + main plan race the empty cache), a bounded 2x of a
+    # tiny derivation — the interleaved A/B of an eager checkpoint
+    # read 1.02-1.08x (noise), unlike the kcore-family stampedes.
     edges = edges.persist()
     nodes = nodes.persist()
 

@@ -305,6 +305,10 @@ def train_wordpiece_merges(words, rounds: int = N_TRAIN_MERGES):
     )
     bests = []
     for r in range(rounds):
+        # The two broadcast sides below each rebuild this vocab-sized
+        # agg; a per-round eager checkpoint to share it was measured
+        # at 0.84x (round 15) — the blocking job costs more than the
+        # duplicated tiny agg it saves — so the lazy form stays.
         sym = (
             toks.select(F.explode("t").alias("sym"), "cnt")
             .groupBy("sym")

@@ -86,6 +86,19 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_suffix_array",  # suffixarray round storage/lifetime
     "text_longest_dup_substring",  # suffixarray round storage/lifetime
     "dedup_exactsubstr_removal",  # suffixarray round storage/lifetime
+    # -- round-15 optimization-pass body changes (results identical;
+    # each verified by an interleaved same-session A/B with collected-
+    # row digests AND the sf0.01 oracle — see OPTIMIZATION_r15.md) ----
+    "dedup_ngram_jaccard",  # scan fan-out before the shingle build
+    "text_span_corruption",  # scan fan-out before the HOF map stage
+    "embed_knn_join",  # scan fan-out before the cosine folds
+    "dedup_semantic_clusters",  # scan fan-out before Lloyd quantize
+    "multimodal_phash_dedup",  # dhash mapInPandas built once (ckpt)
+    "graph_triangle_count",  # edge list eager-checkpointed (stampede)
+    "graph_kcore",  # edge list coalesce(1) + eager ckpt (stampede)
+    "graph_link_prediction_jaccard",  # same stampede fix as kcore
+    "graph_clustering_coefficient",  # same stampede fix as kcore
+    "embed_pca_power_iteration",  # fan-out + s_up/m ckpt + n rides m
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -96,15 +109,20 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 15 (the third rotation round, VERDICT r14 #1): the 4 CHANGED
-#: bodies + the ENTIRE r6-era residue (15 queries — the documented r14
-#: deferral) + the 31 oldest r8-greens fill the 50 slots exactly
-#: (``scripts/next_window.py --slots 50`` printed this ranking from the
-#: committed CORRECTNESS_r01–r14 artifacts; the 4 youngest r8 greens by
-#: the (round, name) tie order — timeseries_holt_linear,
-#: timeseries_linear_interpolate, timeseries_seasonal_decompose,
-#: window_rolling_distinct_users — defer to r16). After this round the
-#: staleness floor moves to r8-era with four r8 leftovers.
+#: Round 15 (the optimization round, on top of the third rotation):
+#: the 14 CHANGED bodies (4 from the interrupted build work + 10
+#: optimization-pass bodies; dedup_semantic_clusters, graph_kcore and
+#: graph_link_prediction_jaccard were already in the r8 refresh block
+#: and move to the head) + the ENTIRE r6-era residue (15 queries — the
+#: documented r14 deferral) + the 21 oldest remaining r8-greens fill
+#: the 50 slots exactly. The 7 r8 greens the optimization bodies
+#: displaced (sql_udf_scalar, string_collation_ci, text_bigram_avg_nll,
+#: text_duplicated_ngram_coverage, skyline_pareto_frontier,
+#: sql_parameterized, sql_pipe_syntax — youngest-first by the (round,
+#: name) tie order) defer to r16 together with the 4 youngest r8
+#: greens already deferred by the rotation ranking
+#: (timeseries_holt_linear, timeseries_linear_interpolate,
+#: timeseries_seasonal_decompose, window_rolling_distinct_users).
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
     # -- staleness refreshes: the full r6-era residue -------------------
@@ -123,14 +141,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ewma",
     "tpch_q21_suppliers_kept_waiting",
     "window_time_range_frame",
-    # -- staleness refreshes: the 34 oldest r8-greens --------------------
+    # -- staleness refreshes: the 21 oldest r8-greens --------------------
     "agg_filter_clause",
     "agg_gini_concentration",
     "agg_group_quantiles",
     "agg_pareto_share",
     "conditional_try_functions",
     "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
     "embed_ann_lsh",
     "embed_ann_pq_adc",
     "embed_similarity_join",
@@ -140,21 +157,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_path_trigrams",
     "event_rfm_segmentation",
     "graph_degree_distribution",
-    "graph_kcore",
-    "graph_link_prediction_jaccard",
     "join_lateral_topn",
     "join_range_lookup",
     "json_variant_type",
     "pipeline_temperature_mixture",
     "quality_iqr_fences",
     "scd2_apply_changes",
-    "skyline_pareto_frontier",
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "sql_udf_scalar",
-    "string_collation_ci",
-    "text_bigram_avg_nll",
-    "text_duplicated_ngram_coverage",
 )
 
 def load_all() -> dict[str, QuerySpec]:

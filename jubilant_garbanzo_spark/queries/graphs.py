@@ -193,7 +193,15 @@ def graph_triangle_count(spark, sf_dir):
         .filter(F.col("tok") != "")
         .distinct()
     )
-    edges = cooccurrence_edges(dt, min_ratio_pct=60).persist()
+    # Eager, not persist (round 15): n_nodes/n_edges/tri consume the
+    # edge list through concurrently-built broadcast subtrees that all
+    # miss a lazy cache and re-run the co-occurrence pair join (the
+    # kcore stampede). Interleaved sf0.1 A/B: 1.69x, rows identical.
+    # No coalesce — the token graph is corpus-shaped, unlike the
+    # bounded nation graphs.
+    edges = cooccurrence_edges(dt, min_ratio_pct=60).localCheckpoint(
+        eager=True
+    )
     n_nodes = dt.select("tok").distinct().agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
@@ -416,6 +424,11 @@ def graph_label_propagation(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
+    # NOT eager-checkpointed (round 15, deliberate): unlike kcore's
+    # nested broadcast peel, both LPA rounds live in ONE plan where
+    # exchange reuse already dedupes the edge derivation — the
+    # interleaved A/B measured the blocking checkpoint at 0.90x (a
+    # pure latency add), so the lazy form stays.
     labels = nation.select(
         F.col("n_nationkey").cast("bigint").alias("node"),
         F.col("n_nationkey").cast("bigint").alias("label"),
@@ -751,7 +764,18 @@ def graph_kcore(spark, sf_dir):
         sig.unionByName(sig.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        # Eager materialization, NOT a lazy persist (round 15): the
+        # peel rounds nest broadcast builds of every `keep`, and at
+        # action time AQE launches all of those subtrees CONCURRENTLY
+        # — each one missed the still-empty lazy cache and re-ran the
+        # full fact-join chain (~25 concurrent 37-task jobs in the job
+        # profile, plans/r15/evidence/profile_jobs.py). Blocking here
+        # runs the derivation exactly once; coalesce(1) because the
+        # collapsed nation graph is ≤ 25·24 edges at ANY fact scale
+        # (the pagerank graph_partitions=1 rationale). Interleaved
+        # sf0.1 A/B: 2.43x (3.52 → 1.45 s), rows identical.
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     edges = und
     for _ in range(_KCORE_ROUNDS):
@@ -852,7 +876,15 @@ def graph_link_prediction_jaccard(spark, sf_dir):
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        # Eager, not persist (round 15): the nbr/deg consumers reach
+        # this frame through concurrently-built broadcast subtrees
+        # that all miss a lazy cache and re-run the fact-join chain
+        # (the kcore stampede; profile in plans/r15/evidence).
+        # coalesce(1): bounded nation graph. Interleaved sf0.1 A/B:
+        # 2.09x (link prediction) / 1.96x (clustering coefficient),
+        # rows identical.
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     nbr = und.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
     deg = nbr.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
@@ -1128,7 +1160,15 @@ def graph_clustering_coefficient(spark, sf_dir):
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        # Eager, not persist (round 15): the nbr/deg consumers reach
+        # this frame through concurrently-built broadcast subtrees
+        # that all miss a lazy cache and re-run the fact-join chain
+        # (the kcore stampede; profile in plans/r15/evidence).
+        # coalesce(1): bounded nation graph. Interleaved sf0.1 A/B:
+        # 2.09x (link prediction) / 1.96x (clustering coefficient),
+        # rows identical.
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     nbr = und.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
     deg = nbr.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.catalog import fan_out_scan, load_table
 from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
 from jubilant_garbanzo_spark.operators import dedup as D
 from jubilant_garbanzo_spark.operators import multimodal as M
@@ -178,8 +178,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (≥0.5) over the WHOLE corpus —
     candidates come from a prefix-filtered inverted index over each
     doc's rarest shingles (provably complete; operators/dedup.py),
-    not from a fixed blocking column."""
-    d = load_table(spark, sf_dir, "documents")
+    not from a fixed blocking column.
+
+    Scan fan-out (round 15, guide §2.5): the shingle build is heavy
+    per-row map work fused onto a single-row-group scan — round-robin
+    to cluster parallelism first (interleaved sf0.1 A/B: 1.24–1.29x,
+    pairs identical; no-op on multi-split layouts)."""
+    d = fan_out_scan(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     return D.ngram_jaccard_pairs(d, threshold=0.5)
 
 
@@ -761,10 +768,15 @@ def text_span_corruption(spark, sf_dir):
 
     Scale shape: pure per-row higher-order functions over the token
     array — zero shuffle, a map stage at 100 TB; the md5 is one call
-    per WINDOW (n/20 per doc), not per token."""
+    per WINDOW (n/20 per doc), not per token. Scan fan-out (round 15,
+    guide §2.5): precisely BECAUSE it is one fused map stage, a
+    single-row-group scan runs it all on one core — round-robin first
+    (interleaved sf0.1 A/B 1.8x, rows identical; no-op at scale)."""
     from jubilant_garbanzo_spark.operators.bpe import _let
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     W, L = _SC_WIN, _SC_LEN
     ws = "filter(split(text, ' '), t -> t <> '')"
     off = (
@@ -1634,7 +1646,22 @@ def multimodal_phash_dedup(spark, sf_dir):
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    fps = M.dhash_fingerprints(payloads).filter(F.col("dhash").isNotNull())
+    # Build the hashes ONCE (round 15): three consumers (band index +
+    # both verify sides) would otherwise re-run the opaque mapInPandas
+    # stage per subplan — Catalyst cannot CSE through the Python
+    # boundary, and the band join's exchange reuse covers only one of
+    # the three. The checkpoint holds (doc_id, 64-char dhash) rows —
+    # tiny at any scale (guide §4.1: pay the Python boundary once).
+    # Interleaved sf0.1 A/B: 1.45–1.55x, rows identical. A scan
+    # fan-out before the Python stage was tried too and measured a
+    # consistent 0.77–0.81x LOSS (the exchange ships the payload bytes
+    # and every post-shuffle task re-inits its Arrow/Python lane for a
+    # 5k-row corpus), so only the checkpoint is kept.
+    fps = (
+        M.dhash_fingerprints(payloads)
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     bands = fps.select(
         "doc_id",
         F.explode(
@@ -1901,8 +1928,13 @@ def embed_knn_join(spark, sf_dir):
     the multi-probe retrieval shape (RAG lookups, eval-set neighbor
     audits) that single-query top-k doesn't cover. Queries broadcast;
     per-query ranking via running top-k window (operators/similarity.py
-    knn_join)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    knn_join). Scan fan-out (round 15, guide §2.5): the per-probe
+    cosine folds run fused above a single-row-group scan — round-robin
+    first (interleaved sf0.1 A/B 2.0x, rows identical; no-op at
+    scale)."""
+    e = fan_out_scan(
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -3564,7 +3596,13 @@ def dedup_semantic_clusters(spark, sf_dir):
     stays hash-green at any SF. The pair join shuffles on cid and AQE
     splits skewed clusters.
     """
-    seeded = _seeded_embeddings(spark, sf_dir)
+    # Scan fan-out (round 15, guide §2.5): the quantize/assignment
+    # folds sit fused above a single-row-group scan — round-robin to
+    # cluster parallelism first (interleaved sf0.1 A/B 1.15x, rows
+    # identical; no-op on multi-split layouts).
+    seeded = fan_out_scan(
+        spark, _seeded_embeddings(spark, sf_dir), sf_dir, "embeddings"
+    )
     a2 = S.lloyd_assignments(seeded, iters=2)
     # Norm once per vector, carried through the pair join — cosine()
     # inline would re-fold both norms per pair (3 HOF traversals/pair;
@@ -4846,7 +4884,10 @@ def text_sparse_tfidf_cosine(spark, sf_dir):
     cosine is a fixed-shape IEEE expression. Scale: the df cap drops
     stop-shingles from the term space (bounded posting lists =>
     linear candidates — same discipline as the rarest-first prefix
-    index); everything else is two hash aggs and one equi-join."""
+    index); everything else is two hash aggs and one equi-join.
+    (Round 15: scan fan-out was tried here and NOT kept — interleaved
+    sf0.1 A/B was 1.13x/0.94x/0.79x across three sessions, i.e. noise;
+    the posting self-join dominates, not the single-task sh build.)"""
     d = load_table(spark, sf_dir, "documents")
     _post, nrm, dots = sparse_tfidf_components(d)
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
@@ -5273,6 +5314,36 @@ def _pca_mean(mi: str, n: str) -> str:
     )
 
 
+def _pca_scatter_upper(qv):
+    """Upper-triangle second-moment aggregate over the quantized
+    coordinate frame — THE one corpus-sized stage of the PCA query,
+    returned pre-checkpoint so tests can gate its plan shape (the
+    round-15 eager checkpoint truncates the final plan's lineage, so
+    the partial-aggregate assertion must run on this builder frame —
+    same pattern as the farthest-point test)."""
+    dec = "decimal(38,0)"
+    qrows = qv.select(F.posexplode("qv").alias("i", "qi"), "qv")
+    # S is symmetric: generate only the upper triangle j >= i (slice
+    # from the diagonal — halves the 64^2-per-row fan-out, the only
+    # corpus-sized stage), then mirror the off-diagonal cells.
+    return (
+        qrows.select(
+            "i",
+            "qi",
+            F.posexplode(
+                F.expr("slice(qv, i + 1, size(qv) - i)")
+            ).alias("dj", "qj"),
+        )
+        .select(
+            "i",
+            (F.col("i") + F.col("dj")).alias("j"),
+            (F.col("qi").cast(dec) * F.col("qj").cast(dec)).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast(dec).alias("sij"))
+    )
+
+
 def _pca_oracle() -> str:
     dec = "HUGEINT"
     parts = [
@@ -5385,6 +5456,19 @@ def embed_pca_power_iteration(spark, sf_dir):
     test pins that the returned direction is genuinely PC1
     (tests/test_llm_ops.py)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Round-15 restructure (guide §2.4/§2.5, A/B 1.15-1.22x, rows
+    # identical): (1) scan fan-out — the outer-product pass is heavy
+    # fused map work above a single-row-group scan; (2) s_up and m are
+    # eager-checkpointed ONCE — the union mirror and the ma/mb joins
+    # otherwise re-ran the corpus aggregate 2-3x CONCURRENTLY (AQE
+    # builds the duplicated subtree exchanges in parallel; two 3.3 s
+    # single-task jobs in the job profile, plans/r15/evidence);
+    # (3) n rides m as a per-dim count (posexplode emits exactly n
+    # rows per dim), dropping the separate cnt pass over the corpus;
+    # (4) the bounded frames (s_up <= 2080 cells, m 64 rows, cells
+    # 4096 cells, x 64 rows — bounded at ANY corpus scale) iterate on
+    # one partition (the pagerank graph_partitions=1 rationale).
+    e = fan_out_scan(spark, e.select("embedding"), sf_dir, "embeddings")
     dec = "decimal(38,0)"
     qv = e.select(
         F.expr(
@@ -5392,25 +5476,8 @@ def embed_pca_power_iteration(spark, sf_dir):
             f" * {_PCA_SCALE}.0) AS BIGINT))"
         ).alias("qv")
     )
-    qrows = qv.select(F.posexplode("qv").alias("i", "qi"), "qv")
-    # S is symmetric: generate only the upper triangle j >= i (slice
-    # from the diagonal — halves the 64^2-per-row fan-out, the only
-    # corpus-sized stage), then mirror the off-diagonal cells.
     s_up = (
-        qrows.select(
-            "i",
-            "qi",
-            F.posexplode(
-                F.expr("slice(qv, i + 1, size(qv) - i)")
-            ).alias("dj", "qj"),
-        )
-        .select(
-            "i",
-            (F.col("i") + F.col("dj")).alias("j"),
-            (F.col("qi").cast(dec) * F.col("qj").cast(dec)).alias("p"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("p").cast(dec).alias("sij"))
+        _pca_scatter_upper(qv).coalesce(1).localCheckpoint(eager=True)
     )
     s = s_up.unionByName(
         s_up.filter(F.col("i") != F.col("j")).select(
@@ -5420,24 +5487,34 @@ def embed_pca_power_iteration(spark, sf_dir):
     m = (
         qv.select(F.posexplode("qv").alias("i", "qi"))
         .groupBy("i")
-        .agg(F.sum(F.col("qi").cast(dec)).cast(dec).alias("mi"))
-    )
-    cnt = qv.agg(F.count("*").cast(dec).alias("n"))
-    cells = (
-        s.join(m.select(F.col("i"), F.col("mi").alias("ma")), "i")
-        .join(
-            m.select(F.col("i").alias("j"), F.col("mi").alias("mb")), "j"
+        .agg(
+            F.sum(F.col("qi").cast(dec)).cast(dec).alias("mi"),
+            F.count("*").cast(dec).alias("n_i"),
         )
-        .crossJoin(F.broadcast(cnt))
+    )
+    m = m.coalesce(1).localCheckpoint(eager=True)
+    cells = (
+        s.join(
+            m.select(F.col("i"), F.col("mi").alias("ma"), F.col("n_i")),
+            "i",
+        )
+        .join(
+            m.select(F.col("i").alias("j"), F.col("mi").alias("mb")),
+            "j",
+        )
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("sij") - F.col("ma") * F.col("mb"))
+            (F.col("n_i") * F.col("sij") - F.col("ma") * F.col("mb"))
             .cast(dec)
             .alias("c"),
         )
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # n rides m (n_i is n for every dim); limit(1) is value-
+    # deterministic because every row carries the identical count.
+    cnt = m.select(F.col("n_i").alias("n")).limit(1)
     x = spark.range(_PCA_DIM).select(
         F.col("id").cast("int").alias("j"),
         F.expr(_pca_x0("id")).alias("xv"),
@@ -5464,6 +5541,7 @@ def embed_pca_power_iteration(spark, sf_dir):
                 F.col("i").alias("j"),
                 F.expr(_pca_rescale("s", "mx")).cast("bigint").alias("xv"),
             )
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
     mean = _pca_mean("mi", "n")

@@ -908,13 +908,24 @@ def test_suffix_ranks_session_cache_shares_one_build(spark, sf_dir):
     assert c is not a
 
 
-def test_span_corruption_is_a_pure_map_stage(spark, sf_dir):
-    """Zero exchanges before the sink: the whole operator must be
-    per-row HOF work (the 100 TB claim in its docstring)."""
+def test_span_corruption_is_a_pure_map_stage(spark, sf_dir, monkeypatch):
+    """Per-row HOF work only (the 100 TB claim in its docstring): with
+    the round-15 scan fan-out disabled, zero exchanges before the sink;
+    with it enabled (the default on this single-row-group fixture), the
+    ONLY exchange is the gated round-robin fan-out directly above the
+    scan — never a hash/range exchange (no keyed shuffle exists)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_FANOUT", "0")
     df = q(spark, sf_dir, "text_span_corruption")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
     assert codegen_stage_count(df) >= 1
+
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_FANOUT", "1")
+    df2 = q(spark, sf_dir, "text_span_corruption")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == plan2.count(
+        "Exchange RoundRobinPartitioning"
+    ), plan2[:2000]
 
 
 def test_kneser_ney_aggregates_combine_map_side(spark, sf_dir):
@@ -1009,9 +1020,28 @@ def test_pca_scatter_aggregate_combines_map_side(spark, sf_dir):
     """The 64x64 outer-product aggregate is the ONLY corpus-sized
     stage: it must partial-agg (map-side combine shrinks the shuffle
     to 2080 upper-triangle cells per task), and the LUT/scalar frames
-    must ride broadcasts, never a cartesian product."""
+    must ride broadcasts, never a cartesian product.
+
+    Round 15: the query eager-checkpoints the scatter frame (the
+    concurrent-subtree stampede fix), which truncates the final plan's
+    lineage — so the partial-aggregate gate runs on the pre-checkpoint
+    builder frame (``_pca_scatter_upper``), the same pattern as the
+    farthest-point test below."""
+    from jubilant_garbanzo_spark.queries.llm import (
+        _PCA_SCALE,
+        _pca_scatter_upper,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.select(
+        F.expr(
+            f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)"
+            f" * {_PCA_SCALE}.0) AS BIGINT))"
+        ).alias("qv")
+    )
+    assert has_partial_aggregate(_pca_scatter_upper(qv))
     df = q(spark, sf_dir, "embed_pca_power_iteration")
-    assert has_partial_aggregate(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
 
