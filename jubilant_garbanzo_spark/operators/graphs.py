@@ -26,6 +26,8 @@ rank-side join automatically via AQE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -115,10 +117,16 @@ def pagerank_fixed(
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("rank")
     )
+    # edges ⋈ outw is STATIC across iterations (round 15, guide §2.4):
+    # join it once and materialize, so each round pays one join
+    # (rank vector against the edge-with-outdegree table) instead of
+    # two — at web scale that is `iterations-1` edge-sized joins saved.
+    ew = edges.join(outw, "src")
+    if os.environ.get("SPARK_GRAFT_PR_EW", "1") != "0":
+        ew = ew.localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
-            edges.join(outw, "src")
-            .join(
+            ew.join(
                 ranks.withColumnRenamed("node", "src"),
                 "src",
             )

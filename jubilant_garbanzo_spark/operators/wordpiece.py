@@ -37,6 +37,8 @@ loop with HuggingFace semantics pins both in tests/test_llm_ops.py.
 
 from __future__ import annotations
 
+import os
+
 from jubilant_garbanzo_spark.operators.bpe import _let
 
 #: Word-START pieces. Singles a-z give near-totality on the fixture's
@@ -305,10 +307,15 @@ def train_wordpiece_merges(words, rounds: int = N_TRAIN_MERGES):
     )
     bests = []
     for r in range(rounds):
-        # The two broadcast sides below each rebuild this vocab-sized
-        # agg; a per-round eager checkpoint to share it was measured
-        # at 0.84x (round 15) — the blocking job costs more than the
-        # duplicated tiny agg it saves — so the lazy form stays.
+        # Round 15, measured and KEPT AS IS: (a) an eager per-round
+        # checkpoint of this vocab-sized agg read 0.84x (the blocking
+        # job costs more than the duplicated tiny agg it saves);
+        # (b) folding both broadcast sides into ONE 1-row
+        # map_from_entries(collect_list(...)) broadcast read
+        # 0.93-1.06x wall (noise) and +8 jobs/run (60 vs 52 — the
+        # global 1-row map aggregate adds a barrier per round that
+        # costs more than the second broadcast build it removes), so
+        # the two-broadcast-side form stays.
         sym = (
             toks.select(F.explode("t").alias("sym"), "cnt")
             .groupBy("sym")
@@ -358,7 +365,14 @@ def train_wordpiece_merges(words, rounds: int = N_TRAIN_MERGES):
                 F.col("pcount").cast("bigint").alias("pair_count"),
                 F.col("score_nano"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (round 15, same as bpe.train_merges):
+            # the toks fold's broadcast build materializes this argmax
+            # row inside the round's one blocking job; the final union
+            # reads the truncated 1-row plan without a separate
+            # blocking argmax job per round.
+            .localCheckpoint(
+                eager=os.environ.get("SPARK_GRAFT_BPE_LAZY_BEST", "1") == "0"
+            )
         )
         bests.append(best)
         if r < rounds - 1:

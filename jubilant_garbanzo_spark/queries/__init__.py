@@ -99,6 +99,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_link_prediction_jaccard",  # same stampede fix as kcore
     "graph_clustering_coefficient",  # same stampede fix as kcore
     "embed_pca_power_iteration",  # fan-out + s_up/m ckpt + n rides m
+    "text_bpe_train",  # per-round best argmax checkpoint now lazy
+    "text_bpe_roundtrip",  # consumer of the lazy-best BPE trainer
+    "text_wordpiece_train",  # same lazy-best checkpoint as bpe
+    "graph_pagerank",  # static edges⋈outw hoisted out of the loop
+    "dedup_cluster_incremental",  # old/new CC loops overlapped
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -110,19 +115,21 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: straight from the committed artifacts), into the window.
 #:
 #: Round 15 (the optimization round, on top of the third rotation):
-#: the 14 CHANGED bodies (4 from the interrupted build work + 10
+#: the 19 CHANGED bodies (4 from the interrupted build work + 15
 #: optimization-pass bodies; dedup_semantic_clusters, graph_kcore and
 #: graph_link_prediction_jaccard were already in the r8 refresh block
 #: and move to the head) + the ENTIRE r6-era residue (15 queries — the
-#: documented r14 deferral) + the 21 oldest remaining r8-greens fill
-#: the 50 slots exactly. The 7 r8 greens the optimization bodies
+#: documented r14 deferral) + the 16 oldest remaining r8-greens fill
+#: the 50 slots exactly. The 12 r8 greens the optimization bodies
 #: displaced (sql_udf_scalar, string_collation_ci, text_bigram_avg_nll,
 #: text_duplicated_ngram_coverage, skyline_pareto_frontier,
-#: sql_parameterized, sql_pipe_syntax — youngest-first by the (round,
-#: name) tie order) defer to r16 together with the 4 youngest r8
-#: greens already deferred by the rotation ranking
-#: (timeseries_holt_linear, timeseries_linear_interpolate,
-#: timeseries_seasonal_decompose, window_rolling_distinct_users).
+#: sql_parameterized, sql_pipe_syntax, then scd2_apply_changes,
+#: quality_iqr_fences, pipeline_temperature_mixture, json_variant_type,
+#: join_range_lookup — youngest-first by the (round, name) tie order)
+#: defer to r16 together with the 4 youngest r8 greens already
+#: deferred by the rotation ranking (timeseries_holt_linear,
+#: timeseries_linear_interpolate, timeseries_seasonal_decompose,
+#: window_rolling_distinct_users).
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
     # -- staleness refreshes: the full r6-era residue -------------------
@@ -141,7 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ewma",
     "tpch_q21_suppliers_kept_waiting",
     "window_time_range_frame",
-    # -- staleness refreshes: the 21 oldest r8-greens --------------------
+    # -- staleness refreshes: the 16 oldest r8-greens --------------------
     "agg_filter_clause",
     "agg_gini_concentration",
     "agg_group_quantiles",
@@ -158,11 +165,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_rfm_segmentation",
     "graph_degree_distribution",
     "join_lateral_topn",
-    "join_range_lookup",
-    "json_variant_type",
-    "pipeline_temperature_mixture",
-    "quality_iqr_fences",
-    "scd2_apply_changes",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -9,6 +9,8 @@ semantics are pinned by unit tests instead (tests/test_llm_ops.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -2655,6 +2657,14 @@ def embed_kmeans_lloyd(spark, sf_dir):
     driver hash has zero float surface.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # Round 15, measured and KEPT AS IS: fan-out + eager checkpoints
+    # of the quantized frame / per-round centroids / final assignment
+    # (the kcore-stampede recipe) read a consistent 0.78x/0.88x across
+    # two interleaved A/Bs — the duplicated subtrees here are CHEAP
+    # (one explode of the embedding corpus) and AQE builds them
+    # concurrently on otherwise-idle cores, so blocking checkpoints
+    # serialize work the stampede was hiding. The unrolled-2-round
+    # lazy shape stays.
     x = e.select(
         "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "xv")
     ).select(

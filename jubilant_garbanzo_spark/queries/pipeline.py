@@ -14,6 +14,9 @@ implement the mission's [EXT] training-pipeline surface.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -263,7 +266,30 @@ def dedup_cluster_incremental(spark, sf_dir):
     is_new = lambda c: F.col(c) % 5 == 4  # noqa: E731
 
     old_pairs = pairs.filter(~is_new("id_a") & ~is_new("id_b"))
-    old_cl = D.duplicate_clusters(old_pairs)
+    new_pairs = pairs.filter(is_new("id_a") & is_new("id_b"))
+    if os.environ.get("SPARK_GRAFT_CC_OVERLAP", "1") != "0":
+        # Round 15 (guide §2.6 "overlap independent jobs"): the OLD-
+        # corpus components and the NEW-batch components are
+        # independent driver-coordinated convergence loops of small
+        # blocking jobs; running them sequentially leaves the cluster
+        # idle through each one's stragglers. Two driver threads let
+        # the scheduler back-fill (results deterministic — each loop
+        # is a pure function of its frozen pair set; interleaved sf0.1
+        # A/B + sf0.01 oracle: rows identical).
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_old = pool.submit(
+                inheritable_thread_target(D.duplicate_clusters), old_pairs
+            )
+            f_new = pool.submit(
+                inheritable_thread_target(D.duplicate_clusters), new_pairs
+            )
+            old_cl = f_old.result()
+            comp_new = f_new.result()
+    else:
+        old_cl = D.duplicate_clusters(old_pairs)
+        comp_new = D.duplicate_clusters(new_pairs)
 
     # new->old matches, mapped to the old doc's (possibly singleton)
     # cluster id, encoded as a virtual seed node.
@@ -284,15 +310,14 @@ def dedup_cluster_incremental(spark, sf_dir):
         .agg((F.min("c") - F.lit(_OLD_ENC)).alias("enc"))
     )
 
-    # Components over the NEW-NEW pair graph only, THEN fold the seed
-    # encodings in per component. Feeding the seeds into the propagation
-    # as extra edges would let a SHARED old-cluster virtual node bridge
-    # two new docs that have no new-new path between them — over-merging
-    # (and diverging from the oracle, whose reachability is new-new
-    # only). Virtual labels must be component ATTRIBUTES, never transit
-    # nodes.
-    new_pairs = pairs.filter(is_new("id_a") & is_new("id_b"))
-    comp = D.duplicate_clusters(new_pairs)
+    # Components over the NEW-NEW pair graph only (computed above),
+    # THEN fold the seed encodings in per component. Feeding the seeds
+    # into the propagation as extra edges would let a SHARED
+    # old-cluster virtual node bridge two new docs that have no
+    # new-new path between them — over-merging (and diverging from the
+    # oracle, whose reachability is new-new only). Virtual labels must
+    # be component ATTRIBUTES, never transit nodes.
+    comp = comp_new
 
     new_docs = d.filter(is_new("doc_id")).select("doc_id")
     member = new_docs.join(comp, "doc_id", "left").select(
