@@ -104,6 +104,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_wordpiece_train",  # same lazy-best checkpoint as bpe
     "graph_pagerank",  # static edges⋈outw hoisted out of the loop
     "dedup_cluster_incremental",  # old/new CC loops overlapped
+    "text_unigram_train",  # per-round vocab checkpoint now lazy
+    "agg_countmin_heavy_hitters",  # fan-out before the md5 sketch build
+    "assoc_copurchase_lift",  # items subtree checkpointed once (x4 dedupe)
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -115,18 +118,19 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: straight from the committed artifacts), into the window.
 #:
 #: Round 15 (the optimization round, on top of the third rotation):
-#: the 19 CHANGED bodies (4 from the interrupted build work + 15
+#: the 22 CHANGED bodies (4 from the interrupted build work + 18
 #: optimization-pass bodies; dedup_semantic_clusters, graph_kcore and
 #: graph_link_prediction_jaccard were already in the r8 refresh block
 #: and move to the head) + the ENTIRE r6-era residue (15 queries — the
-#: documented r14 deferral) + the 16 oldest remaining r8-greens fill
-#: the 50 slots exactly. The 12 r8 greens the optimization bodies
+#: documented r14 deferral) + the 13 oldest remaining r8-greens fill
+#: the 50 slots exactly. The 15 r8 greens the optimization bodies
 #: displaced (sql_udf_scalar, string_collation_ci, text_bigram_avg_nll,
 #: text_duplicated_ngram_coverage, skyline_pareto_frontier,
 #: sql_parameterized, sql_pipe_syntax, then scd2_apply_changes,
 #: quality_iqr_fences, pipeline_temperature_mixture, json_variant_type,
-#: join_range_lookup — youngest-first by the (round, name) tie order)
-#: defer to r16 together with the 4 youngest r8 greens already
+#: join_range_lookup, join_lateral_topn, graph_degree_distribution,
+#: event_rfm_segmentation — youngest-first by the (round, name) tie
+#: order) defer to r16 together with the 4 youngest r8 greens already
 #: deferred by the rotation ranking (timeseries_holt_linear,
 #: timeseries_linear_interpolate, timeseries_seasonal_decompose,
 #: window_rolling_distinct_users).
@@ -148,7 +152,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ewma",
     "tpch_q21_suppliers_kept_waiting",
     "window_time_range_frame",
-    # -- staleness refreshes: the 16 oldest r8-greens --------------------
+    # -- staleness refreshes: the 13 oldest r8-greens --------------------
     "agg_filter_clause",
     "agg_gini_concentration",
     "agg_group_quantiles",
@@ -162,9 +166,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_attribution_last_touch",
     "event_cumulative_reach",
     "event_path_trigrams",
-    "event_rfm_segmentation",
-    "graph_degree_distribution",
-    "join_lateral_topn",
 )
 
 def load_all() -> dict[str, QuerySpec]:

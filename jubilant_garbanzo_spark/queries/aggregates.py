@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from jubilant_garbanzo_spark.catalog import load_table
+from jubilant_garbanzo_spark.catalog import fan_out_scan, load_table
 from jubilant_garbanzo_spark.functions.emptysafe import empty_fallback
 from jubilant_garbanzo_spark.functions.hashing import md5_hex_bigint
 from jubilant_garbanzo_spark.functions.money import exact_sum, exact_sum_sql
@@ -707,9 +707,18 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
     test scale; the sketch itself never needs them.
     """
     orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(
-        F.col("o_custkey").alias("key"),
-        (F.col("o_orderkey") % 2).alias("half"),
+    # Round 15 (guide §2.5): the sketch build's per-row md5 hashing
+    # (4 depth rows per order) fuses above the scan, which the
+    # single-row-group fixture caps at ONE task — the footer-gated
+    # fan-out spreads the hash work; the exchange ships two ints/row.
+    keyed = fan_out_scan(
+        spark,
+        orders.select(
+            F.col("o_custkey").alias("key"),
+            (F.col("o_orderkey") % 2).alias("half"),
+        ),
+        sf_dir,
+        "orders",
     )
     depths = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("depth")
     hashed = keyed.select("key", "half", depths).withColumn(

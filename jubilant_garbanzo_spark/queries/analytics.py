@@ -16,6 +16,8 @@ DATE (never raw timestamps) per the oracle discipline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1033,6 +1035,17 @@ def assoc_copurchase_lift(spark, sf_dir):
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    # Round 15 (guide §3.3/§7.2): `items` feeds FOUR subtrees (the
+    # 1-row basket count and both item-count sides build as broadcasts
+    # CONCURRENTLY at action time, plus the pair self-join), and the
+    # renamed projections defeat exchange reuse — without
+    # materialization the scan+distinct re-runs once per subtree (the
+    # kcore stampede class). One eager checkpoint of the deduped
+    # 2-int-column frame pays once; at cluster scale the same
+    # materialize-reused-intermediate trade (persist) applies wherever
+    # a frame fans out into concurrently-built broadcast sides.
+    if os.environ.get("SPARK_GRAFT_LIFT_CKPT", "1") != "0":
+        items = items.localCheckpoint(eager=True)
     n_baskets = items.select(
         F.count_distinct("ok").cast("bigint").alias("n_baskets")
     )

@@ -4324,7 +4324,13 @@ def text_unigram_train(spark, sf_dir):
         .limit(UG.SEED_MULTI_MAX)
         .select("piece", "ucnt")
     )
-    vocab = score(singles0.unionByName(multi0)).localCheckpoint()
+    # LAZY per-round vocab checkpoints (round 15, the bpe.train_merges
+    # lazy-best discipline): the vocab subtree above the previous
+    # checkpoint is bounded (≤ singles + KEEP_MULTI pieces through one
+    # score/union) so the next round's first reader materializes it
+    # inside its own job instead of a separate blocking job per round.
+    lazy = os.environ.get("SPARK_GRAFT_BPE_LAZY_BEST", "1") != "0"
+    vocab = score(singles0.unionByName(multi0)).localCheckpoint(eager=not lazy)
 
     zero = F.lit(0).cast("bigint")
     for _ in range(UG.EM_ROUNDS):
@@ -4358,7 +4364,9 @@ def text_unigram_train(spark, sf_dir):
             .limit(UG.KEEP_MULTI)
             .select("piece", "ucnt")
         )
-        vocab = score(singles.unionByName(multi)).localCheckpoint()
+        vocab = score(singles.unionByName(multi)).localCheckpoint(
+            eager=not lazy
+        )
 
     return vocab.select(
         "piece",
@@ -4488,6 +4496,11 @@ def embed_ann_ivfpq(spark, sf_dir):
     cross-engine, and a third independent NumPy replay pins both in
     tests/test_llm_ops.py."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Round 15, measured and KEPT AS IS: fan-out before the quantize
+    # stage read 0.58x in an interleaved A/B — the exchange ships the
+    # full 64-float vectors and every downstream eager checkpoint
+    # inherits 32-way partitioning, multiplying small-task overhead
+    # across the ~6 build-stage jobs. The 1-task build stages stay.
     return S.ivfpq_adc_topk(e)
 
 

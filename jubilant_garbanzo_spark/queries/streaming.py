@@ -171,6 +171,13 @@ def stream_sliding_window(spark, sf_dir):
     event time — strictly stronger than the reference, which windows by
     arrival batch and silently miscounts late data."""
     s = read_events_stream(spark, sf_dir)
+    # Round 15, measured and KEPT AS IS: the micro-batch's map side
+    # (scan → window expansion → partial count) runs as ONE task on the
+    # single-row-group fixture, but a footer-gated pre-agg
+    # repartition (the fan_out_scan recipe) read 0.80x/0.92x across
+    # two interleaved A/Bs — the per-row work is too cheap to amortize
+    # an extra full-row shuffle, same loser class as the blanket
+    # fan-out A/B's text_term_frequency column.
     agg = s.groupBy(
         F.window("ts", "10 seconds", "5 seconds").alias("w"), "event_type"
     ).agg(F.count("*").alias("cnt"))

@@ -36,8 +36,10 @@ print("RESULT " + json.dumps(out))
 """
 
 
-def run_session(confs: dict, names, sf):
+def run_session(confs: dict, names, sf, extra_env=None):
     env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     # get_spark only sets RUNTIME_CONF; static confs ride the
     # spark-submit pre-session channel.
     env["PYSPARK_SUBMIT_ARGS"] = (
@@ -65,15 +67,17 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--conf", action="append", default=[])
+    ap.add_argument("--env", action="append", default=[], help="k=v: set only in the CONF variant; base runs without it")
     ap.add_argument("--out", default=None)
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
     confs = dict(c.split("=", 1) for c in args.conf)
+    envs = dict(c.split("=", 1) for c in args.env)
 
     runs = {"base": [], "conf": []}
     for r in range(args.rounds):
         runs["base"].append(run_session({}, args.names, args.sf))
-        runs["conf"].append(run_session(confs, args.names, args.sf))
+        runs["conf"].append(run_session(confs, args.names, args.sf, envs))
         print(f"# round {r} done", file=sys.stderr)
 
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
