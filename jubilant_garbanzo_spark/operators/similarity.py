@@ -516,7 +516,10 @@ def build_ivf_index(
     assigned = e.persist()
     centroids = centroids.persist()
     # Materialize now so no probe plan ever contains the build job.
-    assigned.count()
+    # ONE blocking job suffices (round 15, guide §1.2): the centroid
+    # aggregate scans every partition of the persisted `assigned`
+    # frame, so counting it fills BOTH caches — the separate
+    # assigned.count() was a second corpus pass + driver barrier.
     centroids.count()
     return assigned, centroids
 
@@ -1194,7 +1197,14 @@ def ivfpq_adc_topk(
                 lambda s: s["qc"],
             ).alias("ca")
         )
-        .localCheckpoint(eager=True)
+        # LAZY (round 15, guide §1.2 job shape): cent's first reader is
+        # rv's broadcast build — a single reader, so the checkpoint
+        # materializes inside rv's own job instead of a separate
+        # blocking barrier; later readers (the probe) see the cached
+        # partitions. v stays EAGER: it is read concurrently by cent's
+        # build and rv's main side, and a lazy v would recompute under
+        # both (the concurrent-first-read stampede).
+        .localCheckpoint(eager=False)
     )
 
     rv = (
@@ -1219,7 +1229,13 @@ def ivfpq_adc_topk(
             "j", F.row_number().over(W.orderBy("h", "vec_id")) - 1
         )
         .select("j", F.col("ri").alias("ci"))
-        .localCheckpoint(eager=True)
+        # LAZY: both broadcast(cb) uses in the final plan (enc's encode
+        # pass and the LUT build) dedupe to ONE broadcast exchange via
+        # exchange reuse, so the first and only build materializes the
+        # checkpoint inside the final job — no separate barrier. rv
+        # above it is already eager-checkpointed, so the build reads
+        # cached partitions.
+        .localCheckpoint(eager=False)
     )
 
     sub = dim // m

@@ -82,9 +82,11 @@ def register(
 #: suffix_ranks take fresh driver greens anyway under the
 #: changed-body-means-changed-query discipline.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "text_sparse_tfidf_cosine",  # probe folded into checkpoint job
+    "text_sparse_tfidf_cosine",  # probe folded into ckpt job; n_docs
+    #   now counted from documents, not a second shingle pass (resume)
     "text_suffix_array",  # suffixarray round storage/lifetime
-    "text_longest_dup_substring",  # suffixarray round storage/lifetime
+    "text_longest_dup_substring",  # suffixarray round storage/lifetime;
+    #   reps window eager-checkpointed (4-subtree stampede, resume)
     "dedup_exactsubstr_removal",  # suffixarray round storage/lifetime
     # -- round-15 optimization-pass body changes (results identical;
     # each verified by an interleaved same-session A/B with collected-
@@ -98,7 +100,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_kcore",  # edge list coalesce(1) + eager ckpt (stampede)
     "graph_link_prediction_jaccard",  # same stampede fix as kcore
     "graph_clustering_coefficient",  # same stampede fix as kcore
-    "embed_pca_power_iteration",  # fan-out + s_up/m ckpt + n rides m
+    "embed_pca_power_iteration",  # ONE-pass scatter+mean grid, lazy rounds
     "text_bpe_train",  # per-round best argmax checkpoint now lazy
     "text_bpe_roundtrip",  # consumer of the lazy-best BPE trainer
     "text_wordpiece_train",  # same lazy-best checkpoint as bpe
@@ -107,6 +109,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_unigram_train",  # per-round vocab checkpoint now lazy
     "agg_countmin_heavy_hitters",  # fan-out before the md5 sketch build
     "assoc_copurchase_lift",  # items subtree checkpointed once (x4 dedupe)
+    # -- resume-segment body changes (same discipline) -------------------
+    "text_ccnet_bucket_filter",  # c1 folded from c2, not the corpus
+    "text_bigram_avg_nll",  # same c1-from-c2 fold
+    "text_kneser_ney_nll",  # same c1-from-c2 fold
+    "embed_ann_ivf",  # index build: one materializing job, not two
+    "embed_ann_ivfpq",  # cent/cb checkpoints lazy (2 fewer barriers)
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -152,7 +160,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ewma",
     "tpch_q21_suppliers_kept_waiting",
     "window_time_range_frame",
-    # -- staleness refreshes: the 13 oldest r8-greens --------------------
+    # -- staleness refreshes: the 8 oldest r8-greens ---------------------
+    # (5 refresh slots were re-taken by the resume segment's changed
+    # bodies — ccnet/bigram-nll/kneser-ney c1-from-c2, the two IVF
+    # builds; the displaced youngest refreshes — embed_similarity_join,
+    # event_activity_streaks, event_attribution_last_touch,
+    # event_cumulative_reach, event_path_trigrams — defer to r16 per
+    # scripts/next_window.py's ranking.)
     "agg_filter_clause",
     "agg_gini_concentration",
     "agg_group_quantiles",
@@ -161,11 +175,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "embed_ann_lsh",
     "embed_ann_pq_adc",
-    "embed_similarity_join",
-    "event_activity_streaks",
-    "event_attribution_last_touch",
-    "event_cumulative_reach",
-    "event_path_trigrams",
 )
 
 def load_all() -> dict[str, QuerySpec]:

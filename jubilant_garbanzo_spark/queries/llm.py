@@ -519,9 +519,19 @@ def text_longest_dup_substring(spark, sf_dir):
     from pyspark.sql import Window as W
 
     w = W.partitionBy("r").orderBy("doc_id", "pos")
-    reps = ranks.select(
-        F.col("suffix_rank").alias("r"), "doc_id", "pos"
-    ).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    # Eager checkpoint (round 15, the graph-query stampede recipe,
+    # guide §3.3/§7.2): reps feeds FOUR subtrees (r1 twice as the two
+    # pair-join left sides, r1b, r2) and the rank window otherwise
+    # re-executes above the reused exchange once per subtree — with
+    # the pair joins' AQE builds running them concurrently. The
+    # checkpointed frame is (r, doc_id, pos, rn) at <= 2 rows per
+    # rank — O(corpus positions) ints, never payload bytes.
+    reps = (
+        ranks.select(F.col("suffix_rank").alias("r"), "doc_id", "pos")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .localCheckpoint(eager=True)
+    )
     r1 = reps.filter(F.col("rn") == 1).select(
         "r", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )
@@ -3043,8 +3053,10 @@ def text_bigram_avg_nll(spark, sf_dir):
         .filter(F.col("w2").isNotNull())
     )
     c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n2"))
-    c1 = bigrams.groupBy(F.col("w1").alias("cw1")).agg(
-        F.count("*").cast("bigint").alias("n1")
+    # c1 = sum of c2 counts per w1 — one corpus pass, not two (the
+    # ccnet/kneser-ney site's rationale; exact by definition).
+    c1 = c2.groupBy(F.col("w1").alias("cw1")).agg(
+        F.sum("n2").cast("bigint").alias("n1")
     )
     v = toks.agg(F.count_distinct("tok").cast("bigint").alias("vsize"))
     scored = (
@@ -3199,8 +3211,12 @@ def text_ccnet_bucket_filter(spark, sf_dir):
     c2 = bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("bigint").alias("n2")
     )
-    c1 = bigrams.groupBy(F.col("w1").alias("cw1")).agg(
-        F.count("*").cast("bigint").alias("n1")
+    # c1 re-aggregates c2, not the corpus (round 15, guide §2.3):
+    # count(*) GROUP BY w1 == sum of the per-(w1, w2) counts, so the
+    # unigram totals fold the distinct-bigram-sized c2 table instead
+    # of paying a second full corpus pass (explode + lead window).
+    c1 = c2.groupBy(F.col("w1").alias("cw1")).agg(
+        F.sum("n2").cast("bigint").alias("n1")
     )
     v = toks.agg(F.count_distinct("tok").cast("bigint").alias("vsize"))
     scored = (
@@ -3353,8 +3369,12 @@ def text_kneser_ney_nll(spark, sf_dir):
     c2 = bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("bigint").alias("n2")
     )
-    c1 = bigrams.groupBy(F.col("w1").alias("cw1")).agg(
-        F.count("*").cast("bigint").alias("n1")
+    # c1 re-aggregates c2, not the corpus (round 15, guide §2.3):
+    # count(*) GROUP BY w1 == sum of the per-(w1, w2) counts, so the
+    # unigram totals fold the distinct-bigram-sized c2 table instead
+    # of paying a second full corpus pass (explode + lead window).
+    c1 = c2.groupBy(F.col("w1").alias("cw1")).agg(
+        F.sum("n2").cast("bigint").alias("n1")
     )
     t1 = c2.groupBy(F.col("w1").alias("tw1")).agg(
         F.count("*").cast("bigint").alias("t1")
@@ -4783,7 +4803,16 @@ def sparse_tfidf_components(d, agg_mode=None):
         .groupBy("doc_id", "s")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    n_docs = sh.select("doc_id").distinct().count()
+    # n_docs = |distinct doc_id in sh|. A doc appears in sh iff it has
+    # >= 1 shingle iff size(split(text)) >= 3, so the count is computed
+    # from the raw table directly (round 15, guide §2.4): one narrow
+    # scan + a distinct over doc_ids instead of a SECOND full
+    # explode + (doc_id, s) aggregate pass just to count its keys.
+    # Exactly the same integer for any input, including duplicate
+    # doc_ids and null/empty text (size(split(NULL)) = -1 < 3).
+    n_docs = (
+        d.filter(F.size(ws) >= 3).select("doc_id").distinct().count()
+    )
     df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
     idf = F.round(
         F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0
@@ -5343,7 +5372,16 @@ def _pca_scatter_upper(qv):
     returned pre-checkpoint so tests can gate its plan shape (the
     round-15 eager checkpoint truncates the final plan's lineage, so
     the partial-aggregate assertion must run on this builder frame —
-    same pattern as the farthest-point test)."""
+    same pattern as the farthest-point test).
+
+    Round-15 resume: the per-dim FIRST moments (mean numerators) and
+    the corpus count ride the SAME explode+aggregate — a constant 1 is
+    prepended to each suffix slice, so position dj=0 emits a marker
+    row (j = -1, p = qi·1 = qi) and dj>=1 emits the usual upper-
+    triangle product (j = i + dj - 1). One corpus pass and one shuffle
+    now produce the scatter grid AND the mean vector AND n (the count
+    of any j = -1 cell), where the previous shape paid a second full
+    scan + exchange for the means. Exact integer sums either way."""
     dec = "decimal(38,0)"
     qrows = qv.select(F.posexplode("qv").alias("i", "qi"), "qv")
     # S is symmetric: generate only the upper triangle j >= i (slice
@@ -5354,16 +5392,24 @@ def _pca_scatter_upper(qv):
             "i",
             "qi",
             F.posexplode(
-                F.expr("slice(qv, i + 1, size(qv) - i)")
+                F.expr(
+                    "concat(array(CAST(1 AS BIGINT)),"
+                    " slice(qv, i + 1, size(qv) - i))"
+                )
             ).alias("dj", "qj"),
         )
         .select(
             "i",
-            (F.col("i") + F.col("dj")).alias("j"),
+            F.when(F.col("dj") == 0, F.lit(-1))
+            .otherwise(F.col("i") + F.col("dj") - 1)
+            .alias("j"),
             (F.col("qi").cast(dec) * F.col("qj").cast(dec)).alias("p"),
         )
         .groupBy("i", "j")
-        .agg(F.sum("p").cast(dec).alias("sij"))
+        .agg(
+            F.sum("p").cast(dec).alias("sij"),
+            F.count("*").cast(dec).alias("nij"),
+        )
     )
 
 
@@ -5479,18 +5525,20 @@ def embed_pca_power_iteration(spark, sf_dir):
     test pins that the returned direction is genuinely PC1
     (tests/test_llm_ops.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # Round-15 restructure (guide §2.4/§2.5, A/B 1.15-1.22x, rows
-    # identical): (1) scan fan-out — the outer-product pass is heavy
-    # fused map work above a single-row-group scan; (2) s_up and m are
-    # eager-checkpointed ONCE — the union mirror and the ma/mb joins
-    # otherwise re-ran the corpus aggregate 2-3x CONCURRENTLY (AQE
-    # builds the duplicated subtree exchanges in parallel; two 3.3 s
-    # single-task jobs in the job profile, plans/r15/evidence);
-    # (3) n rides m as a per-dim count (posexplode emits exactly n
-    # rows per dim), dropping the separate cnt pass over the corpus;
-    # (4) the bounded frames (s_up <= 2080 cells, m 64 rows, cells
-    # 4096 cells, x 64 rows — bounded at ANY corpus scale) iterate on
-    # one partition (the pagerank graph_partitions=1 rationale).
+    # Round-15 restructure, re-done on resume (guide §2.4/§2.5 + §1.2
+    # job shape): (1) scan fan-out — the outer-product pass is heavy
+    # fused map work above a single-row-group scan; (2) ONE corpus
+    # pass: the per-dim means and n ride the scatter aggregate itself
+    # as j = -1 marker cells (see _pca_scatter_upper) — the previous
+    # shape paid a second full scan + fan-out exchange for the means,
+    # and before that the un-checkpointed frames re-ran the corpus
+    # aggregate 2-3x CONCURRENTLY at action time; (3) the bounded
+    # frames (grid <= 2144 cells, cells 4096, x 64 — bounded at ANY
+    # corpus scale) iterate on one partition, and the per-round x
+    # checkpoints are LAZY (truncate lineage without a blocking
+    # per-round job — the bpe lazy-best discipline), so the whole
+    # query is 2 blocking jobs + the final action instead of ~10
+    # driver barriers.
     e = fan_out_scan(spark, e.select("embedding"), sf_dir, "embeddings")
     dec = "decimal(38,0)"
     qv = e.select(
@@ -5499,23 +5547,16 @@ def embed_pca_power_iteration(spark, sf_dir):
             f" * {_PCA_SCALE}.0) AS BIGINT))"
         ).alias("qv")
     )
-    s_up = (
-        _pca_scatter_upper(qv).coalesce(1).localCheckpoint(eager=True)
-    )
+    grid = _pca_scatter_upper(qv).coalesce(1).localCheckpoint(eager=True)
+    s_up = grid.filter(F.col("j") >= 0).select("i", "j", "sij")
     s = s_up.unionByName(
         s_up.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "sij"
         )
     )
-    m = (
-        qv.select(F.posexplode("qv").alias("i", "qi"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("qi").cast(dec)).cast(dec).alias("mi"),
-            F.count("*").cast(dec).alias("n_i"),
-        )
+    m = grid.filter(F.col("j") == -1).select(
+        "i", F.col("sij").alias("mi"), F.col("nij").alias("n_i")
     )
-    m = m.coalesce(1).localCheckpoint(eager=True)
     cells = (
         s.join(
             m.select(F.col("i"), F.col("mi").alias("ma"), F.col("n_i")),
@@ -5558,6 +5599,12 @@ def embed_pca_power_iteration(spark, sf_dir):
                 F.max(F.abs(F.col("s"))).cast(dec), F.lit(1).cast(dec)
             ).alias("mx")
         )
+        # Lazy: lineage still truncates (each round's plan reads the
+        # previous round's checkpoint, not its whole subtree), but the
+        # materialization happens inside the next consumer's job — no
+        # blocking per-round driver barrier. The double first-read
+        # (mx's broadcast build + the main side) recomputes at most a
+        # 64-row matvec, not corpus work.
         x = (
             u.crossJoin(F.broadcast(mx))
             .select(
@@ -5565,7 +5612,7 @@ def embed_pca_power_iteration(spark, sf_dir):
                 F.expr(_pca_rescale("s", "mx")).cast("bigint").alias("xv"),
             )
             .coalesce(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     mean = _pca_mean("mi", "n")
     return (
