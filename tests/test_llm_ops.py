@@ -1977,6 +1977,35 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     }
 
 
+def test_pca_scatter_grid_marker_cells_carry_means_and_count(spark):
+    """Round-15 internals: _pca_scatter_upper emits j = -1 marker
+    cells alongside the upper-triangle products — sij of a marker row
+    must equal the exact per-dim coordinate sum, nij its row count
+    (= n for every dim), and the j >= 0 cells the exact sum of
+    upper-triangle products, so the one-pass grid is equivalent to the
+    separate scatter + means passes it replaced."""
+    from pyspark.sql import functions as F
+
+    from jubilant_garbanzo_spark.queries.llm import _pca_scatter_upper
+
+    vecs = [[3, -1, 4], [1, 5, -9], [2, 6, 5], [-3, 5, 8]]
+    df = spark.createDataFrame(
+        [(v,) for v in vecs], "qv array<bigint>"
+    ).select("qv")
+    rows = {
+        (r["i"], r["j"]): (int(r["sij"]), int(r["nij"]))
+        for r in _pca_scatter_upper(df).collect()
+    }
+    n, d = len(vecs), len(vecs[0])
+    for i in range(d):
+        want_mean = sum(v[i] for v in vecs)
+        assert rows[(i, -1)] == (want_mean, n)
+        for j in range(i, d):
+            want = sum(v[i] * v[j] for v in vecs)
+            assert rows[(i, j)] == (want, n)
+    assert len(rows) == d + d * (d + 1) // 2
+
+
 def test_pca_power_iteration_converges_on_planted_direction(
     spark, tmp_path
 ):
