@@ -87,7 +87,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_suffix_array",  # suffixarray round storage/lifetime
     "text_longest_dup_substring",  # suffixarray round storage/lifetime;
     #   reps window eager-checkpointed (4-subtree stampede, resume)
-    "dedup_exactsubstr_removal",  # suffixarray round storage/lifetime
+    "dedup_exactsubstr_removal",  # suffixarray round storage/lifetime;
+    #   ntok folded from the raw table, not a second explode (resume)
     # -- round-15 optimization-pass body changes (results identical;
     # each verified by an interleaved same-session A/B with collected-
     # row digests AND the sf0.01 oracle — see OPTIMIZATION_r15.md) ----

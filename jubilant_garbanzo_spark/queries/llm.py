@@ -659,7 +659,22 @@ def dedup_exactsubstr_removal(spark, sf_dir):
     ranks = SA.suffix_ranks(
         d, rounds=_ES_ROUNDS, cache_key=("documents", sf_dir)
     ).select("doc_id", "pos", F.col("suffix_rank").alias("r"))
-    nt = pos.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    # ntok folds from the raw table (round 15, guide §2.4 — the
+    # sparse-tfidf n_docs recipe): the sum of per-row token-array
+    # sizes equals pos.groupBy(doc_id).count() for ANY input
+    # (duplicate doc_ids sum; null text contributes 0 like the explode
+    # emits no rows; the ntok >= 1 filter reproduces the exploded
+    # frame's doc domain). One narrow scan instead of a second full
+    # posexplode pass just to count its rows.
+    tok_sz = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
+    )
+    nt = (
+        d.select("doc_id", tok_sz.alias("sz"))
+        .groupBy("doc_id")
+        .agg(F.sum("sz").alias("ntok"))
+        .filter(F.col("ntok") >= 1)
+    )
     starts = ranks.join(nt, "doc_id").filter(
         F.col("pos") + _ES_K <= F.col("ntok")
     )
