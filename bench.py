@@ -207,8 +207,16 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for name in names:
-        runs = sorted(run_one(spark, specs[name], args.sf) for _ in range(args.runs))
+        raw = [run_one(spark, specs[name], args.sf) for _ in range(args.runs)]
+        # Run-1 wall in arrival order (VERDICT r15 #7): the queries that
+        # share a session-scoped index (minhash pairs, suffix ranks) pay
+        # the build on their first run only, so the median alone hides
+        # that cold cost. Reported ALONGSIDE the median — the timed
+        # methodology and the authoritative per-query stat are unchanged.
+        first_runs[name] = round(raw[0], 3)
+        runs = sorted(raw)
         med = runs[len(runs) // 2] if args.runs % 2 else sum(
             runs[len(runs) // 2 - 1 : len(runs) // 2 + 1]
         ) / 2
@@ -251,6 +259,7 @@ def main() -> int:
             "unit": "sec",
             "queries": timings,
             "noise_band": spreads,
+            "first_run_wall": first_runs,
             "method": method,
             "sf": sf_val,
         }
@@ -266,8 +275,13 @@ def main() -> int:
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"metric": "noise_band", "bands": spreads,
+                      "first_run_wall": first_runs,
                       "method": method}, separators=(",", ":")))
-    compact = {k: v for k, v in payload.items() if k != "noise_band"}
+    # first_run_wall rides the sacrificial line + bench_out.json only:
+    # the LAST line must stay small enough to always fit the driver's
+    # bounded stdout tail.
+    compact = {k: v for k, v in payload.items()
+               if k not in ("noise_band", "first_run_wall")}
     print(json.dumps(compact, separators=(",", ":")))
     return 0
 

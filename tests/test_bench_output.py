@@ -82,6 +82,15 @@ def test_bench_stdout_tail_is_compact_parseable_summary(tmp_path):
     assert payload["value"] == summary["value"]
     assert payload["noise_band"].keys() == payload["queries"].keys()
 
+    # Run-1 wall transparency (VERDICT r15 #7): the cold cost of
+    # session-cached index builds must be on the record — per query, on
+    # the sacrificial line + file mirror, never on the summary line.
+    assert payload["first_run_wall"].keys() == payload["queries"].keys()
+    assert "first_run_wall" not in summary
+    assert bands["first_run_wall"].keys() == bands["bands"].keys()
+    # runs=1 ⇒ the first run IS the median.
+    assert payload["first_run_wall"] == payload["queries"]
+
     # The default artifact must be untouched by an --out run: not created
     # when absent, not rewritten when present.
     after = (
