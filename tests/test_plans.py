@@ -1194,3 +1194,24 @@ def test_phash_tiered_join_runs_on_distinct_hashes(spark, sf_dir):
     assert strategies, "no joins found in plan"
     assert "CartesianProduct" not in strategies, strategies
     assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_checkpointed_frames_show_as_existing_rdd(spark, sf_dir):
+    """Plan-evidence hygiene (VERDICT r15 #3): a query whose body
+    eagerly localCheckpoints a shared frame must SHOW that truncation —
+    the consumers read `Scan ExistingRDD`, and the original lineage
+    (the fact-join derivation) must not repeat under every consumer.
+    Round 15's committed kcore 'after' plan silently came from the
+    pre-change tree (zero ExistingRDD scans, impossible for the
+    committed body); this pins the property at runtime so a stale
+    artifact can never again contradict the code."""
+    for name in ("graph_kcore", "text_longest_dup_substring",
+                 "assoc_copurchase_lift", "multimodal_phash_dedup"):
+        df = q(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, f"{name}: checkpoint not in plan"
+    # kcore specifically: the peel rounds must read the checkpointed
+    # edge list, not re-derive lineitem joins per broadcast subtree.
+    df = q(spark, sf_dir, "graph_kcore")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem") <= 1, plan[:3000]
