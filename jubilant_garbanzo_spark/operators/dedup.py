@@ -555,6 +555,21 @@ def ngram_prefix_candidates(
     # Measured at sf0.1 (median-of-5, interleaved baseline re-run):
     # candidates 409 103 → 124 979 (3.3×), full-query wall 3.60-3.92 s
     # → 2.37 s, result pairs identical (256).
+    #
+    # Round 16, measured and REJECTED — PPJoin's INDEX-prefix
+    # tightening (index side keeps only the |x|−⌈2t/(1+t)·|x|⌉+1
+    # rarest shingles, roles by size): lossless (oracle + randomized
+    # brute-force green) and it cuts index postings ~1/3, but the
+    # asymmetric sides break the self-join's exchange reuse, so the
+    # freq-join + ranking window execute TWICE — interleaved sf0.1 A/B
+    # 0.60x (wins 0/4); with an eager prefix checkpoint to restore
+    # single execution, 0.56x (wins 0/5) — the barrier + extra
+    # exchange cost more than the candidate cut
+    # (plans/r16/evidence/ab_ngram_idx{,2}.json). Bucket skew is not
+    # the issue either: prefix buckets measured max=10/median=7
+    # postings at sf0.1 (probe_ngram_stages.py) — the rarest-first
+    # order keeps them uniform by construction, so salting (guide
+    # §2.5) has nothing to split. The symmetric one-subplan form stays.
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "s")
