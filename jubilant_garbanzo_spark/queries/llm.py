@@ -2125,7 +2125,12 @@ def text_bigram_pmi(spark, sf_dir):
     toks = d.select(F.split("text", " ").alias("ts"))
     uni = toks.select(F.explode("ts").alias("tok"))
     uc = uni.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
-    nu = uni.agg(F.count("*").cast("bigint").alias("n_uni"))
+    # Both TOTALS fold from their count tables (round 16, guide §2.4,
+    # the c1-from-c2 recipe): n_uni = Σ_tok c and n_big = Σ_pair c_xy
+    # are the same integers as re-counting the exploded frames — every
+    # exploded row lands in exactly one group — so the two extra
+    # corpus-sized explode passes are gone.
+    nu = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
     big = toks.select(
         F.explode(
             F.arrays_zip(
@@ -2135,7 +2140,7 @@ def text_bigram_pmi(spark, sf_dir):
         ).alias("p")
     ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     bc = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
-    nb = big.agg(F.count("*").cast("bigint").alias("n_big"))
+    nb = bc.agg(F.sum("c_xy").cast("bigint").alias("n_big"))
     u1 = uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
     pmi = F.round(

@@ -44,10 +44,20 @@ def tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary: scan-heavy two-phase hash aggregate.
 
     At 100 TB this is the pure-scan benchmark: predicate pushed to
-    parquet row-groups, 4-column ReadSchema, partial aggregation on
+    parquet row-groups, 7-column ReadSchema, partial aggregation on
     every input partition, tiny shuffle (|groups| = 6). Money sums use
     the exact-cents discipline (functions/money.py) so results are
     identical no matter how many partial aggregates combine them.
+
+    Round 16, measured and REJECTED (the deferred VERDICT r15 #8 probe,
+    run once the canary re-base unblocked touching this body): fanning
+    out the FILTERED 6-column projection before the aggregate — the J
+    recipe that won on countmin's md5 sketch — read 0.858x, wins 0/5,
+    in an interleaved sf0.1 A/B (plans/r16/evidence/ab_q1_fanout.json).
+    The exact-decimal partial sums are too cheap per row to amortize a
+    600k-row exchange even at half row width; the single-task partial
+    agg is a fixture artifact that any multi-row-group production
+    layout splits for free. The body stays exchange-free.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
