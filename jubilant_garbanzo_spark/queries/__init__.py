@@ -63,59 +63,20 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-15 contents (the third rotation round, VERDICT r14): one body
-#: change — text_sparse_tfidf_cosine's BIGINT-safety probe no longer
-#: costs its own Spark job (VERDICT r14 #6): the norm table is
-#: checkpointed LAZILY and the 1-row max/min stats aggregate is the
-#: materializing action, so one job computes the checkpoint partitions
-#: AND the gate inputs (measured 17 -> 16 jobs/invocation at sf0.01 by
-#: scripts/probe_tfidf_jobs.py; interleaved sf0.1 A/B neutral-or-better;
-#: the runtime gate's semantics are unchanged and the explicit
-#: ``agg_mode`` override keeps the eager checkpoint).
-#: Also changed (VERDICT r14 #3, the 48g-crutch retirement): the
-#: suffix-array build (operators/suffixarray.py) now FREES each round's
-#: checkpoint once the next round materializes and stores intermediate
-#: rounds DISK_ONLY — live storage bounded at two rounds, and the x100
-#: 27M-suffix build runs on the DEFAULT 8 g heap (previously OOM,
-#: needed SPARK_GRAFT_DRIVER_MEM=48g). Results bit-identical (the
-#: checkpoint level/lifetime is not semantics); the three consumers of
-#: suffix_ranks take fresh driver greens anyway under the
-#: changed-body-means-changed-query discipline.
+#: Round-16 contents (optimization round 2 of 2, VERDICT r15): four
+#: query bodies changed, all pure physical rewrites with digest-equal
+#: interleaved A/Bs and fresh sf0.01 oracle greens (evidence under
+#: plans/r16/evidence/, write-up in OPTIMIZATION_r16.md).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "text_sparse_tfidf_cosine",  # probe folded into ckpt job; n_docs
-    #   now counted from documents, not a second shingle pass (resume)
-    "text_suffix_array",  # suffixarray round storage/lifetime
-    "text_longest_dup_substring",  # suffixarray round storage/lifetime;
-    #   reps window eager-checkpointed (4-subtree stampede, resume)
-    "dedup_exactsubstr_removal",  # suffixarray round storage/lifetime;
-    #   ntok folded from the raw table, not a second explode (resume)
-    # -- round-15 optimization-pass body changes (results identical;
-    # each verified by an interleaved same-session A/B with collected-
-    # row digests AND the sf0.01 oracle — see OPTIMIZATION_r15.md) ----
-    "dedup_ngram_jaccard",  # scan fan-out before the shingle build
-    "text_span_corruption",  # scan fan-out before the HOF map stage
-    "embed_knn_join",  # scan fan-out before the cosine folds
-    "dedup_semantic_clusters",  # scan fan-out before Lloyd quantize
-    "multimodal_phash_dedup",  # dhash mapInPandas built once (ckpt)
-    "graph_triangle_count",  # edge list eager-checkpointed (stampede)
-    "graph_kcore",  # edge list coalesce(1) + eager ckpt (stampede)
-    "graph_link_prediction_jaccard",  # same stampede fix as kcore
-    "graph_clustering_coefficient",  # same stampede fix as kcore
-    "embed_pca_power_iteration",  # ONE-pass scatter+mean grid, lazy rounds
-    "text_bpe_train",  # per-round best argmax checkpoint now lazy
-    "text_bpe_roundtrip",  # consumer of the lazy-best BPE trainer
-    "text_wordpiece_train",  # same lazy-best checkpoint as bpe
-    "graph_pagerank",  # static edges⋈outw hoisted out of the loop
-    "dedup_cluster_incremental",  # old/new CC loops overlapped
-    "text_unigram_train",  # per-round vocab checkpoint now lazy
-    "agg_countmin_heavy_hitters",  # fan-out before the md5 sketch build
-    "assoc_copurchase_lift",  # items subtree checkpointed once (x4 dedupe)
-    # -- resume-segment body changes (same discipline) -------------------
-    "text_ccnet_bucket_filter",  # c1 folded from c2, not the corpus
-    "text_bigram_avg_nll",  # same c1-from-c2 fold
-    "text_kneser_ney_nll",  # same c1-from-c2 fold
-    "embed_ann_ivf",  # index build: one materializing job, not two
-    "embed_ann_ivfpq",  # cent/cb checkpoints lazy (2 fewer barriers)
+    # -- round-16 optimization-pass body changes (results identical;
+    # each verified by an interleaved same-JVM A/B with collected-row
+    # digests AND the sf0.01 oracle — see OPTIMIZATION_r16.md) --------
+    "text_sparse_tfidf_cosine",  # posting self-join replaced by an
+    #   in-array pairwise expansion of the df-capped posting lists
+    "embed_kmeans_lloyd",  # assignment via broadcast centroid-ARRAY
+    #   cross-join (N·k rows), not the per-coordinate pos-join
+    "text_unigram_logprob",  # n_uni folded from the vocab count table
+    "text_bigram_pmi",  # n_uni/n_big folded from their count tables
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -126,56 +87,61 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 15 (the optimization round, on top of the third rotation):
-#: the 22 CHANGED bodies (4 from the interrupted build work + 18
-#: optimization-pass bodies; dedup_semantic_clusters, graph_kcore and
-#: graph_link_prediction_jaccard were already in the r8 refresh block
-#: and move to the head) + the ENTIRE r6-era residue (15 queries — the
-#: documented r14 deferral) + the 13 oldest remaining r8-greens fill
-#: the 50 slots exactly. The 15 r8 greens the optimization bodies
-#: displaced (sql_udf_scalar, string_collation_ci, text_bigram_avg_nll,
-#: text_duplicated_ngram_coverage, skyline_pareto_frontier,
-#: sql_parameterized, sql_pipe_syntax, then scd2_apply_changes,
-#: quality_iqr_fences, pipeline_temperature_mixture, json_variant_type,
-#: join_range_lookup, join_lateral_topn, graph_degree_distribution,
-#: event_rfm_segmentation — youngest-first by the (round, name) tie
-#: order) defer to r16 together with the 4 youngest r8 greens already
-#: deferred by the rotation ranking (timeseries_holt_linear,
-#: timeseries_linear_interpolate, timeseries_seasonal_decompose,
-#: window_rolling_distinct_users).
+#: Round 16 (optimization round 2 of 2): the 4 CHANGED bodies + the 46
+#: stalest prior greens straight from `scripts/next_window.py --slots
+#: 50` — the full r8-era residue (23 queries, including the five
+#: youngest r8 refreshes round 15 deferred) and the 23 oldest
+#: r9-greens fill the 50 slots exactly.
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
-    # -- staleness refreshes: the full r6-era residue -------------------
-    "pipeline_end_to_end",
-    "profile_psi_drift",
-    "scd2_from_events",
-    "set_union_missing_columns",
-    "stream_chained_agg",
-    "stream_foreachbatch",
-    "stream_parquet_sink",
-    "stream_session_dynamic_gap",
-    "table_diff_snapshots",
-    "text_inverted_index",
-    "text_langid_eval",
-    "timeseries_backtest_seasonal_naive",
-    "timeseries_ewma",
-    "tpch_q21_suppliers_kept_waiting",
-    "window_time_range_frame",
-    # -- staleness refreshes: the 8 oldest r8-greens ---------------------
-    # (5 refresh slots were re-taken by the resume segment's changed
-    # bodies — ccnet/bigram-nll/kneser-ney c1-from-c2, the two IVF
-    # builds; the displaced youngest refreshes — embed_similarity_join,
-    # event_activity_streaks, event_attribution_last_touch,
-    # event_cumulative_reach, event_path_trigrams — defer to r16 per
-    # scripts/next_window.py's ranking.)
-    "agg_filter_clause",
-    "agg_gini_concentration",
-    "agg_group_quantiles",
-    "agg_pareto_share",
-    "conditional_try_functions",
-    "dedup_embedding_cosine",
-    "embed_ann_lsh",
-    "embed_ann_pq_adc",
+    # -- staleness refreshes: the full r8-era residue --------------------
+    "embed_similarity_join",
+    "event_activity_streaks",
+    "event_attribution_last_touch",
+    "event_cumulative_reach",
+    "event_path_trigrams",
+    "event_rfm_segmentation",
+    "graph_degree_distribution",
+    "join_lateral_topn",
+    "join_range_lookup",
+    "json_variant_type",
+    "pipeline_temperature_mixture",
+    "quality_iqr_fences",
+    "scd2_apply_changes",
+    "skyline_pareto_frontier",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "sql_udf_scalar",
+    "string_collation_ci",
+    "text_duplicated_ngram_coverage",
+    "timeseries_holt_linear",
+    "timeseries_linear_interpolate",
+    "timeseries_seasonal_decompose",
+    "window_rolling_distinct_users",
+    # -- staleness refreshes: the 23 oldest r9-greens --------------------
+    "cast_coercion",
+    "conditional_case",
+    "datetime_functions",
+    "dedup_exact",
+    "dedup_exact_by_fingerprint",
+    "embed_norms",
+    "filter_comparison",
+    "filter_in_between_like",
+    "filter_null_logic",
+    "join_broadcast_star",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_salted_skew",
+    "join_self_pairs",
+    "join_theta_range",
+    "json_functions",
+    "limit_topk",
+    "multimodal_binary_meta",
+    "multimodal_feature_extract",
+    "pandas_grouped_agg_seam",
+    "pandas_scalar_iter_seam",
+    "sink_hilbert_parquet",
+    "source_python_datasource",
 )
 
 def load_all() -> dict[str, QuerySpec]:
