@@ -63,7 +63,7 @@ def register(
 #: ADVICE r8's fix for the round-8 failure where a promised rotation
 #: silently never happened.
 #:
-#: Round-16 contents (optimization round 2 of 2, VERDICT r15): four
+#: Round-16 contents (optimization round 2 of 2, VERDICT r15): five
 #: query bodies changed, all pure physical rewrites with digest-equal
 #: interleaved A/Bs and fresh sf0.01 oracle greens (evidence under
 #: plans/r16/evidence/, write-up in OPTIMIZATION_r16.md).
@@ -77,6 +77,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     #   cross-join (N·k rows), not the per-coordinate pos-join
     "text_unigram_logprob",  # n_uni folded from the vocab count table
     "text_bigram_pmi",  # n_uni/n_big folded from their count tables
+    "dedup_semantic_clusters",  # adaptive-k sizing count moved to the
+    #   pre-fan-out frame (no full-width exchange just to count rows)
 )
 
 #: Names promoted to the head of the registry. The driver's correctness
@@ -87,11 +89,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (``scripts/next_window.py --slots 50`` prints the staleness ranking
 #: straight from the committed artifacts), into the window.
 #:
-#: Round 16 (optimization round 2 of 2): the 4 CHANGED bodies + the 46
+#: Round 16 (optimization round 2 of 2): the 5 CHANGED bodies + the 45
 #: stalest prior greens straight from `scripts/next_window.py --slots
 #: 50` — the full r8-era residue (23 queries, including the five
-#: youngest r8 refreshes round 15 deferred) and the 23 oldest
-#: r9-greens fill the 50 slots exactly.
+#: youngest r8 refreshes round 15 deferred) and the 22 oldest
+#: r9-greens fill the 50 slots exactly (source_python_datasource, the
+#: 23rd-oldest r9-green, defers to the next rotation).
 DRIVER_PRIORITY: tuple[str, ...] = (
     *CHANGED_THIS_ROUND,
     # -- staleness refreshes: the full r8-era residue --------------------
@@ -118,7 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_linear_interpolate",
     "timeseries_seasonal_decompose",
     "window_rolling_distinct_users",
-    # -- staleness refreshes: the 23 oldest r9-greens --------------------
+    # -- staleness refreshes: the 22 oldest r9-greens --------------------
     "cast_coercion",
     "conditional_case",
     "datetime_functions",
@@ -141,7 +144,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pandas_grouped_agg_seam",
     "pandas_scalar_iter_seam",
     "sink_hilbert_parquet",
-    "source_python_datasource",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -3676,10 +3676,14 @@ def dedup_semantic_clusters(spark, sf_dir):
     # folds sit fused above a single-row-group scan — round-robin to
     # cluster parallelism first (interleaved sf0.1 A/B 1.15x, rows
     # identical; no-op on multi-split layouts).
-    seeded = fan_out_scan(
-        spark, _seeded_embeddings(spark, sf_dir), sf_dir, "embeddings"
-    )
-    a2 = S.lloyd_assignments(seeded, iters=2)
+    raw = _seeded_embeddings(spark, sf_dir)
+    seeded = fan_out_scan(spark, raw, sf_dir, "embeddings")
+    # The adaptive-k sizing count runs on the PRE-fan-out frame
+    # (round 16): counting the repartitioned frame shipped the whole
+    # corpus through the round-robin exchange just to count rows;
+    # repartition preserves cardinality, so this is the same integer
+    # from a column-pruned scan.
+    a2 = S.lloyd_assignments(seeded, iters=2, n=raw.count())
     # Norm once per vector, carried through the pair join — cosine()
     # inline would re-fold both norms per pair (3 HOF traversals/pair;
     # the similarity_join lesson, measured ~3× there and ~15 s → ~5 s
