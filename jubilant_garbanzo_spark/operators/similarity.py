@@ -1234,7 +1234,15 @@ def ivfpq_adc_topk(
         # exchange reuse, so the first and only build materializes the
         # checkpoint inside the final job — no separate barrier. rv
         # above it is already eager-checkpointed, so the build reads
-        # cached partitions.
+        # cached partitions. ADVICE r15 caveat, on the record: the
+        # "no separate barrier" claim is CONFIG-SENSITIVE — with
+        # spark.sql.exchange.reuse=false (or an AQE planning change
+        # that diverges the two subtrees) the k-row orderBy/limit/
+        # window subtree would compute twice concurrently. That is a
+        # perf note only, never correctness: the md5 ordering is a
+        # deterministic total order over the eager-checkpointed rv, so
+        # both computations yield identical rows; and the recomputed
+        # frame is k rows at any scale.
         .localCheckpoint(eager=False)
     )
 

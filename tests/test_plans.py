@@ -170,8 +170,29 @@ def test_ivf_probe_plan_reads_cached_index(spark, sf_dir):
     from jubilant_garbanzo_spark.plans.inspect import formatted_plan
 
     e = load_table(spark, sf_dir, "embeddings")
+    pre_ids = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     assigned, centroids = build_ivf_index(e)
     try:
+        # ADVICE r15: the build must have MATERIALIZED both caches
+        # before any probe runs — the single centroids.count() relies
+        # on Spark's CacheManager substituting the persisted `assigned`
+        # subplan inside the centroid aggregate. If a future Spark
+        # version broke that substitution, the build job would silently
+        # move into the first probe; this asserts storage for BOTH new
+        # cached RDDs is populated at build time, not merely HIT at
+        # probe time.
+        fresh = [
+            i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.id() not in pre_ids and i.numCachedPartitions() > 0
+        ]
+        assert len(fresh) >= 2, (
+            "build_ivf_index returned before materializing both caches: "
+            + str([str(i) for i in fresh])
+        )
+
         import pyspark.sql.functions as F
 
         q = e.filter(F.col("vec_id") == 0).select(
