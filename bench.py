@@ -129,16 +129,27 @@ HEADLINE: tuple[str, ...] = (
 #: Canary-normalized reporting (VERDICT r12 #3): the committed
 #: median-of-3 rows for three queries whose code is essentially never
 #: touched round-to-round, taken from BASELINE.md's latest "committed
-#: headline baseline" section (round 13 tree, sf0.1). The driver's box
+#: headline baseline" section (round 16 tree, sf0.1). The driver's box
 #: carries a 1.1-1.5× ambient load factor some rounds (BENCH_r12: 98.4 s
 #: driver vs 64.6 s committed on the IDENTICAL tree, canaries inflated
 #: 1.3-2.5×); dividing the run's canary medians by these rows yields an
 #: inflation estimate that separates host load from real regressions.
 #: Update these whenever the committed baseline is re-recorded.
+#: RE-BASED round 16 (VERDICT r15 #1a): the r13 rows were recorded on
+#: faster hardware — this box reads canary inflation 1.6-2.2 against
+#: them at ZERO ambient load (tpch_q6 0.94 s vs the 0.24 s ref with a
+#: 0.12 s spread on an idle box), so every inflation estimate measured
+#: hardware drift, not load. The rows below are the round-16 closing
+#: bench on THIS box (BASELINE.md "Round-16 committed headline
+#: baseline" keeps the old rows in the history). Note the box's idle
+#: performance itself swings ~1.4× between sessions (two idle-box
+#: runs 7 h apart read q6 at 0.94 s and 0.40 s), so inflation is an
+#: order-of-magnitude load signal, never a precise divisor — the
+#: adjudicable cross-round instrument is scripts/ab_round.py.
 CANARY_REF: dict[str, float] = {
-    "trending_topk": 0.604,
-    "tpch_q1_pricing_summary": 0.956,
-    "tpch_q6_forecast_revenue": 0.24,
+    "trending_topk": 0.939,
+    "tpch_q1_pricing_summary": 1.366,
+    "tpch_q6_forecast_revenue": 0.396,
 }
 #: The scale factor the canary rows were committed at — ratios against
 #: a different SF would measure data volume, not host load.
