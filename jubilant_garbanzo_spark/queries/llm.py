@@ -2740,6 +2740,13 @@ def embed_kmeans_lloyd(spark, sf_dir):
         # unaffected. `c` stays in (cid, pos, qc) long form for the
         # update/inertia consumers; the k·dim→k array packing below is
         # a bounded aggregate (k·dim cells at any corpus scale).
+        # Measured both core counts (interleaved vs the pos-join body,
+        # digests identical): 1.166x wins 4/4 at local[32]
+        # (ab_tfidf_kmeans_logprob.json), 0.942x wins 1/6 at local[8]
+        # (ab_kmeans_c8.json) — the HOF fold amortizes worse on few
+        # cores. Kept: the 32-core gain is 3x the 8-core loss, and at
+        # data scale the dim-fold-fewer intermediate rows is the term
+        # that matters (the lloyd_assignments 12.4x-at-x10 lesson).
         ca = c.groupBy("cid").agg(
             F.array_sort(F.collect_list(F.struct("pos", "qc"))).alias("pq")
         ).select(
