@@ -27,6 +27,7 @@ from jubilant_garbanzo_spark.queries import load_all  # noqa: E402
 from jubilant_garbanzo_spark.session import get_spark  # noqa: E402
 
 SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+QUERY = sys.argv[2] if len(sys.argv) > 2 else "text_sparse_tfidf_cosine"
 DEST = f"{BS.WORK}/x{SCALE}"
 PAIRS = 4
 REV = "36e08b1"
@@ -54,7 +55,7 @@ def main() -> int:
         print(f"# generating x{SCALE} corpus at {DEST}", file=sys.stderr)
         BS.generate(spark, SCALE, DEST, skip_relational=True)
 
-    name = "text_sparse_tfidf_cosine"
+    name = QUERY
     old_fn, new_fn = old_specs[name].fn, new_specs[name].fn
     # Warm both variants.
     run_once(spark, old_fn, DEST)
@@ -79,7 +80,7 @@ def main() -> int:
         "rows": d_new[1],
     }
     print(json.dumps(out, indent=1))
-    Path(f"/root/repo/plans/r16/evidence/ab_tfidf_scale_x{SCALE}.json").write_text(
+    Path(f"/root/repo/plans/r16/evidence/ab_{QUERY.split(chr(95))[1]}_scale_x{SCALE}.json" if QUERY != "text_sparse_tfidf_cosine" else f"/root/repo/plans/r16/evidence/ab_tfidf_scale_x{SCALE}.json").write_text(
         json.dumps(out, indent=1)
     )
     return 0
